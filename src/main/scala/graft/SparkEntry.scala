@@ -8,7 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[Reg] =
-    graft.ts.TsQueries.all
+    graft.ts.TsQueries.all ++
+      graft.rel.RelQueries.all ++
+      graft.text.TextQueries.all ++
+      graft.vec.VecQueries.all ++
+      graft.mm.MmQueries.all ++
+      graft.streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly OHLCV candles over events — the reference tsdb's defining

@@ -1,0 +1,63 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §1.2): media are opaque `binary`
+  * columns + typed metadata; decode / feature-extract run per-partition
+  * over iterator batches — the Scala analogue of `mapInPandas`. The
+  * container has no image/audio codecs, so the decoder below is a
+  * clearly-marked deterministic STUB; the Spark-side plumbing (schema,
+  * partition iteration, batch shape) is real and oracle-tested.
+  *
+  * Scale notes (100 TB): feature extraction is embarrassingly parallel —
+  * no shuffle at all; partition boundaries are the batch boundaries, and
+  * the decoder touches one row at a time (no per-partition buffering of
+  * payloads). A real codec drops into `decodeStub` unchanged.
+  */
+object MultiModal {
+
+  /** The feature schema a real decoder would emit. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("content_md5", StringType),
+    StructField("head_cp", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** STUB decoder: byte-level stats standing in for image/audio decode.
+    * Deterministic; a real implementation would parse the payload here. */
+  private def decodeStub(payload: Array[Byte], frameStride: Int): (Int, String, Int, Int) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map(b => f"$b%02x").mkString
+    val head = if (payload.nonEmpty) payload(0) & 0xff else -1
+    val frames = if (payload.isEmpty) 0 else (payload.length - 1) / frameStride + 1
+    (payload.length, hex, head, frames)
+  }
+
+  /** docs(doc_id, payload BINARY) → features, one pass per partition. */
+  def extractFeatures(docs: DataFrame, frameStride: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (n, hexMd5, head, frames) =
+          decodeStub(r.getAs[Array[Byte]]("payload"), frameStride)
+        Row(r.getLong(0), n, hexMd5, head, frames)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Frame sampling stub: fixed-stride slices of the payload, first
+    * `maxFrames` per doc, with a per-frame digest. Pure column ops —
+    * stays in whole-stage codegen. */
+  def sampleFrames(docs: DataFrame, stride: Int, maxFrames: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), least(
+          floor((length(col("payload")) - 1) / stride).cast("int"),
+          lit(maxFrames - 1)))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(payload, frame_idx * $stride + 1, $stride)")).as("frame_md5"))
+}

@@ -1,0 +1,429 @@
+package graft.rel
+
+import graft.{Reg, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graded relational queries (SURVEY.md §2.2/§2.3/§2.4/§2.5/§2.6/§2.7/§2.8)
+  * over the TPC-H-ish star schema. Reference v0 snapshot is empty; the
+  * capability surface follows SURVEY.md §2.
+  *
+  * Scale notes (100 TB): all joins are FK equi-joins — Catalyst broadcasts
+  * the dim side (region/nation/customer at 100 TB would be bucketed or
+  * broadcast; lineitem⋈orders co-partitions on the join key in one
+  * shuffle). Aggregations are hash aggregates with map-side partials.
+  * Filters are sargable (pushed to parquet row-group stats); projections
+  * prune columns at the scan.
+  *
+  * Determinism contract per Reg.scala: total-order ORDER BY, rounded float
+  * aggregates, stringified timestamp outputs, min_by/max_by over
+  * first/last.
+  */
+object RelQueries {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  val all: Seq[Reg] = Seq(
+
+    // ---- hash aggregate, multiple measures (TPC-H Q1 shape) -------------
+    Reg("q1_pricing",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 4).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(sum(col("l_discount")), 4).as("sum_disc"),
+            count(lit(1)).as("count_order"))
+          // averages as rounded-sum / count: division inputs identical on
+          // both engines ⇒ no rounding-boundary flips (cf. vwap_daily)
+          .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 4))
+          .withColumn("avg_disc", round(col("sum_disc") / col("count_order"), 4))
+          .drop("sum_disc")
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               count(*) AS count_order,
+               round(round(sum(l_quantity), 4) / count(*), 4) AS avg_qty,
+               round(round(sum(l_discount), 4) / count(*), 4) AS avg_disc
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """)),
+
+    // ---- star join: customer ⋈ orders ⋈ lineitem, top-k revenue ---------
+    Reg("q3_revenue_topk",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(t.orders, col("c_custkey") === col("o_custkey"))
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .select(col("o_orderkey"), date_format(col("o_orderdate"), fmt).as("o_orderdate"), col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+      """)),
+
+    // ---- 5-way star join through nation/region --------------------------
+    Reg("q5_region_revenue",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+      """)),
+
+    // ---- left semi: customers with at least one high-value order --------
+    Reg("join_semi_customers",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(t.orders.filter(col("o_totalprice") > 400000), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        ORDER BY c_custkey
+      """)),
+
+    // ---- left anti: customers with no high-value order ------------------
+    // (every customer has ≥1 order in the fixtures, so the plain anti join
+    // would be empty — the same predicate as the semi twin keeps both
+    // non-trivial)
+    Reg("join_anti_customers",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(t.orders.filter(col("o_totalprice") > 400000), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        ORDER BY c_custkey
+      """)),
+
+    // ---- left outer join + null handling (coalesce over no-match) -------
+    Reg("join_outer_order_counts",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            round(coalesce(sum(col("o_totalprice")), lit(0.0)), 4).as("total_spent"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+        ORDER BY c_custkey
+      """)),
+
+    // ---- rollup with explicit grouping id (null-safe output) ------------
+    Reg("rollup_flag_status",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+            col("sum_qty"), col("n"))
+          .orderBy("returnflag", "linestatus")
+      },
+      Some("""
+        SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+               coalesce(l_linestatus, '(all)') AS linestatus,
+               round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+      """)),
+
+    // ---- cube over order dims -------------------------------------------
+    Reg("cube_status_priority",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+            coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+            col("n"), col("total"))
+          .orderBy("status", "priority")
+      },
+      Some("""
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+      """)),
+
+    // ---- per-group top-k via ranking window -----------------------------
+    Reg("window_rank_orders",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t.orders
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""
+        SELECT o_custkey, rn, o_orderkey, o_totalprice
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn
+      """)),
+
+    // ---- lag/delta over pre-rounded daily revenue -----------------------
+    Reg("window_lag_daily",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val daily = t.orders
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+        val w = Window.orderBy(col("day"))
+        daily
+          .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+          .select(date_format(col("day"), fmt).as("day"), col("rev"),
+            coalesce(round(col("rev") - col("prev_rev"), 4), lit(0.0)).as("delta"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 4) AS rev
+          FROM orders GROUP BY 1)
+        SELECT strftime(day, '%Y-%m-%d %H:%M:%S') AS day, rev,
+               coalesce(round(rev - lag(rev, 1) OVER (ORDER BY day), 4), 0.0) AS delta
+        FROM daily
+        ORDER BY day
+      """)),
+
+    // ---- moving average over ordered frame ------------------------------
+    Reg("window_moving_avg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val daily = t.orders
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+        val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+        daily
+          .withColumn("ma7", round(avg(col("rev")).over(w), 4))
+          .select(date_format(col("day"), fmt).as("day"), col("rev"), col("ma7"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 4) AS rev
+          FROM orders GROUP BY 1)
+        SELECT strftime(day, '%Y-%m-%d %H:%M:%S') AS day, rev,
+               round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        FROM daily
+        ORDER BY day
+      """)),
+
+    // ---- global top-k (TakeOrderedAndProject, no full sort) -------------
+    Reg("topk_parts",
+      (s, dir) => Tables(s, dir).part
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .limit(10),
+      Some("""
+        SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+      """)),
+
+    // ---- set ops: nation coverage by customers vs suppliers -------------
+    Reg("setops_nations",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val custN = t.customer.select(col("c_nationkey").as("nk")).distinct()
+        val suppN = t.supplier.select(col("s_nationkey").as("nk")).distinct()
+        custN.intersect(suppN).withColumn("tag", lit("both"))
+          .unionByName(custN.except(suppN).withColumn("tag", lit("cust_only")))
+          .orderBy("tag", "nk")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT nk, 'both' AS tag FROM
+            (SELECT DISTINCT c_nationkey AS nk FROM customer
+             INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+          UNION ALL
+          SELECT nk, 'cust_only' AS tag FROM
+            (SELECT DISTINCT c_nationkey AS nk FROM customer
+             EXCEPT SELECT DISTINCT s_nationkey FROM supplier))
+        ORDER BY tag, nk
+      """)),
+
+    // ---- exact distinct counts ------------------------------------------
+    Reg("distinct_counts",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
+      },
+      Some("""
+        SELECT count(DISTINCT o_custkey) AS n_customers,
+               count(DISTINCT o_orderstatus) AS n_statuses,
+               count(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders
+      """)),
+
+    // ---- approx distinct (HLL) — engines differ, so rows-only check -----
+    Reg("approx_distinct_users",
+      (s, dir) => Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type"),
+      None),
+
+    // ---- JSON column: extract + aggregate -------------------------------
+    Reg("json_props_agg",
+      (s, dir) => Tables(s, dir).events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("k"),
+      Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- CASE WHEN bucketing --------------------------------------------
+    Reg("case_price_buckets",
+      (s, dir) => Tables(s, dir).orders
+        .withColumn("bucket",
+          when(col("o_totalprice") < 100000, "lo")
+            .when(col("o_totalprice") < 300000, "mid")
+            .otherwise("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 4).as("min_price"),
+          round(max(col("o_totalprice")), 4).as("max_price"))
+        .orderBy("bucket"),
+      Some("""
+        SELECT CASE WHEN o_totalprice < 100000 THEN 'lo'
+                    WHEN o_totalprice < 300000 THEN 'mid'
+                    ELSE 'hi' END AS bucket,
+               count(*) AS n,
+               round(min(o_totalprice), 4) AS min_price,
+               round(max(o_totalprice), 4) AS max_price
+        FROM orders GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- scalar string function surface ---------------------------------
+    Reg("string_funcs_parts",
+      (s, dir) => Tables(s, dir).part
+        .filter(col("p_name").like("%gold%") || col("p_type").rlike("^STANDARD"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          lower(col("p_type")).as("type_lc"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
+        .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey, upper(p_brand) AS brand_uc, lower(p_type) AS type_lc,
+               substr(p_name, 1, 8) AS name_prefix, length(p_name) AS name_len,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+        FROM part
+        WHERE p_name LIKE '%gold%' OR regexp_matches(p_type, '^STANDARD')
+        ORDER BY p_partkey
+      """)),
+
+    // ---- the tsdb core read path: time-range scan + projection ----------
+    Reg("time_range_scan",
+      (s, dir) => Tables(s, dir).events
+        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-11").cast("timestamp"))
+        .select(col("event_id"), date_format(col("ts"), fmt).as("ts"),
+          col("event_type"), col("user_id"), col("value"))
+        .orderBy("event_id"),
+      Some("""
+        SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, user_id, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+        ORDER BY event_id
+      """)),
+
+    // ---- correlated scalar subquery: orders above customer average ------
+    Reg("subquery_above_avg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val custAvg = t.orders.groupBy(col("o_custkey").as("ck"))
+          .agg(avg(col("o_totalprice")).as("avg_price"))
+        t.orders
+          .join(custAvg, col("o_custkey") === col("ck"))
+          .filter(col("o_totalprice") > col("avg_price") * 1.5)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+                                    WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+      """))
+  )
+}

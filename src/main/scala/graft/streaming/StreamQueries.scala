@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.Reg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming twins of the batch operators (SURVEY.md §2.9).
+  * Each query runs a REAL streaming execution (file source → windowed
+  * state → memory sink, drained with processAllAvailable), then returns
+  * the sink table — so the DuckDB oracle that grades the batch candles
+  * grades the streaming path too.
+  *
+  * Scale notes: the same plan runs against a live file/Kafka source with
+  * a checkpoint dir; complete-mode is used here because the fixture is
+  * finite. Watermark + append is exercised in the test suite where the
+  * input epochs are controlled (late-data semantics can't be expressed as
+  * a finite DuckDB oracle).
+  */
+object StreamQueries {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark
+    * reads as long with the legacy conf (see Tables.withNanosTs). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streamed read of the events fixture with exact µs timestamp restore.
+    * FileStreamSource forces `basePath` to the stream path itself, which
+    * must be a directory — the fixture is a single file, so it is exposed
+    * through a per-sfdir symlink directory (fixtures stay read-only). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val linkDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+    Files.createDirectories(linkDir)
+    val link = linkDir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(linkDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming aggregation to a memory sink and return the final
+    * table (complete mode: the last emitted result is the full answer). */
+  private def drainComplete(df: DataFrame): DataFrame = {
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+
+  private def drainAppend(df: DataFrame): DataFrame = {
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+
+  val all: Seq[Reg] = Seq(
+
+    // ---- streaming OHLCV candles: window agg over the event-time column -
+    // Same oracle as batch candles_1h — streaming must agree with batch.
+    Reg("streaming_candles_1h",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val candles = readEventsStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            min_by(col("value"), col("ts")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ts")).as("close"),
+            sum(col("value")).as("volume"),
+            count(lit(1)).as("trades"))
+        drainComplete(candles)
+          .select(date_format(col("window.start"), fmt).as("bucket"),
+            col("event_type"), col("open"), col("high"), col("low"), col("close"),
+            round(col("volume"), 4).as("volume"), col("trades"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
+    // ---- streaming dedup by key (event_id) in append mode ---------------
+    Reg("streaming_dedup_counts",
+      (s, dir) => {
+        val deduped = readEventsStream(s, dir).dropDuplicates("event_id")
+        drainAppend(deduped)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(DISTINCT event_id) AS n, count(DISTINCT event_id) AS n_ids
+        FROM events
+        GROUP BY 1 ORDER BY 1
+      """))
+  )
+}

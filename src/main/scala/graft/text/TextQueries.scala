@@ -1,0 +1,200 @@
+package graft.text
+
+import graft.{Reg, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graded text / dedup / analysis queries over `documents` (SURVEY.md §1.2
+  * LLM-pipeline surface). All hashing is md5-based so every DuckDB oracle
+  * can reproduce it exactly (see TextOps). Fixture facts (FIXTURES.md):
+  * 31-word ASCII vocab, 10–100 tokens/doc; trigram-shingle Jaccard has a
+  * clean gap — pairs are either ≥ 0.9 or ≤ 0.07 at sf0.01 — so the 0.5
+  * near-dup threshold is boundary-safe. */
+object TextQueries {
+
+  // 5 of the 31 vocabulary words serve as the "stopword" list
+  private val stopwords = Seq("the", "a", "data", "value", "key")
+
+  val all: Seq[Reg] = Seq(
+
+    // ---- exact dedup on normalized text ---------------------------------
+    Reg("dedup_exact",
+      (s, dir) => Tables(s, dir).documents
+        .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .orderBy("text_hash"),
+      Some("""
+        SELECT md5(lower(trim(text))) AS text_hash,
+               count(*) AS n_copies, min(doc_id) AS keep_id
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- duplicate token-set groups (unigram Jaccard = 1.0) -------------
+    Reg("dedup_tokenset",
+      (s, dir) => Tables(s, dir).documents
+        .groupBy(md5(array_join(array_sort(array_distinct(TextOps.tokens(col("text")))), " ")).as("set_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("set_hash"),
+      Some("""
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS set_hash,
+               count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM documents
+        GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+      """)),
+
+    // ---- near-dup via MinHash + LSH banding + exact Jaccard verify ------
+    // Oracle is the brute-force all-pairs Jaccard: the fixture's score gap
+    // (≥0.9 vs ≤0.07) plus 8 bands × 2 rows makes LSH recall 1.0 here
+    // (miss probability ≤ (1-0.9²)^8 ≈ 6e-7 per true pair).
+    Reg("neardup_minhash_lsh",
+      (s, dir) => TextOps.nearDupPairs(Tables(s, dir).documents, n = 3,
+          bands = 8, rowsPerBand = 2, minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sset
+               FROM tok),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sset, b.sset)) AS inter,
+                     len(a.sset) AS na, len(b.sset) AS nb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+        FROM p
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ---- SimHash fingerprints (md5-derived, engine-portable) ------------
+    Reg("simhash_fingerprint",
+      (s, dir) => TextOps.simhash(Tables(s, dir).documents)
+        .orderBy("doc_id"),
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+                     FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+        bits AS (SELECT doc_id, i,
+                        sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM h, range(60) t(i) GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- token statistics (counting + type-token ratio) -----------------
+    Reg("token_stats",
+      (s, dir) => {
+        val t = TextOps.tokens(col("text"))
+        Tables(s, dir).documents.select(
+          col("doc_id"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_distinct"),
+          round(size(array_distinct(t)).cast("double") / size(t), 4).as("ttr"),
+          round(expr("aggregate(transform(split(trim(text), ' '), x -> length(x)), 0, (s, x) -> s + x)")
+            .cast("double") / size(t), 4).as("avg_token_len"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+        SELECT doc_id, len(ws) AS n_tokens,
+               len(list_distinct(ws)) AS n_distinct,
+               round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS ttr,
+               round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws), 4) AS avg_token_len
+        FROM t ORDER BY doc_id
+      """)),
+
+    // ---- quality scoring: length + stopword ratio + TTR composite -------
+    Reg("quality_score",
+      (s, dir) => {
+        val t = TextOps.tokens(col("text"))
+        val stopArr = array(stopwords.map(lit): _*)
+        Tables(s, dir).documents.select(
+          col("doc_id"), col("n_chars"),
+          size(t).as("n_tokens"),
+          round(size(array_intersect(array_distinct(t), stopArr)).cast("double")
+            / size(array_distinct(t)), 4).as("stop_ratio"),
+          round(size(array_distinct(t)).cast("double") / size(t), 4).as("ttr"))
+          // weights 0.4/0.6 (not 0.5/0.5): a mean of two 4-decimal values
+          // hits exact .00005 halves where Spark and DuckDB round() tie-break
+          // differently; 0.4·x + 0.6·y has an even 5th decimal — never a tie
+          .withColumn("quality",
+            round(col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.6, 4))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, n_chars, string_split(trim(text), ' ') AS ws FROM documents),
+        f AS (SELECT doc_id, n_chars, len(ws) AS n_tokens,
+                     round(CAST(len(list_intersect(list_distinct(ws),
+                            ${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) AS DOUBLE)
+                           / len(list_distinct(ws)), 4) AS stop_ratio,
+                     round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS ttr
+              FROM t)
+        SELECT doc_id, n_chars, n_tokens, stop_ratio, ttr,
+               round(ttr * 0.4 + (1.0 - stop_ratio) * 0.6, 4) AS quality
+        FROM f ORDER BY doc_id
+      """)),
+
+    // ---- language-ID: corpus-profile voting (top-10 tokens per lang) ----
+    Reg("lang_id_predict",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        val wTop = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("w"))
+        val top10 = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
+          .select(col("lang").as("cand_lang"), col("w"))
+        val docTok = docs.select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+        val votes = docTok.join(top10, "w")
+          .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("votes"))
+        val wPick = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("cand_lang"))
+        votes.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+          .join(docs.select(col("doc_id"), col("lang").as("lang_actual")), "doc_id")
+          .select(col("doc_id"), col("lang_actual"), col("cand_lang").as("lang_pred"), col("votes"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        top10 AS (SELECT lang AS cand_lang, w FROM (
+                    SELECT lang, w, row_number() OVER (
+                      PARTITION BY lang ORDER BY count(*) DESC, w) AS rn
+                    FROM tok GROUP BY lang, w) WHERE rn <= 10),
+        dtok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+                 FROM documents),
+        votes AS (SELECT doc_id, cand_lang, count(*) AS votes
+                  FROM dtok JOIN top10 USING (w) GROUP BY 1, 2),
+        pick AS (SELECT doc_id, cand_lang, votes, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY votes DESC, cand_lang) AS rn
+                 FROM votes)
+        SELECT d.doc_id, d.lang AS lang_actual, p.cand_lang AS lang_pred, p.votes
+        FROM pick p JOIN documents d USING (doc_id)
+        WHERE p.rn = 1
+        ORDER BY d.doc_id
+      """)),
+
+    // ---- rolling-hash document fingerprint (winnowing-style min/max) ----
+    Reg("doc_fingerprint",
+      (s, dir) => TextOps.explodedShingles(Tables(s, dir).documents, 3)
+        .withColumn("hv", TextOps.hash60(col("shingle")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("hv")).as("min_hash"), max(col("hv")).as("max_hash"),
+          count(lit(1)).as("n_shingles"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+               FROM tok)
+        SELECT doc_id,
+               min(('0x' || substr(md5(s), 1, 15))::BIGINT) AS min_hash,
+               max(('0x' || substr(md5(s), 1, 15))::BIGINT) AS max_hash,
+               count(*) AS n_shingles
+        FROM sh GROUP BY 1 ORDER BY 1
+      """))
+  )
+}

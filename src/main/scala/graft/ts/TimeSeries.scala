@@ -39,6 +39,28 @@ object TimeSeries {
         sum(col(valCol)).as("volume"),
         count(lit(1)).as("trades"))
 
+  /** Fixed-width bucket start for widths date_trunc can't express (15 min,
+    * 4 h, ...). Integer µs arithmetic — exact, no double rounding. */
+  def bucketStart(ts: org.apache.spark.sql.Column, seconds: Long): org.apache.spark.sql.Column = {
+    val us = seconds * 1000000L
+    // integer arithmetic only: ns-epoch µs values are near double's
+    // 53-bit mantissa edge, so no float division here
+    timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), lit(us)))
+  }
+
+  /** OHLCV candles at a fixed-width bucket of `seconds` (15 min etc.). */
+  def candlesFixed(events: DataFrame, seconds: Long, seriesCol: String = "event_type",
+                   tsCol: String = "ts", valCol: String = "value"): DataFrame =
+    events
+      .groupBy(bucketStart(col(tsCol), seconds).as("bucket"), col(seriesCol).as("series"))
+      .agg(
+        min_by(col(valCol), col(tsCol)).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max_by(col(valCol), col(tsCol)).as("close"),
+        sum(col(valCol)).as("volume"),
+        count(lit(1)).as("trades"))
+
   /** Hierarchical resample of candles to a coarser fixed-width bucket of
     * `seconds` (e.g. 4h = 14400). open = open of earliest child candle,
     * close = close of latest; exact because child bucket starts are unique
@@ -46,9 +68,7 @@ object TimeSeries {
     * 100 TB this reads the (much smaller) candle layer. */
   def resample(candles: DataFrame, seconds: Long): DataFrame =
     candles
-      .groupBy(
-        timestamp_seconds(floor(unix_timestamp(col("bucket")) / seconds) * seconds).as("rbucket"),
-        col("series"))
+      .groupBy(bucketStart(col("bucket"), seconds).as("rbucket"), col("series"))
       .agg(
         min_by(col("open"), col("bucket")).as("open"),
         max(col("high")).as("high"),
@@ -91,9 +111,9 @@ object TimeSeries {
 
   /** Volume-weighted average price per (bucket, series): sum(p·v)/sum(v). */
   def vwap(events: DataFrame, unit: String, priceCol: String, volCol: String,
-           seriesCol: String = "event_type"): DataFrame =
+           seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame =
     events
-      .groupBy(date_trunc(unit, col("ts")).as("bucket"), col(seriesCol).as("series"))
+      .groupBy(date_trunc(unit, col(tsCol)).as("bucket"), col(seriesCol).as("series"))
       .agg((sum(col(priceCol) * col(volCol)) / sum(col(volCol))).as("vwap"),
         sum(col(volCol)).as("total_vol"))
 
@@ -144,11 +164,13 @@ object TimeSeries {
     * running sum of session-start flags). */
   def sessionize(events: DataFrame, gapSeconds: Long, userCol: String = "user_id"): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col("ts"), col("event_id"))
+    // µs integer arithmetic — exact, and matches the DuckDB oracle's
+    // epoch_us (unix_timestamp() would truncate to seconds)
     events
       .withColumn("_prev", lag(col("ts"), 1).over(w))
       .withColumn("_new_session",
         when(col("_prev").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("_prev")) > gapSeconds, 1).otherwise(0))
+          unix_micros(col("ts")) - unix_micros(col("_prev")) > gapSeconds * 1000000L, 1).otherwise(0))
       .withColumn("session_id", sum(col("_new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("_prev", "_new_session")

@@ -4,7 +4,10 @@ import graft.{Reg, Tables}
 import org.apache.spark.sql.functions._
 
 /** Graded time-series queries (SURVEY.md §2.4/§2.5): the reference tsdb's
-  * candle/gap/validation surface over the `events` stream table. */
+  * candle/resample/gap/validation/alignment surface over the `events`
+  * stream table (reference v0 snapshot is empty; semantics per SURVEY.md
+  * §1.1). DuckDB oracles use arg_min/arg_max, generate_series,
+  * IGNORE NULLS windows and ASOF JOIN. */
 object TsQueries {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
@@ -32,6 +35,188 @@ object TsQueries {
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
+      """)),
+
+    // ---- sub-hour fixed-width buckets (date_trunc can't do 15 min) ------
+    Reg("candles_15m",
+      (s, dir) => TimeSeries.candlesFixed(Tables(s, dir).events, 900)
+        .select(
+          date_format(col("bucket"), fmt).as("bucket"),
+          col("series").as("event_type"),
+          col("open"), col("high"), col("low"), col("close"),
+          round(col("volume"), 4).as("volume"),
+          col("trades"))
+        .orderBy("bucket", "event_type"),
+      Some("""
+        SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000),
+                        '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
+    // ---- hierarchical resample 1h → 4h; oracle computes 4h directly -----
+    // (equivalent: the earliest child candle's open IS the 4h open, etc.)
+    Reg("candles_4h_resample",
+      (s, dir) => TimeSeries.resample(TimeSeries.candles(Tables(s, dir).events, "hour"), 14400)
+        .select(
+          date_format(col("bucket"), fmt).as("bucket"),
+          col("series").as("event_type"),
+          col("open"), col("high"), col("low"), col("close"),
+          round(col("volume"), 4).as("volume"),
+          col("trades").cast("long").as("trades"))
+        .orderBy("bucket", "event_type"),
+      Some("""
+        SELECT strftime(make_timestamp((epoch_us(ts) // 14400000000) * 14400000000),
+                        '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
+    // ---- missing-candle detection: hourly spine anti-join ---------------
+    Reg("gap_detect_1h",
+      (s, dir) => TimeSeries.gapDetect(TimeSeries.candles(Tables(s, dir).events, "hour"), 3600)
+        .select(col("series").as("event_type"), date_format(col("bucket"), fmt).as("bucket"))
+        .orderBy("event_type", "bucket"),
+      Some("""
+        WITH c AS (SELECT event_type AS s, date_trunc('hour', ts) AS b
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT s, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1),
+        sp AS (SELECT s, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM r)
+        SELECT sp.s AS event_type, strftime(sp.b, '%Y-%m-%d %H:%M:%S') AS bucket
+        FROM sp LEFT JOIN c ON c.s = sp.s AND c.b = sp.b
+        WHERE c.b IS NULL
+        ORDER BY 1, 2
+      """)),
+
+    // ---- gap fill with forward-filled close (volume 0 on gaps) ----------
+    Reg("gap_fill_1h",
+      (s, dir) => TimeSeries.gapFill(TimeSeries.candles(Tables(s, dir).events, "hour"), 3600)
+        .select(col("series").as("event_type"), date_format(col("bucket"), fmt).as("bucket"),
+          col("was_gap"), col("close_filled"), round(col("volume"), 4).as("volume"))
+        .orderBy("event_type", "bucket"),
+      Some("""
+        WITH c AS (SELECT event_type AS s, date_trunc('hour', ts) AS b,
+                          arg_max(value, ts) AS close, round(sum(value), 4) AS volume
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT s, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1),
+        sp AS (SELECT s, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM r)
+        SELECT sp.s AS event_type, strftime(sp.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+               c.b IS NULL AS was_gap,
+               last_value(c.close IGNORE NULLS) OVER (
+                 PARTITION BY sp.s ORDER BY sp.b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+               coalesce(c.volume, 0.0) AS volume
+        FROM sp LEFT JOIN c ON c.s = sp.s AND c.b = sp.b
+        ORDER BY 1, 2
+      """)),
+
+    // ---- VWAP over lineitem (price = extendedprice, volume = quantity) --
+    // vwap output is integer-scaled end to end: float sums differ between
+    // engines by summation order, and even round() disagrees across engines
+    // at representation boundaries (Spark rounds the shortest decimal repr
+    // via BigDecimal, DuckDB rounds the binary double). Snapping each sum
+    // to integer cents (boundary 0.5 ≫ any float divergence) and doing the
+    // ratio in integer arithmetic is exact on both engines.
+    Reg("vwap_daily",
+      (s, dir) => Tables(s, dir).lineitem
+        .groupBy(date_trunc("day", col("l_shipdate")).as("bucket"), col("l_returnflag").as("series"))
+        .agg(round(sum(col("l_extendedprice") * col("l_quantity")) * 100).cast("long").as("pv_cents"),
+          round(sum(col("l_quantity")) * 100).cast("long").as("vol_cents"))
+        .select(date_format(col("bucket"), fmt).as("day"), col("series").as("returnflag"),
+          expr("(pv_cents * 10000) div vol_cents").as("vwap_x10000"), col("vol_cents"))
+        .orderBy("day", "returnflag"),
+      Some("""
+        SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d %H:%M:%S') AS day,
+               l_returnflag AS returnflag,
+               (CAST(round(sum(l_extendedprice * l_quantity) * 100) AS BIGINT) * 10000)
+                 // CAST(round(sum(l_quantity) * 100) AS BIGINT) AS vwap_x10000,
+               CAST(round(sum(l_quantity) * 100) AS BIGINT) AS vol_cents
+        FROM lineitem
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
+    // ---- z-score outlier validation per series --------------------------
+    Reg("zscore_outliers",
+      (s, dir) => TimeSeries.zscoreOutliers(Tables(s, dir).events, 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 4).as("z"))
+        .orderBy("event_id"),
+      Some("""
+        WITH stats AS (SELECT event_type AS s, avg(value) AS mu, stddev(value) AS sigma
+                       FROM events GROUP BY 1)
+        SELECT event_id, event_type, value, round((value - mu) / sigma, 4) AS z
+        FROM events JOIN stats ON event_type = s
+        WHERE abs((value - mu) / sigma) > 3.0
+        ORDER BY event_id
+      """)),
+
+    // ---- as-of join: each purchase ↦ user's latest click ≤ ts -----------
+    Reg("asof_purchase_click",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value").as("purchase_value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("click_value")) // unique (user, ts) → tie-free asof
+        TimeSeries.asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_value"))
+          .select(col("event_id"), col("user_id"), date_format(col("ts"), fmt).as("ts"),
+            col("purchase_value"),
+            // no-match rows must not be float NULLs: NULL↔NaN round-trips
+            // break exact hash comparison
+            coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH cl AS (SELECT user_id, ts, max(value) AS click_value
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               p.value AS purchase_value, coalesce(cl.click_value, -1.0) AS click_value
+        FROM p ASOF LEFT JOIN cl ON p.user_id = cl.user_id AND p.ts >= cl.ts
+        ORDER BY p.event_id
+      """)),
+
+    // ---- sessionization: 30-min inactivity gap per user -----------------
+    Reg("sessionize_30m",
+      (s, dir) => TimeSeries.sessionize(Tables(s, dir).events, 1800)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), fmt).as("start_ts"),
+          date_format(max(col("ts")), fmt).as("end_ts"))
+        .orderBy("user_id", "session_id"),
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM e)
+        SELECT user_id, session_id, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2
       """))
   )
 }

@@ -1,0 +1,89 @@
+package graft.vec
+
+import graft.{Reg, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graded similarity-search queries over `embeddings` (SURVEY.md §1.2).
+  * Scores are double-precision index-ordered dots on both engines (see
+  * VecOps) — measured min consecutive top-5 rank gap is 1.9e-5, ten
+  * orders above the cross-engine double divergence, so ranks are stable. */
+object VecQueries {
+
+  private val duckDot =
+    "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+
+  val all: Seq[Reg] = Seq(
+
+    // ---- brute-force cosine top-5 (the honest quadratic baseline) -------
+    Reg("cosine_topk_brute",
+      (s, dir) => VecOps.topK(VecOps.bruteForceScores(Tables(s, dir).embeddings), 5)
+        .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank"),
+      Some(s"""
+        WITH p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+                   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        r AS (SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM p)
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM r WHERE rank <= 5
+        ORDER BY qid, rank
+      """)),
+
+    // ---- ANN: random-hyperplane LSH bucket + in-bucket top-3 ------------
+    // Oracle mirrors the LSH exactly (md5-derived hyperplanes), so the
+    // hash-match is independent of LSH recall.
+    Reg("ann_lsh_topk",
+      (s, dir) => VecOps.annLshTopK(Tables(s, dir).embeddings, planes = 4, k = 3)
+        .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank"),
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+              FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        r AS (SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM p)
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """)),
+
+    // ---- 1-NN label agreement per label (integer outputs) ---------------
+    Reg("knn_label_purity",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val nn1 = VecOps.topK(VecOps.bruteForceScores(emb), 1)
+        nn1
+          .join(emb.select(col("vec_id").as("qid"), col("label").as("q_label")), "qid")
+          .join(emb.select(col("vec_id").as("nid"), col("label").as("n_label")), "nid")
+          .groupBy(col("q_label").as("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("q_label") === col("n_label"), 1).otherwise(0)).as("n_match"))
+          .orderBy("label")
+      },
+      Some(s"""
+        WITH p AS (SELECT a.vec_id AS qid, a.label AS q_label,
+                          b.vec_id AS nid, b.label AS n_label, $duckDot AS d
+                   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        r AS (SELECT qid, q_label, n_label,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM p)
+        SELECT q_label AS label, count(*) AS n,
+               sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS n_match
+        FROM r WHERE rank = 1
+        GROUP BY 1 ORDER BY 1
+      """))
+  )
+}

@@ -1,0 +1,60 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: word trigrams of a known string") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val sh = df.select(TextOps.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("minhash: identical token sets get identical signatures") {
+    val docs = Seq(
+      (1L, "spark query engine fast spark query"),
+      (2L, "query spark fast engine"), // same token set, different order/counts
+      (3L, "completely different words here")
+    ).toDF("doc_id", "text")
+    // unigram shingles = distinct tokens
+    val sig = TextOps.minhashSignature(TextOps.explodedShingles(docs, 1), 8)
+      .orderBy("doc_id").collect()
+    val s1 = (0 until 8).map(i => sig(0).getAs[Long](s"h$i"))
+    val s2 = (0 until 8).map(i => sig(1).getAs[Long](s"h$i"))
+    val s3 = (0 until 8).map(i => sig(2).getAs[Long](s"h$i"))
+    assert(s1 == s2)
+    assert(s1 != s3)
+  }
+
+  test("near-dup pipeline finds a planted trigram near-duplicate") {
+    val base = "the big fast query engine scans the sorted column table every time"
+    val nearDup = base.replace("sorted", "hashed") // high trigram overlap
+    val other = "x y z " * 10
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other.trim)).toDF("doc_id", "text")
+    val pairs = TextOps.nearDupPairs(docs, n = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.3)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 1L && pairs(0).getAs[Long]("doc_b") == 2L)
+  }
+
+  test("simhash: near-identical docs differ in few bits, unrelated in many") {
+    def popcount(x: Long): Int = java.lang.Long.bitCount(x)
+    val docs = Seq(
+      (1L, "spark table scan filter group agg join sort window stream"),
+      (2L, "spark table scan filter group agg join sort window batch"), // 1 token swap
+      (3L, "row key hash merge dup line part order customer value")
+    ).toDF("doc_id", "text")
+    val f = TextOps.simhash(docs).orderBy("doc_id").collect()
+      .map(_.getAs[Long]("simhash"))
+    val near = popcount(f(0) ^ f(1))
+    val far = popcount(f(0) ^ f(2))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("hash60 is non-negative and stable") {
+    val v = Seq(("a")).toDF("x").select(TextOps.hash60(col("x"))).as[Long].head()
+    assert(v == 57446577476672362L) // cross-checked against DuckDB '0x'||substr(md5('a'),1,15)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.vec
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VecOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot: double-precision index-ordered fold") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val d = df.select(VecOps.dot(col("a"), col("b")).as("d")).as[Double].head()
+    assert(d == 32.0)
+  }
+
+  test("brute-force top-k: ranks by score desc, ties by nid") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal
+      (3L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val top = VecOps.topK(VecOps.bruteForceScores(emb), 2)
+      .filter($"qid" === 0L).orderBy("rank").collect()
+    assert(top(0).getAs[Long]("nid") == 1L) // score 1.0
+    assert(top(1).getAs[Long]("nid") == 3L) // score 0.7
+  }
+
+  test("ANN/LSH: bucket-restricted results are a subset of brute-force ranking") {
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    val ann = VecOps.annLshTopK(emb, planes = 4, k = 3)
+    val brute = VecOps.topK(VecOps.bruteForceScores(emb), 50)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val annPairs = ann.select($"qid", $"nid").as[(Long, Long)].collect()
+    // sanity: ANN returns something and every returned neighbor is a real vector
+    assert(annPairs.nonEmpty)
+    // within-bucket top neighbors should typically be globally good:
+    // require ≥50% of ANN picks to land in the global top-50
+    val hits = annPairs.count(brute.contains)
+    assert(hits * 2 >= annPairs.length, s"hits=$hits of ${annPairs.length}")
+  }
+
+  test("LSH buckets are deterministic across runs") {
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    val b1 = VecOps.lshBucket(emb, 4).select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b2 = VecOps.lshBucket(emb, 4).select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b1 == b2)
+    assert(b1.values.toSet.size > 1) // actually spreads across buckets
+  }
+}

@@ -53,8 +53,10 @@ def main(out_dir: str, sf_dir: str) -> int:
         for c in spark_df.columns:
             a, b = spark_df[c], duck_df[c]
             try:
-                same = (a.astype(object).where(pd.notnull(a), None)
-                        == b.astype(object).where(pd.notnull(b), None)).all()
+                eq = (a.astype(object).where(pd.notnull(a), None)
+                      == b.astype(object).where(pd.notnull(b), None))
+                # both-NULL cells compare equal (NaN == NaN is False)
+                same = (eq | (pd.isnull(a) & pd.isnull(b))).all()
             except Exception:
                 same = False
             if not same:
