@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // tmpfs scratch: shuffle/broadcast spill to the block-device /tmp
+      // showed multi-second I/O stalls on this host; fixtures are tiny
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>

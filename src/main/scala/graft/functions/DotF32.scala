@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen dot product over two ARRAY<FLOAT> columns, accumulating
+  * in double in index order (same IEEE-754 op sequence as the DuckDB
+  * oracle's list_transform/list_sum formulation — results are
+  * bit-identical).
+  *
+  * This replaces `aggregate(zip_with(...))`: higher-order functions
+  * interpret their lambda per element and break whole-stage codegen; this
+  * expression compiles to a tight primitive loop inside the generated
+  * stage (SURVEY.md §4 custom-work shortlist #2). Array elements must be
+  * non-null (the embeddings fixture guarantees it).
+  */
+case class DotF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_f32 requires two ARRAY<FLOAT> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotF32 {
+  /** Register `dot_f32` in the session's function registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("dot_f32")
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+        (exprs: Seq[Expression]) => DotF32(exprs.head, exprs(1)))
+    }
+  }
+}

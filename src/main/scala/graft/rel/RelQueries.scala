@@ -215,15 +215,21 @@ object RelQueries {
         val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
         t.orders
           .withColumn("rn", row_number().over(w))
+          .withColumn("drk", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
           .filter(col("rn") <= 3)
-          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .select(col("o_custkey"), col("rn"), col("drk"), col("quartile"),
+            col("o_orderkey"), col("o_totalprice"))
           .orderBy("o_custkey", "rn")
       },
       Some("""
-        SELECT o_custkey, rn, o_orderkey, o_totalprice
+        SELECT o_custkey, rn, drk, quartile, o_orderkey, o_totalprice
         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-              FROM orders)
+                     row_number() OVER w AS rn,
+                     dense_rank() OVER w AS drk,
+                     ntile(4) OVER w AS quartile
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
         WHERE rn <= 3
         ORDER BY o_custkey, rn
       """)),
@@ -379,13 +385,15 @@ object RelQueries {
           substring(col("p_name"), 1, 8).as("name_prefix"),
           length(col("p_name")).as("name_len"),
           concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
-          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
+          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+          levenshtein(col("p_brand"), col("p_type")).as("brand_type_dist"))
         .orderBy("p_partkey"),
       Some("""
         SELECT p_partkey, upper(p_brand) AS brand_uc, lower(p_type) AS type_lc,
                substr(p_name, 1, 8) AS name_prefix, length(p_name) AS name_len,
                concat_ws('|', p_brand, p_type) AS brand_type,
-               regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+               regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+               CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_dist
         FROM part
         WHERE p_name LIKE '%gold%' OR regexp_matches(p_type, '^STANDARD')
         ORDER BY p_partkey
@@ -404,6 +412,98 @@ object RelQueries {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
         ORDER BY event_id
+      """)),
+
+    // ---- keyed range join: views in the 24h before each purchase --------
+    // The user_id equality keeps this a shuffle equi-join; the range
+    // predicate filters within each key partition — no nested-loop join,
+    // which is what makes it viable at 100 TB.
+    Reg("range_join_views",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+        p.join(v, col("user_id") === col("v_user") &&
+            col("v_ts") < col("ts") && col("v_ts") >= col("ts") - expr("INTERVAL 24 HOURS"), "left")
+          .groupBy(col("event_id"))
+          .agg(count(col("v_id")).as("n_views_24h"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT user_id AS v_user, ts AS v_ts, event_id AS v_id FROM events WHERE event_type = 'view')
+        SELECT p.event_id, count(v.v_id) AS n_views_24h
+        FROM p LEFT JOIN v ON p.user_id = v.v_user
+                           AND v.v_ts < p.ts AND v.v_ts >= p.ts - INTERVAL 24 HOURS
+        GROUP BY p.event_id
+        ORDER BY p.event_id
+      """)),
+
+    // ---- exact percentiles (sort-based — no float-sum nondeterminism) ---
+    // stddev is integer-scaled: ×100 snap, same rationale as vwap_daily.
+    Reg("percentile_stats",
+      (s, dir) => Tables(s, dir).orders
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+          round(stddev_samp(col("o_totalprice")) * 100).cast("long").as("stddev_x100"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               CAST(round(stddev_samp(o_totalprice) * 100) AS BIGINT) AS stddev_x100,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- GROUPING SETS through the spark.sql entry point ----------------
+    Reg("grouping_sets_sql",
+      (s, dir) => {
+        Tables(s, dir).lineitem.createOrReplaceTempView("graft_lineitem")
+        s.sql("""
+          SELECT coalesce(l_returnflag, '(all)') AS rf,
+                 coalesce(l_linestatus, '(all)') AS ls,
+                 CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                 CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                 count(*) AS n
+          FROM graft_lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          ORDER BY rf, ls, g_rf, g_ls
+        """)
+      },
+      Some("""
+        SELECT coalesce(l_returnflag, '(all)') AS rf,
+               coalesce(l_linestatus, '(all)') AS ls,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY rf, ls, g_rf, g_ls
+      """)),
+
+    // ---- multiset ops: intersectAll preserves duplicate counts ----------
+    Reg("setops_multiset",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+        val a = li.filter(col("l_quantity") > 25).select(col("l_suppkey"))
+        val b = li.filter(col("l_extendedprice") > 50000).select(col("l_suppkey"))
+        a.intersectAll(b)
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+          .orderBy("l_suppkey")
+      },
+      Some("""
+        SELECT l_suppkey, count(*) AS n FROM (
+          SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+          INTERSECT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_extendedprice > 50000)
+        GROUP BY 1 ORDER BY 1
       """)),
 
     // ---- correlated scalar subquery: orders above customer average ------

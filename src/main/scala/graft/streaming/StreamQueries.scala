@@ -49,23 +49,31 @@ object StreamQueries {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Run a streaming aggregation to a memory sink and return the final
-    * table (complete mode: the last emitted result is the full answer). */
-  private def drainComplete(df: DataFrame): DataFrame = {
+  /** Run a streaming query to a memory sink and return the final table.
+    * State-store instance count = shuffle partitions at query start; per-
+    * partition commit overhead dominates a small finite drain, so the
+    * stream runs with 8 partitions and the session setting is restored
+    * after. (On a live cluster this knob is sized to the key cardinality.) */
+  private def drain(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name).outputMode("complete").start()
-    q.processAllAvailable()
-    q.stop()
-    df.sparkSession.table(name)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // fresh checkpoint per start: the memory sink cannot recover one
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation",
+          s"/dev/shm/graft-ckpt/${name}_${java.util.UUID.randomUUID().toString.take(8)}")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
-  private def drainAppend(df: DataFrame): DataFrame = {
-    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
-    df.sparkSession.table(name)
-  }
+  private def drainComplete(df: DataFrame): DataFrame = drain(df, "complete")
+
+  private def drainAppend(df: DataFrame): DataFrame = drain(df, "append")
 
   val all: Seq[Reg] = Seq(
 
@@ -101,6 +109,42 @@ object StreamQueries {
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
+      """)),
+
+    // ---- streaming session windows (30-min gap) per user ----------------
+    // session_window treats a gap of exactly the duration as a new session
+    // (half-open interval merge), hence `>=` in the oracle's gap test.
+    Reg("streaming_session_counts",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val sessions = readEventsStream(s, dir)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        drainComplete(sessions)
+          .select(col("user_id"),
+            date_format(col("session_window.start"), fmt).as("start_ts"),
+            date_format(col("session_window.end"), fmt).as("end_ts"),
+            col("n_events"))
+          .orderBy("user_id", "start_ts")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM e)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+               strftime(max(ts) + INTERVAL 30 MINUTES, '%Y-%m-%d %H:%M:%S') AS end_ts,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, start_ts
       """)),
 
     // ---- streaming dedup by key (event_id) in append mode ---------------

@@ -37,28 +37,40 @@ object TextOps {
   def explodedShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
 
-  /** MinHash signature: k 60-bit hashes, seeded by index (seed is part of
-    * the hashed string — portable, no engine RNG). One hash-aggregate. */
+  /** MinHash hash family: ONE md5 per shingle (the expensive, portable
+    * part), then k cheap affine rehashes h_i = (h·A_i + B_i) mod P over
+    * the 31-bit prime field — the standard universal-hashing family, fully
+    * deterministic and expressible in DuckDB SQL as well. */
+  val MinhashP: Long = 2147483647L
+  def minhashA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % MinhashP
+  def minhashB(i: Int): Long = (987654321L * (i + 1) + 555555L) % MinhashP
+
+  /** MinHash signature: k affine rehashes of one base hash, min-aggregated
+    * in a single hash-aggregate pass. */
   def minhashSignature(sh: DataFrame, k: Int): DataFrame = {
+    val base = sh.withColumn("hm", hash60(col("shingle")) % MinhashP)
     val mins = (0 until k).map(i =>
-      min(hash60(concat(lit(s"mh$i|"), col("shingle")))).as(s"h$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      min((col("hm") * minhashA(i) + minhashB(i)) % MinhashP).as(s"h$i"))
+    base.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH band keys from a signature: `bands` bands of `rows` hashes each;
-    * key = md5 over the band's hash values. Output (doc_id, band_key). */
+  /** LSH bands of `rows` signature values each: (doc_id, band, k1..kr) —
+    * the band key is the raw value tuple, no re-hashing needed. */
   def lshBands(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val keys = (0 until bands).map { b =>
-      md5(concat_ws("_", lit(b.toString) +: (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band") +: (0 until rows).map(r =>
+        col(s"h${b * rows + r}").as(s"k$r")): _*)
     }
-    sig.select(col("doc_id"), explode(array(keys: _*)).as("band_key"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id") +: (Seq("band") ++ (0 until rows).map(r => s"k$r")).map(f => col(s"bk.$f")): _*)
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band. */
-  def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val l = bandsDf.select(col("doc_id").as("doc_a"), col("band_key"))
-    val r = bandsDf.select(col("doc_id").as("doc_b"), col("band_key"))
-    l.join(r, "band_key")
+  def lshCandidates(bandsDf: DataFrame, rows: Int): DataFrame = {
+    val keys = Seq("band") ++ (0 until rows).map(r => s"k$r")
+    val l = bandsDf.withColumnRenamed("doc_id", "doc_a")
+    val r = bandsDf.withColumnRenamed("doc_id", "doc_b")
+    l.join(r, keys)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
@@ -81,11 +93,13 @@ object TextOps {
   /** Near-duplicate pairs: MinHash → LSH banding → exact Jaccard filter.
     * k = bands·rowsPerBand hashes. At 100 TB the band join is the only
     * shuffle that touches all docs, and its fan-out is bounded by bucket
-    * collision rates, not the quadratic pair count. */
+    * collision rates, not the quadratic pair count. The signature (one
+    * small row per doc) is cached so the band self-join doesn't recompute
+    * the shingle→md5 pipeline once per side. */
   def nearDupPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
                    minJaccard: Double): DataFrame = {
-    val sig = minhashSignature(explodedShingles(docs, n), bands * rowsPerBand)
-    val cand = lshCandidates(lshBands(sig, bands, rowsPerBand))
+    val sig = minhashSignature(explodedShingles(docs, n), bands * rowsPerBand).cache()
+    val cand = lshCandidates(lshBands(sig, bands, rowsPerBand), rowsPerBand)
     exactJaccard(cand, docs, n).filter(col("jaccard") >= minJaccard)
   }
 

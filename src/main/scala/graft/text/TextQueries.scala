@@ -177,6 +177,39 @@ object TextQueries {
         ORDER BY d.doc_id
       """)),
 
+    // ---- TF-IDF top terms per language ----------------------------------
+    // Output is all-integer (lang, rank, token, tf, df): the tf·ln(N/df)
+    // ranking can only tie when (tf, df) pairs are equal — then the score
+    // is the identical double on both engines and the token tie-break
+    // decides — so cross-engine libm ulp differences cannot flip ranks.
+    Reg("tfidf_top_terms",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val tok = docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+        val tf = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("w")).agg(countDistinct(col("lang")).as("df"))
+        val nLang = 5.0
+        val wRank = Window.partitionBy(col("lang"))
+          .orderBy((col("tf") * log(lit(nLang) / col("df"))).desc, col("w"))
+        tf.join(df, "w")
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("w").as("token"), col("tf"), col("df"))
+          .orderBy("lang", "rank")
+      },
+      Some("""
+        WITH tok AS (SELECT lang, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+        tf AS (SELECT lang, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT w, count(DISTINCT lang) AS df FROM tf GROUP BY 1),
+        r AS (SELECT tf.lang, tf.w, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.lang
+                       ORDER BY tf.tf * ln(5.0 / df.df) DESC, tf.w) AS rank
+              FROM tf JOIN df USING (w))
+        SELECT lang, rank, w AS token, tf, df
+        FROM r WHERE rank <= 5
+        ORDER BY lang, rank
+      """)),
+
     // ---- rolling-hash document fingerprint (winnowing-style min/max) ----
     Reg("doc_fingerprint",
       (s, dir) => TextOps.explodedShingles(Tables(s, dir).documents, 3)

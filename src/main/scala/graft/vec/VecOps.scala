@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object VecOps {
 
-  /** Index-ordered double-precision dot product of two float arrays. */
+  /** Index-ordered double-precision dot product of two float arrays.
+    * Interpreted HOF fallback for arbitrary columns; the hot paths use the
+    * codegen [[graft.functions.DotF32]] expression instead. */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -28,10 +30,11 @@ object VecOps {
 
   /** All-pairs scores (qid ≠ nid). Quadratic — baseline only. */
   def bruteForceScores(emb: DataFrame): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
     val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val n = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
     q.crossJoin(n).filter(col("qid") =!= col("nid"))
-      .withColumn("score", dot(col("qe"), col("ne")))
+      .withColumn("score", expr("dot_f32(qe, ne)"))
       .select("qid", "nid", "score")
   }
 
@@ -65,11 +68,12 @@ object VecOps {
 
   /** ANN top-k: candidates restricted to the query's own LSH bucket. */
   def annLshTopK(emb: DataFrame, planes: Int, k: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
     val b = lshBucket(emb, planes)
     val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
     val n = b.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
     val scores = q.join(n, "bucket").filter(col("qid") =!= col("nid"))
-      .withColumn("score", dot(col("qe"), col("ne")))
+      .withColumn("score", expr("dot_f32(qe, ne)"))
       .select("qid", "nid", "score")
     topK(scores, k)
   }

@@ -60,6 +60,26 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
+    // ---- embedding-cosine near-duplicate pairs --------------------------
+    // Threshold 0.45 sits in the measured score distribution's sparse tail
+    // (~1e-14 cross-engine divergence vs a macroscopic distance to any
+    // pair's actual score — no boundary flips).
+    Reg("cosine_neardup_pairs",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        VecOps.bruteForceScores(emb)
+          .filter(col("qid") < col("nid") && col("score") >= 0.45)
+          .select(col("qid").as("vec_a"), col("nid").as("vec_b"),
+            round(col("score"), 4).as("score"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($duckDot, 4) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE $duckDot >= 0.45
+        ORDER BY vec_a, vec_b
+      """)),
+
     // ---- 1-NN label agreement per label (integer outputs) ---------------
     Reg("knn_label_purity",
       (s, dir) => {
