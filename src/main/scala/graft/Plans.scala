@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump formatted physical plans for representative queries — the
+  * plan-review loop: check pushed filters, pruned schemas, broadcast vs
+  * shuffle joins, and whole-stage codegen coverage before trusting a
+  * query at scale. Usage: runMain graft.Plans [sfDir] [name ...] */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "time_range_scan", "q5_region_revenue", "candles_1h", "topk_parts",
+      "asof_purchase_click", "neardup_minhash_lsh", "cosine_topk_brute",
+      "range_join_views")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

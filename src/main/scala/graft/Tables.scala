@@ -26,6 +26,27 @@ final case class Tables(spark: SparkSession, dir: String) {
     t(name).withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
   }
 
+  /** The tsdb core read path: time-range scan over events with the range
+    * predicate applied to the RAW nanos column, BEFORE the µs conversion —
+    * a filter on the converted column is opaque to parquet pushdown
+    * (PushedFilters shows only IsNotNull), while this formulation reaches
+    * the row-group stats. `from`/`until` are "yyyy-MM-dd[ HH:mm:ss]" UTC,
+    * half-open. */
+  def eventsRange(from: String, until: String): DataFrame = {
+    def nanos(s: String): Long = {
+      val norm = if (s.length == 10) s + " 00:00:00" else s
+      java.time.LocalDateTime
+        .parse(norm.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli * 1000000L
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, expr}
+    t("events")
+      .filter(col("ts") >= nanos(from) && col("ts") < nanos(until))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")

@@ -330,13 +330,34 @@ object RelQueries {
         FROM orders
       """)),
 
-    // ---- approx distinct (HLL) — engines differ, so rows-only check -----
+    // ---- approx sketches (HLL + t-digest-style percentile) — engine-
+    // specific estimates, so rows-only check (no oracle)
     Reg("approx_distinct_users",
       (s, dir) => Tables(s, dir).events
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          expr("approx_percentile(value, 0.5, 1000)").as("approx_median_value"))
         .orderBy("event_type"),
       None),
+
+    // ---- date/time function surface: ship-delay histogram ---------------
+    Reg("date_functions",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("delay_days",
+            datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+          .groupBy(col("delay_days"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy("delay_days")
+      },
+      Some("""
+        SELECT date_diff('day', o_orderdate, l_shipdate) AS delay_days,
+               count(*) AS n, count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1
+      """)),
 
     // ---- JSON column: extract + aggregate -------------------------------
     Reg("json_props_agg",
@@ -400,10 +421,10 @@ object RelQueries {
       """)),
 
     // ---- the tsdb core read path: time-range scan + projection ----------
+    // eventsRange pushes the bounds to the parquet scan as raw-nanos
+    // comparisons (row-group skipping); see Tables.eventsRange.
     Reg("time_range_scan",
-      (s, dir) => Tables(s, dir).events
-        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
-          col("ts") < lit("2024-01-11").cast("timestamp"))
+      (s, dir) => Tables(s, dir).eventsRange("2024-01-10", "2024-01-11")
         .select(col("event_id"), date_format(col("ts"), fmt).as("ts"),
           col("event_type"), col("user_id"), col("value"))
         .orderBy("event_id"),

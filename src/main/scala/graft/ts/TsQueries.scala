@@ -37,6 +37,33 @@ object TsQueries {
         ORDER BY 1, 2
       """)),
 
+    // ---- same candles through the one-pass typed Aggregator (§2.10) -----
+    Reg("candles_1h_typed",
+      (s, dir) => {
+        val candleUdaf = udaf(CandleAggregator)
+        Tables(s, dir).events
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+          .agg(candleUdaf(unix_micros(col("ts")), col("value")).as("c"))
+          .select(date_format(col("bucket"), fmt).as("bucket"), col("event_type"),
+            col("c.open").as("open"), col("c.high").as("high"),
+            col("c.low").as("low"), col("c.close").as("close"),
+            round(col("c.volume"), 4).as("volume"), col("c.trades").as("trades"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
     // ---- sub-hour fixed-width buckets (date_trunc can't do 15 min) ------
     Reg("candles_15m",
       (s, dir) => TimeSeries.candlesFixed(Tables(s, dir).events, 900)
