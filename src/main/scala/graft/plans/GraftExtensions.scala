@@ -1,0 +1,77 @@
+package graft.plans
+
+import graft.functions.DotF32
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Cast, Expression, ExpressionInfo, LambdaFunction, Literal, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Multiply}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Session extensions (SURVEY.md §4): injects the `dot_f32` function and
+  * an optimizer rule that rewrites the portable higher-order-function dot
+  * product — aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (s,x) -> s+x) —
+  * into the codegen [[DotF32]] expression. Users keep writing the
+  * engine-portable HOF form; the plan runs the tight primitive loop
+  * (HOFs interpret their lambda per element and block whole-stage
+  * codegen).
+  *
+  * Wire up with:
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions) … or
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+      (exprs: Seq[Expression]) => DotF32(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
+}
+
+/** aggregate(zip_with(a, b, (x,y) -> X*Y), 0.0, (s,x) -> s+x) → DotF32(a,b)
+  * when a and b are ARRAY<FLOAT> and the multiply operands are the lambda
+  * variables (bare or double-cast). The rewrite preserves semantics
+  * exactly: DotF32 folds in index order with a double accumulator, which
+  * is what the HOF form computes. */
+object RewriteHofDotProduct extends Rule[LogicalPlan] {
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case nv: NamedLambdaVariable => nv.exprId == v.exprId
+    case Cast(nv: NamedLambdaVariable, DoubleType, _, _) => nv.exprId == v.exprId
+    case _ => false
+  }
+
+  private def isZero(e: Expression): Boolean = e match {
+    case Literal(0.0, DoubleType) => true
+    case Cast(Literal(_, _), DoubleType, _, _) => e.eval() == 0.0
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(Multiply(mx, my, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          zero,
+          LambdaFunction(Add(sx, sy, _), Seq(s: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          finish)
+        if isFloatArray(a) && isFloatArray(b) && isZero(zero) &&
+          ((isVar(mx, x) && isVar(my, y)) || (isVar(mx, y) && isVar(my, x))) &&
+          ((isVar(sx, s) && isVar(sy, v)) || (isVar(sx, v) && isVar(sy, s))) &&
+          isIdentityFinish(finish) =>
+      DotF32(a, b)
+  }
+
+  private def isIdentityFinish(finish: Expression): Boolean = finish match {
+    case LambdaFunction(body: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      body.exprId == arg.exprId
+    case _ => false
+  }
+}
