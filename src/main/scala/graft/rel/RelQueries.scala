@@ -509,7 +509,7 @@ object RelQueries {
         ORDER BY rf, ls, g_rf, g_ls
       """)),
 
-    // ---- multiset ops: intersectAll preserves duplicate counts ----------
+    // ---- multiset ops: intersectAll/exceptAll preserve dup counts -------
     Reg("setops_multiset",
       (s, dir) => {
         val li = Tables(s, dir).lineitem
@@ -517,14 +517,27 @@ object RelQueries {
         val b = li.filter(col("l_extendedprice") > 50000).select(col("l_suppkey"))
         a.intersectAll(b)
           .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
-          .orderBy("l_suppkey")
+          .withColumn("op", lit("intersect_all"))
+          .unionByName(
+            a.exceptAll(b)
+              .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+              .withColumn("op", lit("except_all")))
+          .orderBy("op", "l_suppkey")
       },
       Some("""
-        SELECT l_suppkey, count(*) AS n FROM (
-          SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
-          INTERSECT ALL
-          SELECT l_suppkey FROM lineitem WHERE l_extendedprice > 50000)
-        GROUP BY 1 ORDER BY 1
+        SELECT * FROM (
+          SELECT l_suppkey, count(*) AS n, 'intersect_all' AS op FROM (
+            SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+            INTERSECT ALL
+            SELECT l_suppkey FROM lineitem WHERE l_extendedprice > 50000)
+          GROUP BY 1
+          UNION ALL
+          SELECT l_suppkey, count(*) AS n, 'except_all' AS op FROM (
+            SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+            EXCEPT ALL
+            SELECT l_suppkey FROM lineitem WHERE l_extendedprice > 50000)
+          GROUP BY 1)
+        ORDER BY op, l_suppkey
       """)),
 
     // ---- correlated scalar subquery: orders above customer average ------
