@@ -92,6 +92,8 @@ object TextQueries {
         Tables(s, dir).documents.select(
           col("doc_id"),
           size(t).as("n_tokens"),
+          // BPE-ish segmentation: letter runs vs non-letter/non-space runs
+          size(expr("regexp_extract_all(text, '[a-z]+|[^a-z\\\\s]+', 0)")).as("n_tokens_bpe"),
           size(array_distinct(t)).as("n_distinct"),
           round(size(array_distinct(t)).cast("double") / size(t), 4).as("ttr"),
           round(expr("aggregate(transform(split(trim(text), ' '), x -> length(x)), 0, (s, x) -> s + x)")
@@ -99,8 +101,9 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some("""
-        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+        WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents)
         SELECT doc_id, len(ws) AS n_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[^a-z\s]+', 0)) AS n_tokens_bpe,
                len(list_distinct(ws)) AS n_distinct,
                round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS ttr,
                round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws), 4) AS avg_token_len
