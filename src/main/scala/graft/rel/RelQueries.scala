@@ -244,8 +244,10 @@ object RelQueries {
         val w = Window.orderBy(col("day"))
         daily
           .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+          .withColumn("next_rev", lead(col("rev"), 1).over(w))
           .select(date_format(col("day"), fmt).as("day"), col("rev"),
-            coalesce(round(col("rev") - col("prev_rev"), 4), lit(0.0)).as("delta"))
+            coalesce(round(col("rev") - col("prev_rev"), 4), lit(0.0)).as("delta"),
+            coalesce(round(col("next_rev") - col("rev"), 4), lit(0.0)).as("next_delta"))
           .orderBy("day")
       },
       Some("""
@@ -253,7 +255,8 @@ object RelQueries {
           SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 4) AS rev
           FROM orders GROUP BY 1)
         SELECT strftime(day, '%Y-%m-%d %H:%M:%S') AS day, rev,
-               coalesce(round(rev - lag(rev, 1) OVER (ORDER BY day), 4), 0.0) AS delta
+               coalesce(round(rev - lag(rev, 1) OVER (ORDER BY day), 4), 0.0) AS delta,
+               coalesce(round(lead(rev, 1) OVER (ORDER BY day) - rev, 4), 0.0) AS next_delta
         FROM daily
         ORDER BY day
       """)),
