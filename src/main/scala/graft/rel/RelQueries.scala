@@ -543,6 +543,38 @@ object RelQueries {
         ORDER BY op, l_suppkey
       """)),
 
+    // ---- aggregation over a DIRECTORY-PARTITIONED dataset ---------------
+    // The 100 TB layout in the graded path: events written once per
+    // session partitioned by event_type; the filter prunes partitions at
+    // planning time (PartitionFilters, cf. SinksSpec) before aggregating.
+    // Results are layout-independent, so the oracle reads the flat table.
+    Reg("partitioned_scan_agg",
+      (s, dir) => {
+        val path = s"/dev/shm/graft-part/${Integer.toHexString(dir.hashCode)}/events"
+        if (!new java.io.File(path).exists())
+          graft.sources.Sinks.writePartitioned(Tables(s, dir).events, path, Seq("event_type"))
+        s.read.parquet(path)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- months_between / add_months (no DuckDB twin — rows-only) -------
+    Reg("month_arithmetic",
+      (s, dir) => Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          months_between(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("months_since_epoch"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_quarter"))
+        .orderBy("o_orderkey"),
+      None),
+
     // ---- correlated scalar subquery: orders above customer average ------
     Reg("subquery_above_avg",
       (s, dir) => {
