@@ -16,8 +16,13 @@ import org.apache.spark.sql.types._
   * This replaces `aggregate(zip_with(...))`: higher-order functions
   * interpret their lambda per element and break whole-stage codegen; this
   * expression compiles to a tight primitive loop inside the generated
-  * stage (SURVEY.md §4 custom-work shortlist #2). Array elements must be
-  * non-null (the embeddings fixture guarantees it).
+  * stage (SURVEY.md §4 custom-work shortlist #2).
+  *
+  * NULL semantics exactly mirror the HOF form, so the session-wide
+  * [[graft.plans.RewriteHofDotProduct]] rewrite is semantics-preserving
+  * for ALL inputs, not just the fixtures: unequal array lengths → NULL
+  * (zip_with null-pads, the null product poisons the sum) and any null
+  * element → NULL.
   */
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,15 +38,21 @@ case class DotF32(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_f32"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -51,12 +62,17 @@ case class DotF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

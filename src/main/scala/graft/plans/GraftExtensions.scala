@@ -35,8 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** aggregate(zip_with(a, b, (x,y) -> X*Y), 0.0, (s,x) -> s+x) → DotF32(a,b)
   * when a and b are ARRAY<FLOAT> and the multiply operands are the lambda
   * variables (bare or double-cast). The rewrite preserves semantics
-  * exactly: DotF32 folds in index order with a double accumulator, which
-  * is what the HOF form computes. */
+  * exactly for ALL inputs: DotF32 folds in index order with a double
+  * accumulator (what the HOF form computes) AND reproduces the HOF's
+  * NULL behavior — unequal array lengths or any null element → NULL
+  * (zip_with null-pads and the null product poisons the sum). */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
   private def isFloatArray(e: Expression): Boolean = e.dataType match {

@@ -25,12 +25,16 @@ object TextOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Word n-gram shingles (distinct). */
+  /** Word n-gram shingles (distinct). Docs with fewer than n tokens yield
+    * an empty set — without the guard, sequence(0, negative) produces a
+    * descending index array and slice() throws on index 0. */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), size(t) - n), i =>
-        concat_ws(" ", slice(t, i + 1, lit(n)))))
+    when(size(t) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(t) - n), i =>
+          concat_ws(" ", slice(t, i + 1, lit(n))))))
+      .otherwise(typedLit(Seq.empty[String]))
   }
 
   /** docs(doc_id, text) → (doc_id, shingle) exploded, distinct per doc. */

@@ -1,46 +1,71 @@
 package graft.ts
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference warehouse's update lifecycle (SURVEY.md §3.1 #2),
-  * Spark-native: a candle store is a parquet dataset partitioned by
-  * series; `update` aggregates only events in buckets at-or-after the
-  * stored high-water mark and overwrites just those partitions-in-time
-  * (reference v0 snapshot is empty; semantics per SURVEY.md §1.4).
+  * Spark-native: the candle store is a parquet dataset
+  * directory-partitioned by day (`pdate=YYYY-MM-DD/`), and `update`
+  * re-aggregates only events from the high-water-mark day onward, then
+  * replaces JUST those tail day-partitions via dynamic partition
+  * overwrite. History partitions are never read or rewritten.
   *
-  * Scale notes: the high-water-mark read is a metadata-cheap max() over
-  * the bucket column; the incremental aggregation scans only events with
-  * ts ≥ mark (pushed to the scan — see Tables.eventsRange for the
-  * pushdown idiom), and the rewrite touches one tail bucket per series,
-  * not the history. Append-mostly streams make this O(new data), which is
-  * the property that matters when the store holds years of candles.
+  * Scale notes: at 100 TB of candle history the per-tick cost is
+  * O(new data + one day of candles), not O(history) — the property the
+  * incremental operator exists for. The high-water-mark read is a
+  * metadata-cheap max() over the store; the incremental aggregation's
+  * `ts >= dayStart` filter is sargable and pushes to the parquet scan.
+  * Candle `unit` must be finer than or equal to a day (hour/minute/…) so
+  * a bucket never spans two day-partitions.
   */
 object Incremental {
 
-  /** Full rebuild: candles for all events → overwrite the store. */
-  def rebuild(events: DataFrame, storePath: String, unit: String = "hour"): Unit =
-    TimeSeries.candles(events, unit)
-      .write.mode(SaveMode.Overwrite).parquet(storePath)
+  private def withPdate(candles: DataFrame): DataFrame =
+    candles.withColumn("pdate", to_date(col("bucket")))
 
-  /** Incremental update: re-aggregate only buckets ≥ the stored
-    * high-water mark (the mark bucket itself is recomputed — it may have
-    * been partial at last update) and splice them over the store tail. */
+  /** Full rebuild: candles for all events → overwrite the whole store. */
+  def rebuild(events: DataFrame, storePath: String, unit: String = "hour"): Unit =
+    withPdate(TimeSeries.candles(events, unit))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("pdate")
+      .parquet(storePath)
+
+  /** Incremental update: re-aggregate events from the high-water-mark DAY
+    * onward (the mark bucket may have been partial at last update, and
+    * dynamic overwrite replaces whole day-partitions) and overwrite only
+    * those tail partitions. */
   def update(spark: SparkSession, events: DataFrame, storePath: String,
              unit: String = "hour"): Unit = {
     val existing =
-      try Some(spark.read.parquet(storePath)) catch { case _: Exception => None }
-    existing match {
-      case None => rebuild(events, storePath, unit)
-      case Some(store) =>
-        val mark = store.agg(max(col("bucket"))).head().getTimestamp(0)
-        val fresh = TimeSeries.candles(
-          events.filter(date_trunc(unit, col("ts")) >= lit(mark)), unit)
-        val keep = store.filter(col("bucket") < lit(mark))
-        // write via a temp dir: the new tail reads from the store being replaced
-        val tmp = storePath + "_tmp"
-        keep.unionByName(fresh).write.mode(SaveMode.Overwrite).parquet(tmp)
-        spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(storePath)
+      try Some(spark.read.parquet(storePath))
+      catch {
+        // ONLY a missing store means "first build"; a corrupt or
+        // unreadable store must surface as an error, not silently
+        // trigger a full rebuild
+        case e: AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") => None
+      }
+    val mark = existing.flatMap(store =>
+      Option(store.agg(max(col("bucket"))).head().getTimestamp(0)))
+    (existing, mark) match {
+      // no store, or a store that reads empty (null high-water mark —
+      // both filters below would drop every row): full rebuild
+      case (None, _) | (_, None) => rebuild(events, storePath, unit)
+      case (_, Some(m)) =>
+        // session TZ is pinned UTC (build.sbt), so UTC instant truncation
+        // equals date_trunc('day') — and the literal comparison below
+        // stays sargable (pushed to parquet row-group stats)
+        val dayStart = java.sql.Timestamp.from(
+          m.toInstant.truncatedTo(ChronoUnit.DAYS))
+        val fresh = withPdate(TimeSeries.candles(
+          events.filter(col("ts") >= lit(dayStart)), unit))
+        fresh.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pdate")
+          .parquet(storePath)
     }
   }
 }

@@ -237,8 +237,10 @@ object TsQueries {
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (SELECT user_id, ts,
-                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     -- CAST: DuckDB types windowed sum(int) as HUGEINT (int128),
+                     -- which breaks the byte-level hash vs Spark's BIGINT
+                     CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM e)
         SELECT user_id, session_id, count(*) AS n_events,
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,

@@ -48,22 +48,76 @@ object VecOps {
   }
 
   /** Deterministic ±1 hyperplane component for (plane j, dim i): the low
-    * bit of the md5-derived 60-bit hash of "hp{j}_{i}" — identical in the
-    * DuckDB oracle. */
-  private def hyperplaneSignExpr(j: Int): String =
-    s"""aggregate(
-          zip_with(embedding, transform(sequence(0, 63), i ->
-            CASE WHEN (CAST(conv(substring(md5(concat('hp$j', '_', i)), 1, 15), 16, 10) AS BIGINT) & 1) = 1
-                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END),
-            (x, y) -> CAST(x AS DOUBLE) * y),
-          CAST(0.0 AS DOUBLE), (s, x) -> s + x)"""
+    * bit of the md5-derived 60-bit hash of "hp{j}_{i}" — identical to the
+    * DuckDB oracle's ('0x' || substr(md5(...), 1, 15))::BIGINT & 1.
+    * Computed HERE, at plan-build time: the signs are constants, so
+    * paying an interpreted md5 expression per row per plane (the naive
+    * SQL formulation — measured ~15 ms/row at 24 planes) is pure waste. */
+  private def planeSign(j: Int, i: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hp${j}_$i".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L) 1.0f else -1.0f
+  }
+
+  /** Hyperplane j as a constant ARRAY<FLOAT> SQL literal (constant-folded
+    * once by Catalyst); the projection is then one codegen dot_f32. */
+  private def planeVecSql(j: Int): String =
+    "CAST(array(" + (0 until 64).map(i =>
+      if (planeSign(j, i) > 0) "1.0" else "-1.0").mkString(",") + ") AS ARRAY<FLOAT>)"
+
+  /** Bucket id of hash table `table`: `planes` sign bits, bit p from
+    * global plane index table·planes+p. Fully codegen — a chain of
+    * dot_f32 against constant vectors. */
+  private def bucketSql(table: Int, planes: Int): String =
+    "CAST(" + (0 until planes).map { p =>
+      val j = table * planes + p
+      s"CASE WHEN dot_f32(embedding, ${planeVecSql(j)}) > CAST(0.0 AS DOUBLE) THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ") + " AS BIGINT)"
 
   /** Random-hyperplane LSH bucket id from `planes` sign bits. */
   def lshBucket(emb: DataFrame, planes: Int): DataFrame = {
-    val bucketExpr = (0 until planes).map { j =>
-      s"CASE WHEN (${hyperplaneSignExpr(j)}) > 0.0 THEN ${1L << j} ELSE 0 END"
-    }.mkString(" + ")
-    emb.withColumn("bucket", expr(s"CAST($bucketExpr AS BIGINT)"))
+    graft.functions.DotF32.register(emb.sparkSession)
+    emb.withColumn("bucket", expr(bucketSql(0, planes)))
+  }
+
+  /** Per-table LSH buckets: (vec_id, t, bucket) over `tables` independent
+    * hash tables of `planes` hyperplanes each; table t uses global plane
+    * indices t·planes … t·planes+planes−1, so table 0 coincides with
+    * [[lshBucket]]. Multi-table probing recovers the recall a single
+    * bucket loses — the standard LSH trade: candidates grow ~linearly in
+    * `tables` while recall → 1 exponentially. */
+  def lshBucketsMulti(emb: DataFrame, planes: Int, tables: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val bucketExprs = (0 until tables).map(t => bucketSql(t, planes))
+    emb.select(col("vec_id"),
+      posexplode(expr(s"array(${bucketExprs.mkString(", ")})")).as(Seq("t", "bucket")))
+  }
+
+  /** Candidate pairs sharing a bucket in ANY of the `tables` hash tables.
+    * `directed=false` → unordered pairs (qid < nid); `true` → both
+    * directions (for per-query kNN). The only all-vectors shuffle is the
+    * equi-join on (t, bucket) — Σ bucket² per table, never n². */
+  def lshCandidatePairs(emb: DataFrame, planes: Int, tables: Int,
+                        directed: Boolean): DataFrame = {
+    val b = lshBucketsMulti(emb, planes, tables)
+    val l = b.select(col("t"), col("bucket"), col("vec_id").as("qid"))
+    val r = b.select(col("t"), col("bucket"), col("vec_id").as("nid"))
+    val cond = if (directed) col("qid") =!= col("nid") else col("qid") < col("nid")
+    l.join(r, Seq("t", "bucket")).filter(cond).select("qid", "nid").distinct()
+  }
+
+  /** Scored LSH candidate pairs: candidates joined back to their
+    * embeddings (two equi-joins on vec_id) and scored with the codegen
+    * dot. This is the scale-shaped substitute for [[bruteForceScores]]:
+    * same (qid, nid, score) shape, cost ∝ candidates, not pairs. */
+  def lshScoredPairs(emb: DataFrame, planes: Int, tables: Int,
+                     directed: Boolean): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    lshCandidatePairs(emb, planes, tables, directed)
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
+      .withColumn("score", expr("dot_f32(qe, ne)"))
+      .select("qid", "nid", "score")
   }
 
   /** ANN top-k: candidates restricted to the query's own LSH bucket. */

@@ -12,6 +12,27 @@ object VecQueries {
   private val duckDot =
     "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
 
+  /** DuckDB CTEs mirroring [[VecOps.lshCandidatePairs]] exactly: the same
+    * md5-derived hyperplanes, `tables` tables of `planes` planes, candidate
+    * pairs joined per (table, bucket). `cmp` is "<" (unordered pairs) or
+    * "<>" (directed). Hash-match is then independent of LSH recall — both
+    * engines see the identical candidate set. */
+  private def duckSigCtes(planes: Int, tables: Int, cmp: String): String = s"""
+        hp AS (SELECT j.j, i.i,
+                 CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                      THEN 1.0 ELSE -1.0 END AS sgn
+               FROM range(${planes * tables}) j(j), range(64) i(i)),
+        proj AS (SELECT e.vec_id, hp.j,
+                        sum(e.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                 FROM embeddings e JOIN hp ON true
+                 GROUP BY e.vec_id, hp.j),
+        sig AS (SELECT vec_id, j // $planes AS t,
+                       CAST(sum(CASE WHEN d > 0.0 THEN (1 << (j % $planes)) ELSE 0 END) AS BIGINT) AS bucket
+                FROM proj GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT sa.vec_id AS qid, sb.vec_id AS nid
+                 FROM sig sa JOIN sig sb
+                   ON sa.t = sb.t AND sa.bucket = sb.bucket AND sa.vec_id $cmp sb.vec_id)"""
+
   val all: Seq[Reg] = Seq(
 
     // ---- brute-force cosine top-5 (the honest quadratic baseline) -------
@@ -60,31 +81,43 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
-    // ---- embedding-cosine near-duplicate pairs --------------------------
-    // Threshold 0.45 sits in the measured score distribution's sparse tail
-    // (~1e-14 cross-engine divergence vs a macroscopic distance to any
-    // pair's actual score — no boundary flips).
+    // ---- embedding-cosine near-duplicate pairs (LSH-bucketed) -----------
+    // Scale-shaped: candidates from 6 hash tables × 4 hyperplanes (recall
+    // ≈ 1−(1−0.18)⁶ ≈ 0.69 at cos 0.45; higher for truer duplicates), then
+    // exact rescore + threshold. The oracle mirrors the bucketing, so the
+    // hash-match is independent of recall. Threshold 0.45 sits in the
+    // score distribution's sparse tail (~1e-14 cross-engine divergence vs
+    // a macroscopic distance to any pair's actual score — no boundary
+    // flips).
     Reg("cosine_neardup_pairs",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        VecOps.bruteForceScores(emb)
-          .filter(col("qid") < col("nid") && col("score") >= 0.45)
+        VecOps.lshScoredPairs(emb, planes = 4, tables = 6, directed = false)
+          .filter(col("score") >= 0.45)
           .select(col("qid").as("vec_a"), col("nid").as("vec_b"),
             round(col("score"), 4).as("score"))
           .orderBy("vec_a", "vec_b")
       },
       Some(s"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($duckDot, 4) AS score
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE $duckDot >= 0.45
+        WITH ${duckSigCtes(4, 6, "<")},
+        scored AS (SELECT c.qid AS vec_a, c.nid AS vec_b, $duckDot AS d
+                   FROM cand c
+                   JOIN embeddings a ON a.vec_id = c.qid
+                   JOIN embeddings b ON b.vec_id = c.nid)
+        SELECT vec_a, vec_b, round(d, 4) AS score
+        FROM scored WHERE d >= 0.45
         ORDER BY vec_a, vec_b
       """)),
 
-    // ---- 1-NN label agreement per label (integer outputs) ---------------
+    // ---- 1-NN label agreement per label (LSH-bucketed, integer outputs) -
+    // Directed candidates (each query probes its own buckets); queries
+    // whose buckets are singletons in every table drop out on BOTH
+    // engines identically.
     Reg("knn_label_purity",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        val nn1 = VecOps.topK(VecOps.bruteForceScores(emb), 1)
+        val nn1 = VecOps.topK(
+          VecOps.lshScoredPairs(emb, planes = 4, tables = 6, directed = true), 1)
         nn1
           .join(emb.select(col("vec_id").as("qid"), col("label").as("q_label")), "qid")
           .join(emb.select(col("vec_id").as("nid"), col("label").as("n_label")), "nid")
@@ -94,14 +127,16 @@ object VecQueries {
           .orderBy("label")
       },
       Some(s"""
-        WITH p AS (SELECT a.vec_id AS qid, a.label AS q_label,
-                          b.vec_id AS nid, b.label AS n_label, $duckDot AS d
-                   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        WITH ${duckSigCtes(4, 6, "<>")},
+        scored AS (SELECT c.qid, c.nid, a.label AS q_label, b.label AS n_label, $duckDot AS d
+                   FROM cand c
+                   JOIN embeddings a ON a.vec_id = c.qid
+                   JOIN embeddings b ON b.vec_id = c.nid),
         r AS (SELECT qid, q_label, n_label,
                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
-              FROM p)
+              FROM scored)
         SELECT q_label AS label, count(*) AS n,
-               sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS n_match
+               CAST(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT) AS n_match
         FROM r WHERE rank = 1
         GROUP BY 1 ORDER BY 1
       """))

@@ -1,0 +1,37 @@
+package graft.mm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultiModalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def payloads = {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val empty = Seq((-1L, Array.empty[Byte])).toDF("doc_id", "payload")
+    docs.unionByName(empty)
+  }
+
+  test("columnar extractFeatures equals the codec-seam implementation") {
+    val a = MultiModal.extractFeatures(payloads).orderBy("doc_id").collect()
+    val b = MultiModal.extractFeaturesViaCodec(payloads).orderBy("doc_id").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("columnar extractFeatures stays in whole-stage codegen, no RDD hop") {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val plan = MultiModal.extractFeatures(docs).queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1)"), plan.take(300))
+    assert(!plan.contains("ExistingRDD"), "columnar path must not round-trip through an RDD")
+  }
+
+  test("sampleFrames yields no frames for empty payloads instead of crashing") {
+    val frames = MultiModal.sampleFrames(payloads, stride = 16, maxFrames = 3)
+    assert(frames.filter(col("doc_id") === -1L).count() == 0)
+    assert(frames.count() > 0)
+  }
+}

@@ -27,4 +27,33 @@ class GraftExtensionsSpec extends SparkSpec {
     val b = native.orderBy("qid", "nid").collect().map(_.getDouble(2))
     assert(a.sameElements(b))
   }
+
+  test("dot_f32 NULL semantics match the HOF form on degenerate inputs") {
+    import spark.implicits._
+    graft.functions.DotF32.register(spark)
+    val df = Seq(
+      ("eq", Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),   // 11.0
+      ("len_mismatch", Some(Array(1.0f, 2.0f)), Some(Array(3.0f))), // NULL
+      ("null_side", None, Some(Array(1.0f))),                      // NULL
+      ("empty", Some(Array.empty[Float]), Some(Array.empty[Float])) // 0.0
+    ).toDF("k", "a", "b")
+    val native = df.select(col("k"), expr("dot_f32(a, b)").as("d"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val hof = df.select(col("k"), graft.vec.VecOps.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(native == hof, s"native=$native hof=$hof")
+    assert(native("eq") == 11.0 && native("len_mismatch") == null &&
+      native("null_side") == null && native("empty") == 0.0)
+  }
+
+  test("dot_f32 returns NULL on null array elements, matching the HOF") {
+    graft.functions.DotF32.register(spark)
+    val row = spark.sql(
+      "SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d, " +
+        "aggregate(zip_with(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (s, x) -> s + x) AS h").head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
 }

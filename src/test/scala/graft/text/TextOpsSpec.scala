@@ -12,6 +12,13 @@ class TextOpsSpec extends SparkSpec {
     assert(sh == Seq("a b c", "b c d", "c d e"))
   }
 
+  test("shingles: docs shorter than n yield an empty set, not a crash") {
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
+    val sh = df.orderBy("doc_id")
+      .select(TextOps.shingles(col("text"), 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0) == Seq.empty && sh(1) == Seq.empty && sh(2) == Seq("a b c"))
+  }
+
   test("minhash: identical token sets get identical signatures") {
     val docs = Seq(
       (1L, "spark query engine fast spark query"),

@@ -39,6 +39,29 @@ class VecOpsSpec extends SparkSpec {
     assert(hits * 2 >= annPairs.length, s"hits=$hits of ${annPairs.length}")
   }
 
+  test("bucketed pair plans contain no cartesian or nested-loop join") {
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    for (directed <- Seq(false, true)) {
+      val plan = VecOps.lshScoredPairs(emb, planes = 4, tables = 6, directed = directed)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"quadratic join in bucketed path (directed=$directed)")
+    }
+  }
+
+  test("multi-table LSH candidates are a strict superset of single-table, subset of all pairs") {
+    import spark.implicits._
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    val one = VecOps.lshCandidatePairs(emb, 4, 1, directed = false)
+      .as[(Long, Long)].collect().toSet
+    val multi = VecOps.lshCandidatePairs(emb, 4, 6, directed = false)
+      .as[(Long, Long)].collect().toSet
+    assert(one.subsetOf(multi) && multi.size > one.size)
+    assert(multi.forall { case (a, b) => a < b })
+    val n = emb.count()
+    assert(multi.size < n * (n - 1) / 2, "candidates must prune the quadratic pair space")
+  }
+
   test("LSH buckets are deterministic across runs") {
     val emb = graft.Tables(spark, sf("sf0.001")).embeddings
     val b1 = VecOps.lshBucket(emb, 4).select("vec_id", "bucket").collect()
