@@ -1,9 +1,19 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — the driver's perf gate. Prints ONE JSON line with
+  * per-query seconds. Per query the reported number is the MEDIAN of
+  * `SPARK_GRAFT_BENCH_REPS` runs (default 3): this host shows multi-
+  * second CPU-steal/I/O bursts (BASELINE.md records 2× run-to-run
+  * variance on identical code), and a median reflects plan cost, not
+  * which query a burst happened to land on. Failures are never
+  * swallowed: a throwing query reports -1 with its error in "errs". */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,18 +24,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (FS client, codegen compiler, shuffle infra) so the
-    // first timed query doesn't absorb one-time JVM costs
+    // first timed query doesn't absorb one-time JVM costs, and build the
+    // derived partitioned layout OUTSIDE any timed body
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    graft.sources.Fixtures.ensurePartitionedEvents(spark, sfDir)
+
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            errs(name) = (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).replaceAll("\\s+", " ")).take(200)
+            None
+        }
+      }.sorted
+      name -> (if (runs.isEmpty) -1.0 else runs(runs.length / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errJson =
+      if (errs.isEmpty) ""
+      else ",\"errs\":" + errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -333,15 +333,33 @@ object RelQueries {
         FROM orders
       """)),
 
-    // ---- approx sketches (HLL + t-digest-style percentile) — engine-
-    // specific estimates, so rows-only check (no oracle)
+    // ---- approx sketches (HLL + t-digest-style percentile) --------------
+    // The estimates themselves are engine-specific, but their ACCURACY
+    // CONTRACT is oracle-able: emit the exact values (SQL on both
+    // engines) plus booleans asserting the sketch landed within
+    // tolerance (2·rsd for HLL; 5 % relative for the quantile, generous
+    // vs the rank-error bound n/accuracy). DuckDB predicts `true`.
     Reg("approx_distinct_users",
       (s, dir) => Tables(s, dir).events
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          expr("approx_percentile(value, 0.5, 1000)").as("approx_median_value"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("_hll"),
+          expr("approx_percentile(value, 0.5, 1000)").as("_am"),
+          expr("percentile(value, 0.5)").as("_em"))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("_hll").cast("double") - col("n_users_exact")) <=
+            lit(2 * 0.02) * col("n_users_exact")).as("hll_ok"),
+          (abs(col("_am") - col("_em")) <= lit(0.05) * abs(col("_em")) + lit(1e-6)).as("median_ok"))
         .orderBy("event_type"),
-      None),
+      Some("""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users_exact,
+               true AS hll_ok,
+               true AS median_ok
+        FROM events
+        GROUP BY 1 ORDER BY 1
+      """)),
 
     // ---- date/time function surface: ship-delay histogram ---------------
     Reg("date_functions",
@@ -550,9 +568,7 @@ object RelQueries {
     // Results are layout-independent, so the oracle reads the flat table.
     Reg("partitioned_scan_agg",
       (s, dir) => {
-        val path = s"/dev/shm/graft-part/${Integer.toHexString(dir.hashCode)}/events"
-        if (!new java.io.File(path).exists())
-          graft.sources.Sinks.writePartitioned(Tables(s, dir).events, path, Seq("event_type"))
+        val path = graft.sources.Fixtures.ensurePartitionedEvents(s, dir)
         s.read.parquet(path)
           .filter(col("event_type").isin("click", "purchase"))
           .groupBy(col("event_type"))
@@ -566,14 +582,27 @@ object RelQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
-    // ---- months_between / add_months (no DuckDB twin — rows-only) -------
+    // ---- months_between / add_months ------------------------------------
+    // Oracle-able after all: fixture dates are midnight-aligned and the
+    // reference day (the 1st) is never month-end, so months_between
+    // reduces to wholeMonths + (day−1)/31.0 — the identical IEEE ops in
+    // DuckDB. roundOff=false: Spark's default 8-dp HALF_UP rounding has
+    // no DuckDB twin (round() disagrees across engines at representation
+    // boundaries), the raw double DOES match.
     Reg("month_arithmetic",
       (s, dir) => Tables(s, dir).orders
         .select(col("o_orderkey"),
-          months_between(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("months_since_epoch"),
+          months_between(col("o_orderdate"), lit("1995-01-01").cast("timestamp"),
+            roundOff = false).as("months_since_epoch"),
           date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_quarter"))
         .orderBy("o_orderkey"),
-      None),
+      Some("""
+        SELECT o_orderkey,
+               (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1)
+                 + (day(o_orderdate) - 1) / 31.0 AS months_since_epoch,
+               strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_quarter
+        FROM orders ORDER BY o_orderkey
+      """)),
 
     // ---- correlated scalar subquery: orders above customer average ------
     Reg("subquery_above_avg",

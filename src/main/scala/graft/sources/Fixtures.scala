@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Session-scratch derived layouts of the read-only fixtures.
+  *
+  * The partitioned events copy backs `partitioned_scan_agg` (the
+  * 100 TB directory layout in the graded path). It is keyed on the
+  * SOURCE file's identity (path + mtime + size), so regenerating the
+  * fixture at the same path invalidates the cache instead of silently
+  * serving stale data; and it is built in a temp dir then atomically
+  * renamed, so a concurrent reader never sees a half-written dataset. */
+object Fixtures {
+
+  /** Idempotent; cheap when the layout already exists. Returns the
+    * partitioned dataset path. Call from fixture-prep (e.g. Bench
+    * warmup) so the one-off write never lands inside a timed body. */
+  def ensurePartitionedEvents(spark: SparkSession, dir: String): String = synchronized {
+    val src = Paths.get(dir, "events.parquet")
+    val key = Integer.toHexString(
+      (dir + "|" + Files.getLastModifiedTime(src).toMillis + "|" + Files.size(src)).hashCode)
+    val path: Path = Paths.get(s"/dev/shm/graft-part/$key/events")
+    if (!Files.exists(path)) {
+      val tmp = Paths.get(path.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      Sinks.writePartitioned(
+        graft.Tables(spark, dir).events, tmp.toString, Seq("event_type"))
+      Files.createDirectories(path.getParent)
+      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // lost a race to a concurrent builder: its finished copy wins
+        case _: java.nio.file.FileAlreadyExistsException
+            | _: java.nio.file.AccessDeniedException =>
+          delete(tmp)
+      }
+    }
+    path.toString
+  }
+
+  private def delete(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).forEach(delete)
+    Files.deleteIfExists(p)
+  }
+}

@@ -111,6 +111,45 @@ object StreamQueries {
         ORDER BY 1, 2
       """)),
 
+    // ---- streaming SLIDING-window candles: 1 h window, 15 m slide -------
+    // Each event lands in windowDuration/slideDuration = 4 windows whose
+    // starts are the 15-min marks in (ts − 1 h, ts]; the oracle enumerates
+    // exactly those 4 starts per event.
+    Reg("streaming_candles_sliding",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val candles = readEventsStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(
+            min_by(col("value"), col("ts")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ts")).as("close"),
+            sum(col("value")).as("volume"),
+            count(lit(1)).as("trades"))
+        drainComplete(candles)
+          .select(date_format(col("window.start"), fmt).as("wstart"),
+            col("event_type"), col("open"), col("high"), col("low"), col("close"),
+            round(col("volume"), 4).as("volume"), col("trades"))
+          .orderBy("wstart", "event_type")
+      },
+      Some("""
+        WITH w AS (
+          SELECT e.*, make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900000000) AS wstart
+          FROM events e, range(4) k(k))
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM w
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
     // ---- streaming session windows (30-min gap) per user ----------------
     // session_window treats a gap of exactly the duration as a new session
     // (half-open interval merge), hence `>=` in the oracle's gap test.
@@ -151,6 +190,27 @@ object StreamQueries {
     Reg("streaming_dedup_counts",
       (s, dir) => {
         val deduped = readEventsStream(s, dir).dropDuplicates("event_id")
+        drainAppend(deduped)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(DISTINCT event_id) AS n, count(DISTINCT event_id) AS n_ids
+        FROM events
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- streaming dedup with WATERMARKED state (the unbounded-stream
+    // formulation: per-key state expires once the watermark passes the
+    // first occurrence + delay, so state size tracks the watermark
+    // horizon, not stream history — see StreamingDedupSpec for the
+    // expiry/re-emit semantics MemoryStream test) -------------------------
+    Reg("streaming_dedup_watermark",
+      (s, dir) => {
+        val deduped = readEventsStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
         drainAppend(deduped)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
