@@ -12,7 +12,12 @@ object Plans {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "time_range_scan", "q5_region_revenue", "candles_1h", "topk_parts",
       "asof_purchase_click", "neardup_minhash_lsh", "cosine_topk_brute",
-      "range_join_views")
+      "range_join_views",
+      // round-2 additions: the LSH-bucketed vector paths (proof of no
+      // cartesian join) and the columnar multimodal features (proof of
+      // whole-stage codegen, no RDD hop)
+      "cosine_neardup_pairs", "knn_label_purity", "ann_lsh_topk",
+      "mm_binary_features")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

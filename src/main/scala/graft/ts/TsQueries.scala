@@ -7,7 +7,12 @@ import org.apache.spark.sql.functions._
   * candle/resample/gap/validation/alignment surface over the `events`
   * stream table (reference v0 snapshot is empty; semantics per SURVEY.md
   * §1.1). DuckDB oracles use arg_min/arg_max, generate_series,
-  * IGNORE NULLS windows and ASOF JOIN. */
+  * IGNORE NULLS windows and ASOF JOIN.
+  *
+  * Fixture contract the candle oracles rely on: (event_type, ts) is
+  * UNIQUE (verified at sf0.001/0.01/0.1) — on duplicate timestamps both
+  * Spark's min_by/max_by and DuckDB's arg_min/arg_max tie-break
+  * arbitrarily, so open/close would be underdetermined on both sides. */
 object TsQueries {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
