@@ -131,4 +131,38 @@ object VecOps {
       .select("qid", "nid", "score")
     topK(scores, k)
   }
+
+  /** IVF-style ANN (the other classic scale path, SURVEY.md §4/NEXT.md):
+    * `lists` centroids are SAMPLED deterministically (the vectors with
+    * the smallest md5-derived hash of their id — portable to the DuckDB
+    * oracle, unlike k-means iterations); every vector is assigned to its
+    * nearest centroid (one O(n·lists) broadcast pass — the linear IVF
+    * build cost); each query probes its `probes` nearest cells and ranks
+    * candidates in them. At 100 TB: assignment is a broadcast of `lists`
+    * small rows against a scan (no shuffle of the big side beyond the
+    * cell-keyed candidate join), candidate cost ∝ probed-cell sizes. */
+  def ivfTopK(emb: DataFrame, lists: Int, probes: Int, k: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val seeds = emb
+      .withColumn("_h", expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .orderBy(col("_h"), col("vec_id")).limit(lists)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // nearest-centroid ranking per vector: one broadcast O(n·lists) pass
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
+    val ranked = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("cd", expr("dot_f32(embedding, ce)"))
+      .withColumn("crank", row_number().over(wAssign))
+    val cells = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cid"))
+    val probed = ranked.filter(col("crank") <= probes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
+    // no dedup needed: every neighbor lives in exactly one cell, so a
+    // (qid, nid) pair matches at most one of the query's probed cells
+    val scores = probed.join(cells, "cid").filter(col("qid") =!= col("nid"))
+      .withColumn("score", expr("dot_f32(qe, ne)"))
+      .select("qid", "nid", "score")
+    topK(scores, k)
+  }
 }

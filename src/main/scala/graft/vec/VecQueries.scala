@@ -81,6 +81,41 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
+    // ---- IVF ANN: sampled centroids, nearest-cell assignment, 2-probe ---
+    // The oracle mirrors every stage (seed sampling by md5-of-id,
+    // assignment rank, probe rank), so the hash-match is independent of
+    // IVF recall, exactly like the LSH queries.
+    Reg("ivf_ann_topk",
+      (s, dir) => VecOps.ivfTopK(Tables(s, dir).embeddings, lists = 16, probes = 2, k = 3)
+        .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank"),
+      Some(s"""
+        WITH seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 16),
+        ranked AS (
+          SELECT a.vec_id, a.embedding, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN seeds b ON true),
+        cells AS (SELECT vec_id AS nid, embedding AS ne, cid FROM ranked WHERE crank = 1),
+        probed AS (SELECT vec_id AS qid, embedding AS qe, cid FROM ranked WHERE crank <= 2),
+        scored AS (
+          SELECT p.qid, c.nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> p.qe[i]::DOUBLE * c.ne[i]::DOUBLE)) AS d
+          FROM probed p JOIN cells c ON p.cid = c.cid AND p.qid <> c.nid),
+        r AS (SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM scored)
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """)),
+
     // ---- embedding-cosine near-duplicate pairs (LSH-bucketed) -----------
     // Scale-shaped: candidates from 6 hash tables × 4 hyperplanes (recall
     // ≈ 1−(1−0.18)⁶ ≈ 0.69 at cos 0.45; higher for truer duplicates), then

@@ -35,4 +35,42 @@ class StatefulOpsSpec extends SparkSpec {
     val got = StatefulOps.runningCountsByKey(df, "user_id").collect().toMap
     assert(got == Map(5L -> 2L, 6L -> 1L))
   }
+
+  test("transformWithState EMA: streaming recurrence equals hand-computed, state survives batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state-store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long, Double)] // (series, epoch µs, value)
+      val ema = StatefulOps.emaBySeries(
+        input.toDF().toDF("event_type", "us", "value")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"),
+        alpha = 0.5)
+      val q = ema.toDF("series", "ts_us", "ema")
+        .writeStream.format("memory").queryName("tws_ema").outputMode("update")
+        .option("checkpointLocation",
+          s"/dev/shm/graft-ckpt/tws_${java.util.UUID.randomUUID().toString.take(8)}")
+        .start()
+      try {
+        input.addData(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 1L, 100.0))
+        q.processAllAvailable()
+        input.addData(("a", 3L, 30.0)) // continues from batch-1 state
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = spark.table("tws_ema")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // a: 10 → .5*20+.5*10=15 → .5*30+.5*15=22.5 (state crossed batches)
+      assert(got(("a", 1L)) == 10.0 && got(("a", 2L)) == 15.0)
+      assert(got(("a", 3L)) == 22.5, s"state must survive micro-batches: $got")
+      assert(got(("b", 1L)) == 100.0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -62,6 +62,23 @@ class VecOpsSpec extends SparkSpec {
     assert(multi.size < n * (n - 1) / 2, "candidates must prune the quadratic pair space")
   }
 
+  test("IVF: probed-cell results overlap the brute-force ranking") {
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    val ivf = VecOps.ivfTopK(emb, lists = 16, probes = 2, k = 3)
+    val brute = VecOps.topK(VecOps.bruteForceScores(emb), 50)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val picks = ivf.select($"qid", $"nid").as[(Long, Long)].collect()
+    assert(picks.nonEmpty)
+    val hits = picks.count(brute.contains)
+    assert(hits * 2 >= picks.length, s"hits=$hits of ${picks.length}")
+    // every query probes ≤ 2 cells → candidate count is bounded by the
+    // probed cells' sizes, not n² (the only all-pairs op is the
+    // broadcast against 16 centroids — the linear IVF assignment)
+    val n = emb.count()
+    val cand = VecOps.ivfTopK(emb, 16, 2, Int.MaxValue).count()
+    assert(cand < n * (n - 1) / 2)
+  }
+
   test("LSH buckets are deterministic across runs") {
     val emb = graft.Tables(spark, sf("sf0.001")).embeddings
     val b1 = VecOps.lshBucket(emb, 4).select("vec_id", "bucket").collect()
