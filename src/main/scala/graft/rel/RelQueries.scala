@@ -235,6 +235,9 @@ object RelQueries {
       """)),
 
     // ---- lag/delta over pre-rounded daily revenue -----------------------
+    // Window.orderBy with no partitionBy = a single-partition window; fine
+    // HERE because the input is the pre-aggregated daily table (rows ∝
+    // calendar days, not data volume) — never do this over raw facts.
     Reg("window_lag_daily",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -262,6 +265,7 @@ object RelQueries {
       """)),
 
     // ---- moving average over ordered frame ------------------------------
+    // Single-partition window, same daily-table justification as above.
     Reg("window_moving_avg",
       (s, dir) => {
         val t = Tables(s, dir)

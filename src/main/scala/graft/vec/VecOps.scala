@@ -28,10 +28,14 @@ object VecOps {
       lit(0.0),
       (s, x) => s + x)
 
-  /** All-pairs scores (qid ≠ nid). Quadratic — baseline only. */
+  /** All-pairs scores (qid ≠ nid). Quadratic — baseline only. The stream
+    * side is repartitioned first: the fixture arrives as one parquet
+    * split, and an unrepartitioned nested-loop join would score all n²
+    * pairs on a single core. */
   def bruteForceScores(emb: DataFrame): DataFrame = {
     graft.functions.DotF32.register(emb.sparkSession)
     val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .repartition(col("qid"))
     val n = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
     q.crossJoin(n).filter(col("qid") =!= col("nid"))
       .withColumn("score", expr("dot_f32(qe, ne)"))
