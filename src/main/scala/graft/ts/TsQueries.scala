@@ -225,6 +225,35 @@ object TsQueries {
         ORDER BY p.event_id
       """)),
 
+    // ---- same as-of join through the NATIVE custom operator -------------
+    // (AsofJoinPlan → AsofJoinStrategy → AsofJoinExec, graft.plans): a
+    // co-partitioned co-sorted streaming merge instead of the union+window
+    // formulation; graded by the identical DuckDB ASOF oracle.
+    Reg("asof_purchase_click_native",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value").as("purchase_value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("click_value"))
+        graft.plans.AsofJoinNative.asofJoin(
+            purchases, clicks, "user_id", "ts", "ts", Seq("click_value"))
+          .select(col("event_id"), col("user_id"), date_format(col("ts"), fmt).as("ts"),
+            col("purchase_value"),
+            coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH cl AS (SELECT user_id, ts, max(value) AS click_value
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               p.value AS purchase_value, coalesce(cl.click_value, -1.0) AS click_value
+        FROM p ASOF LEFT JOIN cl ON p.user_id = cl.user_id AND p.ts >= cl.ts
+        ORDER BY p.event_id
+      """)),
+
     // ---- sessionization: 30-min inactivity gap per user -----------------
     Reg("sessionize_30m",
       (s, dir) => TimeSeries.sessionize(Tables(s, dir).events, 1800)

@@ -1,0 +1,58 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ts.TimeSeries
+import org.apache.spark.sql.functions._
+
+class AsofJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native as-of join equals the window-trick formulation on the fixture") {
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value".as("purchase_value"))
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("click_value"))
+
+    val native = AsofJoinNative.asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_value"))
+      .orderBy("event_id").collect()
+    val windowed = TimeSeries.asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_value"))
+      .orderBy("event_id").collect()
+    assert(native.length == windowed.length && native.nonEmpty)
+    native.zip(windowed).foreach { case (n, w) => assert(n == w) }
+  }
+
+  test("hand-built cases: latest-at-or-before, no-match null, key isolation") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-01 10:00:00")), // key with no right rows at all
+      (3L, ts("2024-01-01 09:00:00"))  // right rows exist but all later
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 9.0),
+      (1L, ts("2024-01-01 10:00:00"), 10.0), // equal ts: counts (<=)
+      (1L, ts("2024-01-01 11:00:00"), 11.0),
+      (3L, ts("2024-01-01 23:00:00"), 23.0)
+    ).toDF("k", "ts", "v")
+    val got = AsofJoinNative.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 10.0), (1L, 11.0), (2L, null), (3L, null)))
+  }
+
+  test("physical plan uses AsofJoinExec with co-partitioned sorted children") {
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value".as("purchase_value"))
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("click_value"))
+    val df = AsofJoinNative.asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_value"))
+    df.count() // force AQE to finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(400))
+    assert(!plan.contains("WindowExec") && !plan.contains("Union"),
+      "native path must not fall back to the union+window formulation")
+  }
+}
