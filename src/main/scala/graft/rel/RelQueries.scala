@@ -398,6 +398,41 @@ object RelQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- MAP-typed JSON: from_json → explode(map) → per-key agg ---------
+    // (the MAP path of §2.8 — json_props_agg covers get_json_object;
+    // this covers from_json into MAP<STRING,INT> + map explode)
+    Reg("map_funcs_props",
+      (s, dir) => Tables(s, dir).events
+        .select(col("value"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, INT>"))).as(Seq("mk", "mv")))
+        .groupBy(col("mk"), col("mv"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("mk", "mv"),
+      Some("""
+        SELECT t.mk AS mk, CAST(json_extract(e.props, '$.' || t.mk) AS INT) AS mv,
+               count(*) AS n, round(sum(e.value), 4) AS sum_value
+        FROM events e, UNNEST(json_keys(e.props)) AS t(mk)
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
+    // ---- pivot: status columns per priority -----------------------------
+    Reg("pivot_status_counts",
+      (s, dir) => Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS F,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS O,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS P
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- CASE WHEN bucketing --------------------------------------------
     Reg("case_price_buckets",
       (s, dir) => Tables(s, dir).orders

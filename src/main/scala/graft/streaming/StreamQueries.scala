@@ -150,6 +150,47 @@ object StreamQueries {
         ORDER BY 1, 2
       """)),
 
+    // ---- APPEND-mode candles with a watermark: the scale-true path ------
+    // Complete mode re-emits all state every batch (fine on a finite
+    // fixture, unbounded on a real stream); append emits each window once
+    // when the watermark passes its end and then drops its state. The
+    // emitted set is deterministic — windows with end <= max(ts) − delay —
+    // and the oracle mirrors that cutoff exactly.
+    Reg("streaming_candles_append",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val candles = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            min_by(col("value"), col("ts")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ts")).as("close"),
+            sum(col("value")).as("volume"),
+            count(lit(1)).as("trades"))
+        drainAppend(candles)
+          .select(date_format(col("window.start"), fmt).as("bucket"),
+            col("event_type"), col("open"), col("high"), col("low"), col("close"),
+            round(col("volume"), 4).as("volume"), col("trades"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM events
+        GROUP BY 1, 2
+        HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
+                 <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTES
+        ORDER BY 1, 2
+      """)),
+
     // ---- streaming session windows (30-min gap) per user ----------------
     // session_window treats a gap of exactly the duration as a new session
     // (half-open interval merge), hence `>=` in the oracle's gap test.
