@@ -136,6 +136,27 @@ object VecOps {
     topK(scores, k)
   }
 
+  /** Multi-probe LSH ANN: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (one flipped hyperplane sign) —
+    * planes+1 probes recover most of the recall a single bucket loses,
+    * without the extra signature cost of more tables. Neighbors are
+    * indexed once by their primary bucket; the probe fan-out lives on
+    * the query side only, so the shuffle stays an equi-join keyed by
+    * bucket with (planes+1)× the query-side rows. */
+  def annMultiProbeTopK(emb: DataFrame, planes: Int, k: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val b = lshBucket(emb, planes)
+    val probeList = (s"bucket" +: (0 until planes).map(p => s"bucket ^ ${1L << p}"))
+      .mkString("array(", ", ", ")")
+    val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      explode(expr(probeList)).as("bucket"))
+    val n = b.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
+    val scores = q.join(n, "bucket").filter(col("qid") =!= col("nid"))
+      .withColumn("score", expr("dot_f32(qe, ne)"))
+      .select("qid", "nid", "score")
+    topK(scores, k)
+  }
+
   /** IVF-style ANN (the other classic scale path, SURVEY.md §4/NEXT.md):
     * `lists` centroids are SAMPLED deterministically (the vectors with
     * the smallest md5-derived hash of their id — portable to the DuckDB

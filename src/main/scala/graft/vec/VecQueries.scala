@@ -81,6 +81,39 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
+    // ---- multi-probe LSH ANN: own bucket + all Hamming-1 buckets --------
+    // Oracle mirrors the probe enumeration (bucket XOR each bit), so the
+    // hash-match is recall-independent as with every bucketed query.
+    Reg("ann_multiprobe_topk",
+      (s, dir) => VecOps.annMultiProbeTopK(Tables(s, dir).embeddings, planes = 4, k = 3)
+        .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank"),
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        probes AS (SELECT s.vec_id, s.embedding,
+                          CASE f.f WHEN 0 THEN s.bucket ELSE xor(s.bucket, (1 << (f.f - 1))) END AS bucket
+                   FROM sig s, range(5) f(f)),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+              FROM probes a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        r AS (SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM p)
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """)),
+
     // ---- IVF ANN: sampled centroids, nearest-cell assignment, 2-probe ---
     // The oracle mirrors every stage (seed sampling by md5-of-id,
     // assignment rank, probe rank), so the hash-match is independent of

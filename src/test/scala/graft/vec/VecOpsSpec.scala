@@ -62,6 +62,19 @@ class VecOpsSpec extends SparkSpec {
     assert(multi.size < n * (n - 1) / 2, "candidates must prune the quadratic pair space")
   }
 
+  test("multi-probe LSH recalls at least as much as single-bucket ANN") {
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    // true 1-NN per query from brute force
+    val nn1 = VecOps.topK(VecOps.bruteForceScores(emb), 1)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      df.select($"qid", $"nid").as[(Long, Long)].collect().count(nn1.contains)
+    val single = recall(VecOps.annLshTopK(emb, planes = 4, k = 3))
+    val multi = recall(VecOps.annMultiProbeTopK(emb, planes = 4, k = 3))
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > 0)
+  }
+
   test("IVF: probed-cell results overlap the brute-force ranking") {
     val emb = graft.Tables(spark, sf("sf0.001")).embeddings
     val ivf = VecOps.ivfTopK(emb, lists = 16, probes = 2, k = 3)
