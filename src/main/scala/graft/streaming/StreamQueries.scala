@@ -227,6 +227,47 @@ object StreamQueries {
         ORDER BY user_id, start_ts
       """)),
 
+    // ---- stream-stream join: purchases ⋈ clicks within 5 minutes --------
+    // Both sides watermarked + a range condition on event time — the
+    // combination that lets Spark bound join state on an unbounded
+    // stream (state for rows older than watermark+range is evicted).
+    // On the finite fixture every pair is emitted, so the batch range
+    // join is the exact oracle.
+    Reg("streaming_join_purchase_click",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val ev1 = readEventsStream(s, dir)
+        val ev2 = readEventsStream(s, dir)
+        val p = ev1.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val c = ev2.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("value").as("c_val"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = p.join(c,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+            col("c_ts") <= col("p_ts"))
+        drainAppend(joined)
+          .select(col("p_id"), col("p_user").as("user_id"),
+            date_format(col("p_ts"), fmt).as("p_ts"),
+            date_format(col("c_ts"), fmt).as("c_ts"), col("c_val"))
+          .orderBy("p_id", "c_ts")
+      },
+      Some("""
+        SELECT p.event_id AS p_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+               c.value AS c_val
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 5 MINUTES AND c.ts <= p.ts
+        ORDER BY p_id, c_ts
+      """)),
+
     // ---- streaming dedup by key (event_id) in append mode ---------------
     Reg("streaming_dedup_counts",
       (s, dir) => {
