@@ -17,7 +17,9 @@ object Plans {
       // cartesian join) and the columnar multimodal features (proof of
       // whole-stage codegen, no RDD hop)
       "cosine_neardup_pairs", "knn_label_purity", "ann_lsh_topk",
-      "mm_binary_features")
+      "mm_binary_features",
+      // late round-2: the native as-of exec and the remaining ANN paths
+      "asof_purchase_click_native", "ann_multiprobe_topk", "ivf_ann_topk")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -42,6 +42,36 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10.0), (1L, 11.0), (2L, null), (3L, null)))
   }
 
+  test("randomized: native merge equals a Scala brute-force reference") {
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic test
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision rows
+    // skewed keys (many collisions), duplicate left timestamps, keys
+    // missing from either side
+    val leftRows = Seq.tabulate(400)(i =>
+      (rnd.nextInt(12).toLong, ts(1700000000000000L + rnd.nextInt(100000) * 1000000L), i.toLong))
+    val rightRows = Seq.tabulate(300) { i =>
+      // distinct (key, ts) on the right: asof semantics are only fully
+      // determined when right rows are unique per (key, ts)
+      (rnd.nextInt(14).toLong, ts(1700000000000000L + i * 333000000L), i * 1.5)
+    }
+    val left = leftRows.toDF("k", "ts", "lid")
+    val right = rightRows.toDF("k", "ts", "v")
+
+    val got = AsofJoinNative.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+      .select($"lid", $"v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (k, t, lid) =>
+      val cand = byKey.getOrElse(k, Seq.empty).filter(!_._2.after(t))
+      lid -> (if (cand.isEmpty) null else cand.maxBy(_._2.getTime)._3)
+    }.toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (lid, v) =>
+      assert(got(lid) == v, s"lid=$lid got=${got(lid)} want=$v")
+    }
+  }
+
   test("physical plan uses AsofJoinExec with co-partitioned sorted children") {
     val ev = graft.Tables(spark, sf("sf0.001")).events
     val purchases = ev.filter($"event_type" === "purchase")
