@@ -227,6 +227,47 @@ object StreamQueries {
         ORDER BY user_id, start_ts
       """)),
 
+    // ---- APPEND-mode session windows: the unbounded-stream formulation --
+    // A session emits once the watermark passes its end (last event +
+    // gap) — no later event can merge into it, so its state drops.
+    // Deterministic emitted set: sessions ending at or before
+    // max(ts) − delay; the oracle mirrors that cutoff.
+    Reg("streaming_session_append",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val sessions = readEventsStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        drainAppend(sessions)
+          .select(col("user_id"),
+            date_format(col("session_window.start"), fmt).as("start_ts"),
+            date_format(col("session_window.end"), fmt).as("end_ts"),
+            col("n_events"))
+          .orderBy("user_id", "start_ts")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM e)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+               strftime(max(ts) + INTERVAL 30 MINUTES, '%Y-%m-%d %H:%M:%S') AS end_ts,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        HAVING max(ts) + INTERVAL 30 MINUTES
+                 <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        ORDER BY user_id, start_ts
+      """)),
+
     // ---- stream-stream join: purchases ⋈ clicks within 5 minutes --------
     // Both sides watermarked + a range condition on event time — the
     // combination that lets Spark bound join state on an unbounded

@@ -103,7 +103,11 @@ object VecOps {
     * equi-join on (t, bucket) — Σ bucket² per table, never n². */
   def lshCandidatePairs(emb: DataFrame, planes: Int, tables: Int,
                         directed: Boolean): DataFrame = {
-    val b = lshBucketsMulti(emb, planes, tables)
+    // cache: both sides of the self-join read the signature relation, so
+    // without it the embedding scan + signature compute run twice (2×
+    // scan cost at 100 TB); the cached relation is tables rows per vector
+    // of three longs — far smaller than the embeddings themselves
+    val b = lshBucketsMulti(emb, planes, tables).cache()
     val l = b.select(col("t"), col("bucket"), col("vec_id").as("qid"))
     val r = b.select(col("t"), col("bucket"), col("vec_id").as("nid"))
     val cond = if (directed) col("qid") =!= col("nid") else col("qid") < col("nid")
