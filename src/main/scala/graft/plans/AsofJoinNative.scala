@@ -114,22 +114,29 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
+          // SQL join semantics: a NULL key matches nothing (the natural
+          // ordering would treat NULL == NULL as equal)
+          if (lKey.isNullAt(0)) return resultProj(joined(l, nullPayload))
           val lTs = lTsProj(l)
           var done = false
           while (!done && (held != null || rIter.hasNext)) {
             val r = if (held != null) held else rIter.next()
             val rKey = rKeyProj(r)
-            val cmp = keyOrd.compare(rKey, lKey)
-            if (cmp > 0 || (cmp == 0 && tsOrd.compare(rTsProj(r), lTs) > 0)) {
-              // beyond this left row: hold (copy — child iterators reuse rows)
-              if (held == null) held = r.copy()
-              done = true
+            if (rKey.isNullAt(0)) {
+              held = null // NULL right keys match nothing — discard
             } else {
-              if (cmp == 0) { // match candidate: key equal, ts <= lTs
-                matchKey = rKey.copy()
-                matchPayload = payloadProj(r).copy()
-              } // cmp < 0: right row's key is behind every future left row too
-              held = null
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp > 0 || (cmp == 0 && tsOrd.compare(rTsProj(r), lTs) > 0)) {
+                // beyond this left row: hold (copy — child iterators reuse rows)
+                if (held == null) held = r.copy()
+                done = true
+              } else {
+                if (cmp == 0) { // match candidate: key equal, ts <= lTs
+                  matchKey = rKey.copy()
+                  matchPayload = payloadProj(r).copy()
+                } // cmp < 0: right row's key is behind every future left row too
+                held = null
+              }
             }
           }
           if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0) {

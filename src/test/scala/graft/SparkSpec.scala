@@ -17,6 +17,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // metastore-backed tests (bucketing) must not pollute the repo dir
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${java.nio.file.Files.createTempDirectory("graft_ms")}/metastore_db;create=true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -42,6 +42,23 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10.0), (1L, 11.0), (2L, null), (3L, null)))
   }
 
+  test("NULL keys match nothing on either side (SQL join semantics)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00")),
+      (None: Option[Long], ts("2024-01-01 10:00:00"))
+    ).toDF("k", "ts")
+    val right = Seq(
+      (Some(1L), ts("2024-01-01 09:00:00"), 9.0),
+      (None: Option[Long], ts("2024-01-01 09:00:00"), -99.0)
+    ).toDF("k", "ts", "v")
+    val got = AsofJoinNative.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+      .orderBy($"k".asc_nulls_last)
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 9.0), (null, null)), got.mkString(","))
+  }
+
   test("randomized: native merge equals a Scala brute-force reference") {
     val rnd = new scala.util.Random(42) // fixed seed — deterministic test
     def ts(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision rows
