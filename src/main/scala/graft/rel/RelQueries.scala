@@ -398,6 +398,50 @@ object RelQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- salted skew join in the graded path ----------------------------
+    // The SkewJoin utility's per-row random salt changes the physical row
+    // routing only — the join MULTISET is identical to the unsalted join,
+    // so the aggregated result is deterministic and the oracle is the
+    // plain join.
+    Reg("skew_salted_join_agg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val dim = t.customer.select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        SkewJoin.saltedInnerJoin(t.events, dim, "user_id", buckets = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n, round(sum(e.value), 4) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- correlated EXISTS through spark.sql (Catalyst decorrelates to a
+    // semi-join — the SURVEY §4 "subquery decorrelation" row, exercised
+    // from the SQL entry path rather than the manual-join formulation) ----
+    Reg("subquery_exists_sql",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer.createOrReplaceTempView("customer_v")
+        t.orders.createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT c_custkey, c_mktsegment
+          FROM customer_v c
+          WHERE EXISTS (SELECT 1 FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          ORDER BY c_custkey
+        """)
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        ORDER BY c_custkey
+      """)),
+
     // ---- MAP-typed JSON: from_json → explode(map) → per-key agg ---------
     // (the MAP path of §2.8 — json_props_agg covers get_json_object;
     // this covers from_json into MAP<STRING,INT> + map explode)

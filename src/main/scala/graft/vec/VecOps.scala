@@ -161,6 +161,36 @@ object VecOps {
     topK(scores, k)
   }
 
+  /** One Lloyd (k-means) iteration over (cid, ce) centroids: assign each
+    * vector to its nearest centroid (broadcast O(n·k) pass, the same
+    * shape as [[ivfTopK]]'s assignment), then recompute each cell's
+    * centroid as the member mean. Pure DataFrame ops — the distributed
+    * iterative-refinement building block for tighter IVF cells; under
+    * squared-euclidean (equivalently cosine here: fixtures are
+    * L2-normalized, ‖a−b‖² = 2−2·a·b) the k-means objective is
+    * non-increasing per step (asserted in VecOpsSpec). Mean-dim
+    * reassembly goes through a position-keyed map, not collect_list,
+    * so it is shuffle-order independent. */
+  def lloydStep(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cd", expr("dot_f32(embedding, ce)"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("cid"), col("embedding"))
+    assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("cid"), col("i"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cid"))
+      .agg(map_from_arrays(collect_list(col("i")), collect_list(col("m"))).as("dims"))
+      .select(col("cid"),
+        expr("transform(sequence(0, 63), i -> CAST(dims[i] AS FLOAT))").as("ce"))
+  }
+
   /** IVF-style ANN (the other classic scale path, SURVEY.md §4/NEXT.md):
     * `lists` centroids are SAMPLED deterministically (the vectors with
     * the smallest md5-derived hash of their id — portable to the DuckDB

@@ -92,6 +92,36 @@ class VecOpsSpec extends SparkSpec {
     assert(cand < n * (n - 1) / 2)
   }
 
+  test("Lloyd step: k-means objective is non-increasing") {
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    // start from the IVF sampled seeds
+    val seeds = emb
+      .withColumn("_h", expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .orderBy($"_h", $"vec_id").limit(16)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    // objective: Σ ‖v − c(v)‖²; with ‖v‖=1, = Σ (1 − 2·v·c + ‖c‖²)
+    def objective(cents: org.apache.spark.sql.DataFrame): Double = {
+      graft.functions.DotF32.register(spark)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"cd".desc, $"cid")
+      emb.select($"vec_id", $"embedding")
+        .crossJoin(broadcast(cents))
+        .withColumn("cd", expr("dot_f32(embedding, ce)"))
+        .withColumn("cc", expr("dot_f32(ce, ce)"))
+        .withColumn("crank", row_number().over(w)).filter($"crank" === 1)
+        .select(sum(lit(1.0) - lit(2.0) * $"cd" + $"cc"))
+        .head().getDouble(0)
+    }
+    val before = objective(seeds)
+    val c1 = VecOps.lloydStep(emb, seeds)
+    assert(c1.count() <= 16 && c1.head().getSeq[Float](1).length == 64)
+    val mid = objective(c1)
+    val c2 = VecOps.lloydStep(emb, c1)
+    val after = objective(c2)
+    assert(mid <= before + 1e-9, s"step1 $before -> $mid")
+    assert(after <= mid + 1e-9, s"step2 $mid -> $after")
+  }
+
   test("LSH buckets are deterministic across runs") {
     val emb = graft.Tables(spark, sf("sf0.001")).embeddings
     val b1 = VecOps.lshBucket(emb, 4).select("vec_id", "bucket").collect()
