@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
       (exprs: Seq[Expression]) => DotF32(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 

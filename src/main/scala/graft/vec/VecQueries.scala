@@ -81,6 +81,29 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
+    // ---- array-function surface over embeddings (§2.8): sort/slice/fold -
+    // Raw doubles are exact cross-engine here: abs(float32→double) and
+    // sorting are bit-exact, and the l2 fold is index-ordered on both
+    // sides (rounded only because it is a sum).
+    Reg("array_funcs_embeddings",
+      (s, dir) => Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          round(expr(
+            """aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""), 4).as("l2sq"),
+          expr("element_at(reverse(array_sort(transform(embedding, x -> abs(CAST(x AS DOUBLE))))), 1)").as("a1"),
+          expr("element_at(reverse(array_sort(transform(embedding, x -> abs(CAST(x AS DOUBLE))))), 2)").as("a2"),
+          expr("element_at(reverse(array_sort(transform(embedding, x -> abs(CAST(x AS DOUBLE))))), 3)").as("a3"))
+        .orderBy("vec_id"),
+      Some("""
+        SELECT vec_id,
+               round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 4) AS l2sq,
+               list_reverse_sort(list_transform(embedding, x -> abs(x::DOUBLE)))[1] AS a1,
+               list_reverse_sort(list_transform(embedding, x -> abs(x::DOUBLE)))[2] AS a2,
+               list_reverse_sort(list_transform(embedding, x -> abs(x::DOUBLE)))[3] AS a3
+        FROM embeddings ORDER BY vec_id
+      """)),
+
     // ---- multi-probe LSH ANN: own bucket + all Hamming-1 buckets --------
     // Oracle mirrors the probe enumeration (bucket XOR each bit), so the
     // hash-match is recall-independent as with every bucketed query.
