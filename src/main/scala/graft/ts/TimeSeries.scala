@@ -125,7 +125,11 @@ object TimeSeries {
     val stats = events.groupBy(col(seriesCol)).agg(
       avg(col(valCol)).as("mu"), stddev_samp(col(valCol)).as("sigma"))
     events.join(broadcast(stats), seriesCol)
-      .withColumn("z", (col(valCol) - col("mu")) / col("sigma"))
+      // sigma = 0 (constant series) or NULL (singleton): no outliers by
+      // definition — and under Spark 4's default ANSI mode an unguarded
+      // division by zero THROWS, killing the whole job
+      .withColumn("z",
+        when(col("sigma") > 0, (col(valCol) - col("mu")) / col("sigma")))
       .filter(abs(col("z")) > threshold)
   }
 
