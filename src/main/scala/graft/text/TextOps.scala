@@ -89,8 +89,13 @@ object TextOps {
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      // two sub-n-token docs both have empty shingle sets → union 0;
+      // define their Jaccard as 0 rather than divide by zero (ANSI throws)
+      .withColumn("_union", size(col("set_a")) + size(col("set_b")) - col("inter"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (size(col("set_a")) + size(col("set_b")) - col("inter")))
+        when(col("_union") > 0, col("inter").cast("double") / col("_union"))
+          .otherwise(lit(0.0)))
+      .drop("_union")
       .select("doc_a", "doc_b", "jaccard")
   }
 

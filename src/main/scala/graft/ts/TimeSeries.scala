@@ -114,7 +114,9 @@ object TimeSeries {
            seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame =
     events
       .groupBy(date_trunc(unit, col(tsCol)).as("bucket"), col(seriesCol).as("series"))
-      .agg((sum(col(priceCol) * col(volCol)) / sum(col(volCol))).as("vwap"),
+      // NULL vwap for an all-zero-volume bucket (ANSI mode would throw)
+      .agg((sum(col(priceCol) * col(volCol)) /
+        when(sum(col(volCol)) =!= 0.0, sum(col(volCol)))).as("vwap"),
         sum(col(volCol)).as("total_vol"))
 
   /** Z-score outliers per series — the reference's sanity validation.

@@ -171,13 +171,15 @@ object TsQueries {
         .agg(round(sum(col("l_extendedprice") * col("l_quantity")) * 100).cast("long").as("pv_cents"),
           round(sum(col("l_quantity")) * 100).cast("long").as("vol_cents"))
         .select(date_format(col("bucket"), fmt).as("day"), col("series").as("returnflag"),
-          expr("(pv_cents * 10000) div vol_cents").as("vwap_x10000"), col("vol_cents"))
+          // nullif: zero-volume buckets yield NULL instead of an ANSI
+          // divide-by-zero error (mirrored in the oracle)
+          expr("(pv_cents * 10000) div nullif(vol_cents, 0)").as("vwap_x10000"), col("vol_cents"))
         .orderBy("day", "returnflag"),
       Some("""
         SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d %H:%M:%S') AS day,
                l_returnflag AS returnflag,
                (CAST(round(sum(l_extendedprice * l_quantity) * 100) AS BIGINT) * 10000)
-                 // CAST(round(sum(l_quantity) * 100) AS BIGINT) AS vwap_x10000,
+                 // nullif(CAST(round(sum(l_quantity) * 100) AS BIGINT), 0) AS vwap_x10000,
                CAST(round(sum(l_quantity) * 100) AS BIGINT) AS vol_cents
         FROM lineitem
         GROUP BY 1, 2

@@ -57,6 +57,22 @@ class EdgeCasesSpec extends SparkSpec {
     assert(n.count() == 1 && n.head().isNullAt(n.head().fieldIndex("v")))
   }
 
+  test("vwap on a zero-volume bucket yields NULL, not a divide-by-zero error") {
+    val zeroVol = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-05 10:30:00"), 7L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val v = TimeSeries.vwap(zeroVol, "hour", "value", "value")
+    assert(v.count() == 1 && v.head().isNullAt(v.head().fieldIndex("vwap")))
+  }
+
+  test("exact Jaccard of two empty shingle sets is 0, not a crash") {
+    import graft.text.TextOps
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text") // < 3 tokens
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val j = TextOps.exactJaccard(pairs, docs, n = 3).head()
+    assert(j.getAs[Double]("jaccard") == 0.0)
+  }
+
   test("zscore on a constant series (stddev 0) yields no outliers, no NaN crash") {
     val const = Seq.tabulate(5)(i =>
       (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-05 10:0$i:00"), 7L, "click", 1.0))
