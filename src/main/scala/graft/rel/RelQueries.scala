@@ -398,6 +398,30 @@ object RelQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- unpivot (melt): wide candle measures → long (measure, value) ---
+    Reg("unpivot_candles",
+      (s, dir) => graft.ts.TimeSeries.candles(Tables(s, dir).events, "hour")
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("series").as("event_type"), col("open"), col("high"), col("low"), col("close"))
+        .unpivot(
+          ids = Array(col("bucket"), col("event_type")),
+          values = Array(col("open"), col("high"), col("low"), col("close")),
+          variableColumnName = "measure", valueColumnName = "value")
+        .orderBy("bucket", "event_type", "measure"),
+      Some("""
+        WITH c AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                 event_type,
+                 arg_min(value, ts) AS open, max(value) AS high,
+                 min(value) AS low, arg_max(value, ts) AS close
+          FROM events GROUP BY 1, 2)
+        SELECT bucket, event_type, m.measure,
+               CASE m.measure WHEN 'open' THEN open WHEN 'high' THEN high
+                              WHEN 'low' THEN low ELSE close END AS value
+        FROM c, (VALUES ('open'), ('high'), ('low'), ('close')) m(measure)
+        ORDER BY bucket, event_type, measure
+      """)),
+
     // ---- salted skew join in the graded path ----------------------------
     // The SkewJoin utility's per-row random salt changes the physical row
     // routing only — the join MULTISET is identical to the unsalted join,
