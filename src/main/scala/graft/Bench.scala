@@ -30,28 +30,36 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     graft.sources.Fixtures.ensurePartitionedEvents(spark, sfDir)
 
-    // wall-clock budget: if the cumulative timed work blows past it
-    // (host-noise pileup), remaining queries fall back to a single rep so
-    // the whole bench stays bounded — queries affected are listed in
-    // "reps1" for transparency
+    // wall-clock budget + rep-major (interleaved) schedule: rep 1 of
+    // EVERY query runs first, then rep 2 of every query, … — so a
+    // host-noise burst is spread across many queries instead of poisoning
+    // all reps of whichever query it lands on, and if the cumulative
+    // timed work blows past the budget the later reps are skipped while
+    // every query still has its rep-1 time. Queries that ended up with a
+    // single rep are listed in "reps1" for transparency.
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
     val benchT0 = System.nanoTime()
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-    val singleRep = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.LinkedHashMap(
+      named.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer[Double]() }: _*)
+    for (rep <- 1 to reps; (name, fn) <- named) {
       val overBudget = (System.nanoTime() - benchT0) / 1e9 > budgetS
-      val nReps = if (overBudget) 1 else reps
-      if (overBudget) singleRep += name
-      val runs = (1 to nReps).flatMap { _ =>
+      // rep 1 always runs; an erroring query is not retried on later reps
+      if ((rep == 1 || !overBudget) && !errs.contains(name)) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { fn(spark, sfDir).count(); times(name) += (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             errs(name) = (e.getClass.getSimpleName + ": " +
               String.valueOf(e.getMessage).replaceAll("\\s+", " ")).take(200)
-            None
         }
-      }.sorted
+      }
+    }
+    val singleRep = named.collect {
+      case (n, _) if times(n).length == 1 && reps > 1 && !errs.contains(n) => n }
+    val results = named.map { case (name, _) =>
+      val runs = times(name).sorted
       name -> (if (runs.isEmpty) -1.0 else runs(runs.length / 2))
     }
     def jstr(s: String): String =

@@ -31,7 +31,8 @@ case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    tolUs: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -44,21 +45,28 @@ case class AsofJoinPlan(
   * or `SparkSessionExtensions.injectPlannerStrategy`. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lts, rts, payload) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, payload, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload, tol) :: Nil
     case _ => Nil
   }
 }
 
 /** Co-partitioned co-sorted streaming merge. Each task holds exactly one
-  * candidate right row and the last match's (key, payload) — state is
+  * candidate right row and the last match's (key, ts, payload) — state is
   * O(1) regardless of partition size, and spill behavior is inherited
-  * from the child sorts. */
+  * from the child sorts.
+  *
+  * `tolUs`: optional max lookback in the ts column's native long unit
+  * (µs for TimestampType): a candidate match only joins a left row when
+  * leftTs − rightTs <= tolUs. Checked at EMIT time, per left row — the
+  * same held match can be within tolerance for an early left row and
+  * stale for a later one. */
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    payload: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute],
+    tolUs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -84,6 +92,17 @@ case class AsofJoinExec(
     val rOut = right.output
     val keyType = leftKey.dataType
     val tsType = leftTs.dataType
+    tolUs.foreach { _ =>
+      val longBacked = tsType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(longBacked,
+        s"as-of tolerance requires a long-backed ts type, got ${tsType.simpleString}")
+    }
+    val tol = tolUs
     val payloadAttrs = payload
     val (lk, lt, rk, rt, pl) = (leftKey, leftTs, rightKey, rightTs, payloadAttrs)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -105,8 +124,9 @@ case class AsofJoinExec(
       new Iterator[InternalRow] {
         // one held (copied) right row not yet consumed, or null
         private var held: InternalRow = _
-        // last right row that matched some key, as (key, payload) copies
+        // last right row that matched some key, as (key, ts, payload) copies
         private var matchKey: InternalRow = _
+        private var matchTs: Long = _
         private var matchPayload: InternalRow = _
 
         override def hasNext: Boolean = lIter.hasNext
@@ -131,15 +151,21 @@ case class AsofJoinExec(
                 if (held == null) held = r.copy()
                 done = true
               } else {
-                if (cmp == 0) { // match candidate: key equal, ts <= lTs
+                // match candidate: key equal, ts <= lTs. A NULL right ts
+                // is never <= anything (SQL comparison semantics), so it
+                // is discarded, not treated as -infinity.
+                val rTs = rTsProj(r)
+                if (cmp == 0 && !rTs.isNullAt(0)) {
                   matchKey = rKey.copy()
+                  matchTs = rTs.getLong(0)
                   matchPayload = payloadProj(r).copy()
                 } // cmp < 0: right row's key is behind every future left row too
                 held = null
               }
             }
           }
-          if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0) {
+          if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0 &&
+              tol.forall(t => lTs.getLong(0) - matchTs <= t)) {
             resultProj(joined(l, matchPayload))
           } else {
             resultProj(joined(l, nullPayload))
@@ -161,10 +187,14 @@ object AsofJoinNative {
 
   /** left ⟕asof right on `key`, most recent right row with
     * rightTs <= leftTs; output = left.* ++ payloadCols (NULL when no
-    * match). Column names must be unambiguous within each side. */
+    * match). Column names must be unambiguous within each side.
+    * `tolUs`: optional max lookback — a match additionally requires
+    * leftTs − rightTs <= tolUs (µs for timestamp columns), the practical
+    * "stale quotes don't join" contract of ASOF joins. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               payloadCols: Seq[String]): DataFrame = {
+               payloadCols: Seq[String],
+               tolUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     // Route both plans through a throwaway crossJoin so the analyzer's
@@ -179,7 +209,7 @@ object AsofJoinNative {
     val plan = AsofJoinPlan(lPlan, rPlan,
       attr(lPlan.output, key), attr(rPlan.output, key),
       attr(lPlan.output, leftTs), attr(rPlan.output, rightTs),
-      payloadCols.map(attr(rPlan.output, _)))
+      payloadCols.map(attr(rPlan.output, _)), tolUs)
     org.apache.spark.sql.classic.GraftShim.ofRows(spark, plan)
   }
 }

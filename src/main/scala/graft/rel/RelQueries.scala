@@ -729,6 +729,56 @@ object RelQueries {
         WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
                                     WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey
+      """)),
+
+    // ---- RIGHT outer join with an unmatched-side filter -----------------
+    // (completes the §2.3 outer-join row: orders ⟖ customer keeping
+    // customers whose filtered order stream is empty — the right-outer
+    // twin of the anti join, exercised as a genuine "right_outer" plan)
+    Reg("join_right_outer_customers",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.filter(col("o_totalprice") > 400000)
+          .join(t.customer, col("o_custkey") === col("c_custkey"), "right_outer")
+          .filter(col("o_orderkey").isNull)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment
+        FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        RIGHT JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderkey IS NULL
+        ORDER BY c_custkey
+      """)),
+
+    // ---- FULL outer join over partially-overlapping aggregates ----------
+    // Per-user click vs purchase counts: users with only one of the two
+    // event types survive on exactly one side; counts are BIGINT so the
+    // coalesced output is hash-exact on both engines.
+    Reg("join_full_outer_user_activity",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("c_user")).agg(count(lit(1)).as("n_clicks"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user")).agg(count(lit(1)).as("n_purchases"))
+        clicks.join(purchases, col("c_user") === col("p_user"), "full_outer")
+          .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+                   WHERE event_type = 'click' GROUP BY 1),
+        p AS (SELECT user_id, count(*) AS n_purchases FROM events
+              WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               coalesce(n_clicks, CAST(0 AS BIGINT)) AS n_clicks,
+               coalesce(n_purchases, CAST(0 AS BIGINT)) AS n_purchases
+        FROM c FULL JOIN p ON c.user_id = p.user_id
+        ORDER BY user_id
       """))
   )
 }

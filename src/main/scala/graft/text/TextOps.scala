@@ -69,14 +69,24 @@ object TextOps {
       .select(col("doc_id") +: (Seq("band") ++ (0 until rows).map(r => s"k$r")).map(f => col(s"bk.$f")): _*)
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH band. */
+  /** Candidate pairs (a < b) sharing at least one LSH band. Single-pass
+    * formulation: instead of a band-key SELF-join (which reads the
+    * signature relation twice and forced a `.cache()` that leaked across
+    * invocations), bucket members are collected per band key — sorted, so
+    * pair order is deterministic — and pairs are expanded with an array
+    * comprehension. One signature computation, one shuffle, nothing
+    * cached; the per-bucket fan-out is the same Σ bucket² the self-join
+    * paid, and collect_list is bounded by bucket size (the LSH collision
+    * contract), not corpus size. */
   def lshCandidates(bandsDf: DataFrame, rows: Int): DataFrame = {
-    val keys = Seq("band") ++ (0 until rows).map(r => s"k$r")
-    val l = bandsDf.withColumnRenamed("doc_id", "doc_a")
-    val r = bandsDf.withColumnRenamed("doc_id", "doc_b")
-    l.join(r, keys)
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val keys = (Seq("band") ++ (0 until rows).map(r => s"k$r")).map(col)
+    bandsDf.groupBy(keys: _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
 
   /** Exact Jaccard over distinct word n-gram shingle sets for given pairs.
@@ -100,14 +110,15 @@ object TextOps {
   }
 
   /** Near-duplicate pairs: MinHash → LSH banding → exact Jaccard filter.
-    * k = bands·rowsPerBand hashes. At 100 TB the band join is the only
-    * shuffle that touches all docs, and its fan-out is bounded by bucket
-    * collision rates, not the quadratic pair count. The signature (one
-    * small row per doc) is cached so the band self-join doesn't recompute
-    * the shingle→md5 pipeline once per side. */
+    * k = bands·rowsPerBand hashes. At 100 TB the band-bucket shuffle is
+    * the only one that touches all docs, and its fan-out is bounded by
+    * bucket collision rates, not the quadratic pair count. The signature
+    * pipeline runs exactly once (single-pass [[lshCandidates]]), so
+    * nothing needs caching — and nothing leaks into the block manager
+    * across invocations (asserted in CacheLifecycleSpec). */
   def nearDupPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
                    minJaccard: Double): DataFrame = {
-    val sig = minhashSignature(explodedShingles(docs, n), bands * rowsPerBand).cache()
+    val sig = minhashSignature(explodedShingles(docs, n), bands * rowsPerBand)
     val cand = lshCandidates(lshBands(sig, bands, rowsPerBand), rowsPerBand)
     exactJaccard(cand, docs, n).filter(col("jaccard") >= minJaccard)
   }

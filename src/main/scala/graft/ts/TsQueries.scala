@@ -256,6 +256,40 @@ object TsQueries {
         ORDER BY p.event_id
       """)),
 
+    // ---- native as-of join with a MAX-LOOKBACK tolerance ----------------
+    // (AsofJoinExec tolUs path): a click older than 10 minutes does not
+    // join — the "stale quotes don't join" ASOF contract. The oracle is
+    // the plain ASOF join with the match nulled when outside tolerance:
+    // equivalent, because the as-of match is the unique latest candidate,
+    // so filtering it IS the tolerance semantics.
+    Reg("asof_purchase_click_tolerance",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value").as("purchase_value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("click_value"))
+        graft.plans.AsofJoinNative.asofJoin(
+            purchases, clicks, "user_id", "ts", "ts", Seq("click_value"),
+            tolUs = Some(600000000L)) // 10 minutes
+          .select(col("event_id"), col("user_id"), date_format(col("ts"), fmt).as("ts"),
+            col("purchase_value"),
+            coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH cl AS (SELECT user_id, ts, max(value) AS click_value
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               p.value AS purchase_value,
+               coalesce(CASE WHEN p.ts - cl.ts <= INTERVAL 10 MINUTES
+                             THEN cl.click_value END, -1.0) AS click_value
+        FROM p ASOF LEFT JOIN cl ON p.user_id = cl.user_id AND p.ts >= cl.ts
+        ORDER BY p.event_id
+      """)),
+
     // ---- sessionization: 30-min inactivity gap per user -----------------
     Reg("sessionize_30m",
       (s, dir) => TimeSeries.sessionize(Tables(s, dir).events, 1800)

@@ -99,19 +99,29 @@ object VecOps {
 
   /** Candidate pairs sharing a bucket in ANY of the `tables` hash tables.
     * `directed=false` → unordered pairs (qid < nid); `true` → both
-    * directions (for per-query kNN). The only all-vectors shuffle is the
-    * equi-join on (t, bucket) — Σ bucket² per table, never n². */
+    * directions (for per-query kNN). Single-pass formulation: bucket
+    * members are collected per (t, bucket) — sorted, deterministic — and
+    * pairs expanded with an array comprehension, so the embedding scan +
+    * signature compute run exactly ONCE (the self-join variant ran them
+    * once per side, forcing a `.cache()` that leaked across invocations).
+    * The only all-vectors shuffle is the (t, bucket) grouping — Σ bucket²
+    * pair fan-out per table, never n²; collect_list is bounded by bucket
+    * size (the LSH collision contract), not corpus size. */
   def lshCandidatePairs(emb: DataFrame, planes: Int, tables: Int,
                         directed: Boolean): DataFrame = {
-    // cache: both sides of the self-join read the signature relation, so
-    // without it the embedding scan + signature compute run twice (2×
-    // scan cost at 100 TB); the cached relation is tables rows per vector
-    // of three longs — far smaller than the embeddings themselves
-    val b = lshBucketsMulti(emb, planes, tables).cache()
-    val l = b.select(col("t"), col("bucket"), col("vec_id").as("qid"))
-    val r = b.select(col("t"), col("bucket"), col("vec_id").as("nid"))
-    val cond = if (directed) col("qid") =!= col("nid") else col("qid") < col("nid")
-    l.join(r, Seq("t", "bucket")).filter(cond).select("qid", "nid").distinct()
+    val undirected = lshBucketsMulti(emb, planes, tables)
+      .groupBy(col("t"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS qid, b AS nid))))")).as("p"))
+      .select(col("p.qid"), col("p.nid"))
+    val pairs =
+      if (directed) undirected.union(
+        undirected.select(col("nid").as("qid"), col("qid").as("nid")))
+      else undirected
+    pairs.distinct()
   }
 
   /** Scored LSH candidate pairs: candidates joined back to their

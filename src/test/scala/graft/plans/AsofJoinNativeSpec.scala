@@ -89,6 +89,37 @@ class AsofJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("randomized: tolerance path equals brute-force with max-lookback filter") {
+    val rnd = new scala.util.Random(7) // fixed seed — deterministic test
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val tolUs = 500000000L // 500 s — chosen so both in- and out-of-tol matches occur
+    val leftRows = Seq.tabulate(400)(i =>
+      (rnd.nextInt(12).toLong, ts(1700000000000000L + rnd.nextInt(100000) * 1000000L), i.toLong))
+    val rightRows = Seq.tabulate(300) { i =>
+      (rnd.nextInt(14).toLong, ts(1700000000000000L + i * 333000000L), i * 1.5)
+    }
+    val got = AsofJoinNative.asofJoin(
+        leftRows.toDF("k", "ts", "lid"), rightRows.toDF("k", "ts", "v"),
+        "k", "ts", "ts", Seq("v"), tolUs = Some(tolUs))
+      .select($"lid", $"v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val byKey = rightRows.groupBy(_._1)
+    var nMatched = 0
+    leftRows.foreach { case (k, t, lid) =>
+      val cand = byKey.getOrElse(k, Seq.empty)
+        .filter(r => !r._2.after(t) && (t.getTime - r._2.getTime) * 1000L <= tolUs)
+      val want = if (cand.isEmpty) null else cand.maxBy(_._2.getTime)._3
+      if (want != null) nMatched += 1
+      assert(got(lid) == want, s"lid=$lid got=${got(lid)} want=$want")
+    }
+    // the tolerance must actually bite: some matches survive, some are cut
+    val gotNoTol = AsofJoinNative.asofJoin(
+        leftRows.toDF("k", "ts", "lid"), rightRows.toDF("k", "ts", "v"),
+        "k", "ts", "ts", Seq("v"))
+      .filter($"v".isNotNull).count()
+    assert(nMatched > 0 && nMatched < gotNoTol)
+  }
+
   test("physical plan uses AsofJoinExec with co-partitioned sorted children") {
     val ev = graft.Tables(spark, sf("sf0.001")).events
     val purchases = ev.filter($"event_type" === "purchase")
