@@ -39,7 +39,7 @@ object Fixtures {
     path.toString
   }
 
-  private def delete(p: Path): Unit = {
+  private[graft] def delete(p: Path): Unit = {
     if (Files.isDirectory(p)) Files.list(p).forEach(delete)
     Files.deleteIfExists(p)
   }

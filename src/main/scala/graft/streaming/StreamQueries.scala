@@ -53,7 +53,13 @@ object StreamQueries {
     * State-store instance count = shuffle partitions at query start; per-
     * partition commit overhead dominates a small finite drain, so the
     * stream runs with 8 partitions and the session setting is restored
-    * after. (On a live cluster this knob is sized to the key cardinality.) */
+    * after. (On a live cluster this knob is sized to the key cardinality.)
+    *
+    * SEQUENTIAL CONTRACT: the temporary session-conf mutation means two
+    * graded queries must not drain concurrently on one SparkSession —
+    * Verify and Bench both run queries strictly sequentially. A service
+    * embedding these ops concurrently should isolate each drain on
+    * `spark.newSession()` (cheap: shares the SparkContext, forks conf). */
   private def drain(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
@@ -147,6 +153,51 @@ object StreamQueries {
                count(*) AS trades
         FROM w
         GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
+    // ---- APPEND-mode SLIDING candles with a watermark -------------------
+    // The sliding twin of streaming_candles_append (closes the last
+    // complete-mode-only streaming shape): each event still lands in 4
+    // windows; a window emits once the watermark passes its END and its
+    // state drops — the emitted set is windows with
+    // wstart + 1 h <= max(ts) − delay, mirrored exactly by the oracle's
+    // HAVING over the same 4-start enumeration.
+    Reg("streaming_candles_sliding_append",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val candles = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(
+            min_by(col("value"), col("ts")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ts")).as("close"),
+            sum(col("value")).as("volume"),
+            count(lit(1)).as("trades"))
+        drainAppend(candles)
+          .select(date_format(col("window.start"), fmt).as("wstart"),
+            col("event_type"), col("open"), col("high"), col("low"), col("close"),
+            round(col("volume"), 4).as("volume"), col("trades"))
+          .orderBy("wstart", "event_type")
+      },
+      Some("""
+        WITH w AS (
+          SELECT e.*, make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900000000) AS wstart
+          FROM events e, range(4) k(k))
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM w
+        GROUP BY w.wstart, event_type
+        HAVING w.wstart + INTERVAL 1 HOUR
+                 <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTES
         ORDER BY 1, 2
       """)),
 
@@ -307,6 +358,67 @@ object StreamQueries {
          AND p.event_type = 'purchase' AND c.event_type = 'click'
          AND c.ts >= p.ts - INTERVAL 5 MINUTES AND c.ts <= p.ts
         ORDER BY p_id, c_ts
+      """)),
+
+    // ---- arbitrary-state running counts via flatMapGroupsWithState ------
+    // The second arbitrary-state API, graded: per-user running event
+    // counts drained in update mode — the LAST update per key is the
+    // total, so the final counts equal a plain groupBy count (the
+    // equivalence StatefulOpsSpec asserts batch-side). Grading max(n)
+    // rather than last-row-wins keeps the result well-defined however
+    // many micro-batches the file source splits the fixture into.
+    Reg("streaming_running_counts",
+      (s, dir) => {
+        val counts = StatefulOps.runningCountsByKey(
+            readEventsStream(s, dir), "user_id")
+          .toDF("user_id", "n")
+        drain(counts, "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+      """)),
+
+    // ---- arbitrary-state EMA via transformWithState, GRADED -------------
+    // The Spark-4 arbitrary-state API run as a real streaming query
+    // (RocksDB state store), graded per series on the FINAL ema — the
+    // one output whose oracle is expressible without a per-row prefix
+    // recurrence. alpha = 0.5 exactly: each step is 0.5·v + 0.5·prev —
+    // two exact-by-construction halvings and one rounded add — and
+    // DuckDB's list_reduce over the ts-ordered value list runs the
+    // IDENTICAL IEEE-754 op sequence, so the raw doubles hash-match
+    // bit-for-bit after ~2000 steps (no rounding, which itself diverges
+    // across engines at representation boundaries).
+    Reg("ema_by_series",
+      (s, dir) => {
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ema = StatefulOps.emaBySeries(readEventsStream(s, dir), alpha = 0.5)
+            .toDF("event_type", "ts_us", "ema")
+          drain(ema, "update")
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              max_by(col("ema"), col("ts_us")).as("ema_final"))
+            .orderBy("event_type")
+        } finally prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_events,
+               list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts),
+                           (acc, x) -> 0.5 * x + 0.5 * acc) AS ema_final
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
       """)),
 
     // ---- streaming dedup by key (event_id) in append mode ---------------

@@ -123,6 +123,47 @@ object TextOps {
     exactJaccard(cand, docs, n).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over an undirected pair relation (the corpus-
+    * dedup step AFTER near-dup pairs: pairs → clusters → one survivor per
+    * cluster). Iterative min-label propagation: every round each node
+    * adopts the smallest label in its closed neighborhood; converges in
+    * O(component diameter) rounds — near-dup clusters are short-diameter
+    * by construction (they're Jaccard balls), so rounds stay single-digit.
+    *
+    * Scale notes (100 TB): each round is one equi-join + one hash-agg on
+    * the node key — no driver-side data beyond the per-round changed
+    * COUNT; labels are localCheckpointed per round so the plan doesn't
+    * grow with iteration count (the classic iterative-DataFrame trap).
+    * Returns (node, label) with label = min doc_id of the component. */
+  def connectedComponents(pairs: DataFrame, a: String = "doc_a",
+                          b: String = "doc_b", maxRounds: Int = 30): DataFrame = {
+    // materialize the edge relation ONCE: it is referenced twice per
+    // round, and without the checkpoint every round would re-run the
+    // whole upstream pipeline that produced the pairs (e.g. the full
+    // MinHash→LSH→Jaccard chain) — measured 4× the query cost at sf0.1
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("nlabel")).as("nl"))
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("node"), col("next").as("label"))
+      round += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+    labels
+  }
+
   /** 60-bit SimHash over distinct tokens: bit i of the fingerprint is set
     * iff the sum of ±1 contributions (per-token hash bit i) is positive.
     * Two hash-aggregates over an exploded (doc × token × bit) relation. */

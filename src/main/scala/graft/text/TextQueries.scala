@@ -69,6 +69,45 @@ object TextQueries {
         ORDER BY doc_a, doc_b
       """)),
 
+    // ---- near-dup CLUSTERS + keep-list (pairs → groups → survivors) -----
+    // Completes the corpus-dedup story: connected components over the
+    // near-dup pair relation via iterative min-label propagation, then one
+    // row per duplicate cluster — (cluster_id = min doc_id, n_docs,
+    // keep_id = the survivor). Oracle: the same pair relation closed with
+    // a recursive CTE. keep_id equals cluster_id by the min-survivor
+    // policy; both are emitted to grade the policy explicitly.
+    Reg("neardup_dup_groups",
+      (s, dir) => {
+        val pairs = TextOps.nearDupPairs(Tables(s, dir).documents, n = 3,
+          bands = 8, rowsPerBand = 2, minJaccard = 0.5)
+        TextOps.connectedComponents(pairs)
+          .groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"), min(col("node")).as("keep_id"))
+          .orderBy("cluster_id")
+      },
+      Some("""
+        WITH RECURSIVE
+        tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sset
+               FROM tok),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sset, b.sset)) AS inter,
+                     len(a.sset) AS na, len(b.sset) AS nb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        pr AS (SELECT doc_a, doc_b FROM p
+               WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        reach(a, b) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1)
+        SELECT cluster_id, count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM comp GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- SimHash fingerprints (md5-derived, engine-portable) ------------
     Reg("simhash_fingerprint",
       (s, dir) => TextOps.simhash(Tables(s, dir).documents)

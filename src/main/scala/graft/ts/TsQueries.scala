@@ -290,6 +290,97 @@ object TsQueries {
         ORDER BY p.event_id
       """)),
 
+    // ---- 8-step windowed EMA (batch recurrence surface) -----------------
+    // The bounded-window closed form of the EMA recurrence with α = 1/2:
+    // weights (64,32,16,8,4,2,1,1)/128 over the last 8 values — the exact
+    // closed form of ema_i = ½·vᵢ + ½·ema_{i−1} seeded 8 steps back.
+    // Integer-scaled end to end (value → cents, weights ×128): the
+    // weighted sum is BIGINT arithmetic on both engines, so the grading
+    // hash is exact with zero float-divergence risk (the vwap_daily
+    // pattern). Rows without 7 predecessors are excluded (full windows
+    // only) — both sides agree on the cutoff via lag(·,7) IS NOT NULL.
+    Reg("ema_window_8",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"))
+        val weights = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L, 1L)
+        val vc = round(col("value") * 100).cast("long")
+        val terms = weights.zipWithIndex.map { case (wt, k) =>
+          (if (k == 0) vc else lag(vc, k).over(w)) * lit(wt) }
+        Tables(s, dir).events
+          .withColumn("ema8_x128_cents", terms.reduce(_ + _))
+          .withColumn("_l7", lag(vc, 7).over(w))
+          .filter(col("_l7").isNotNull)
+          .select(col("event_id"), col("event_type"), col("ema8_x128_cents"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS vc,
+                 lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS l1,
+                 lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS l2,
+                 lag(CAST(round(value * 100) AS BIGINT), 3) OVER w AS l3,
+                 lag(CAST(round(value * 100) AS BIGINT), 4) OVER w AS l4,
+                 lag(CAST(round(value * 100) AS BIGINT), 5) OVER w AS l5,
+                 lag(CAST(round(value * 100) AS BIGINT), 6) OVER w AS l6,
+                 lag(CAST(round(value * 100) AS BIGINT), 7) OVER w AS l7
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts))
+        SELECT event_id, event_type,
+               64*vc + 32*l1 + 16*l2 + 8*l3 + 4*l4 + 2*l5 + 1*l6 + 1*l7
+                 AS ema8_x128_cents
+        FROM e
+        WHERE l7 IS NOT NULL
+        ORDER BY event_id
+      """)),
+
+    // ---- incremental candle store: the UPDATE LIFECYCLE, graded ---------
+    // Builds the day-partitioned store from the first ~27 days, then runs
+    // Incremental.update with the full history (re-aggregating only the
+    // high-water-mark day onward and dynamic-overwriting those tail
+    // partitions), and reads the store back. The oracle is the direct
+    // full-history candle SQL — so history-preservation + tail-replacement
+    // are hash-graded end to end, not just spec-asserted. The store is
+    // rebuilt from scratch every invocation (deleted first): the graded
+    // result must never depend on a previous run's store.
+    Reg("incremental_candles_store",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val src = java.nio.file.Paths.get(dir, "events.parquet")
+        val key = Integer.toHexString((dir + "|" +
+          java.nio.file.Files.getLastModifiedTime(src).toMillis + "|" +
+          java.nio.file.Files.size(src)).hashCode)
+        val store = java.nio.file.Paths.get(s"/dev/shm/graft-incr/$key")
+        graft.sources.Fixtures.delete(store)
+        // split 3 days before the end: the first build's high-water mark
+        // lands mid-day, so update() replaces a PARTIAL day plus full
+        // tail days — the interesting lifecycle shape
+        val hi = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val split = new java.sql.Timestamp(hi.getTime - 3L * 86400 * 1000)
+        Incremental.update(s, ev.filter(col("ts") < lit(split)), store.toString)
+        Incremental.update(s, ev, store.toString)
+        s.read.parquet(store.toString)
+          .select(date_format(col("bucket"), fmt).as("bucket"),
+            col("series").as("event_type"),
+            col("open"), col("high"), col("low"), col("close"),
+            round(col("volume"), 4).as("volume"), col("trades"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
     // ---- sessionization: 30-min inactivity gap per user -----------------
     Reg("sessionize_30m",
       (s, dir) => TimeSeries.sessionize(Tables(s, dir).events, 1800)

@@ -10,24 +10,31 @@ import org.apache.spark.sql.functions._
   * now single-pass (no cache at all); this spec pins that down. */
 class CacheLifecycleSpec extends SparkSpec {
 
-  private def persistentRddCount: Int =
-    spark.sparkContext.getPersistentRDDs.size
+  // Plan-level, not getPersistentRDDs-count: suites share one
+  // SparkContext and run in parallel, so a global block-manager count
+  // races with other suites' legitimate localCheckpoint/cache blocks.
+  // The regression being guarded — an operator registering a cache the
+  // caller can never release — shows up deterministically as an
+  // InMemoryRelation in the operator's own resolved plan.
+  private def assertNoCache(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    df.count() // force execution: cache registration happens eagerly at .cache()
+    val withCached = df.queryExecution.withCachedData.toString
+    assert(!withCached.contains("InMemoryRelation"),
+      s"$what plan pulls a cached relation:\n${withCached.take(600)}")
+  }
 
-  test("text + vector LSH paths leave nothing in the block manager across 3 reps") {
+  test("text + vector LSH paths register no cached relations across 3 reps") {
     val dir = sf("sf0.001")
     val docs = Tables(spark, dir).documents
     val emb = Tables(spark, dir).embeddings
-    val before = persistentRddCount
     for (_ <- 1 to 3) {
-      graft.text.TextOps.nearDupPairs(docs, n = 3, bands = 8, rowsPerBand = 2,
-        minJaccard = 0.5).count()
-      graft.vec.VecOps.lshScoredPairs(emb, planes = 12, tables = 6,
-        directed = false).count()
-      graft.vec.VecOps.lshCandidatePairs(emb, planes = 12, tables = 2,
-        directed = true).count()
+      assertNoCache(graft.text.TextOps.nearDupPairs(docs, n = 3, bands = 8,
+        rowsPerBand = 2, minJaccard = 0.5), "nearDupPairs")
+      assertNoCache(graft.vec.VecOps.lshScoredPairs(emb, planes = 12, tables = 6,
+        directed = false), "lshScoredPairs")
+      assertNoCache(graft.vec.VecOps.lshCandidatePairs(emb, planes = 12, tables = 2,
+        directed = true), "lshCandidatePairs")
     }
-    assert(persistentRddCount == before,
-      s"persistent RDDs grew: $before -> $persistentRddCount")
   }
 
   test("single-pass LSH candidates match the self-join formulation (text)") {

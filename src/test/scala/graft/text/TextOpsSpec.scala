@@ -64,4 +64,23 @@ class TextOpsSpec extends SparkSpec {
     val v = Seq(("a")).toDF("x").select(TextOps.hash60(col("x"))).as[Long].head()
     assert(v == 57446577476672362L) // cross-checked against DuckDB '0x'||substr(md5('a'),1,15)
   }
+
+  test("connected components: chain, triangle, isolated pair, min labels") {
+    // components: {1,2,3,4} (a chain — needs >1 propagation round),
+    // {10,11,12} (triangle), {20,21} (isolated pair)
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("doc_a", "doc_b")
+    val got = TextOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: long chain converges within diameter rounds") {
+    // a 12-node path: worst-case diameter for min-label propagation
+    val pairs = (0L until 11L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val got = TextOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 12 && got.values.forall(_ == 0L))
+  }
 }
