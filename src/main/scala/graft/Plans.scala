@@ -19,7 +19,13 @@ object Plans {
       "cosine_neardup_pairs", "knn_label_purity", "ann_lsh_topk",
       "mm_binary_features",
       // late round-2: the native as-of exec and the remaining ANN paths
-      "asof_purchase_click_native", "ann_multiprobe_topk", "ivf_ann_topk")
+      "asof_purchase_click_native", "ann_multiprobe_topk", "ivf_ann_topk",
+      // round-3: outer joins, tolerance as-of, windowed EMA, dup clusters
+      // (iterative; the printed plan is the final cluster aggregation),
+      // and the incremental store read-back (day-partitioned scan)
+      "join_right_outer_customers", "join_full_outer_user_activity",
+      "asof_purchase_click_tolerance", "ema_window_8",
+      "neardup_dup_groups", "incremental_candles_store")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -108,6 +108,100 @@ object TextQueries {
         FROM comp GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- deterministic hash sampling (corpus subsampling) ---------------
+    // The 100 TB subsampling op: a pure filter on a content-independent
+    // doc_id hash — no shuffle, no RNG (Spark's sample() is seed+partition
+    // dependent, unreproducible across engines and relayouts; an md5
+    // bucket is stable under repartitioning, engine-portable, and gives
+    // the same split every run). Also the train/test-split primitive.
+    Reg("sample_hash_10pct",
+      (s, dir) => Tables(s, dir).documents
+        .filter(TextOps.hash60(col("doc_id").cast("string")) % 10 === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+        ORDER BY doc_id
+      """)),
+
+    // ---- stratified sampling: fixed quota per stratum -------------------
+    // Balanced per-source quotas via row_number over the hash order —
+    // the "N examples per domain/language" curation op. One shuffle on
+    // the stratum key; the hash order makes the quota deterministic and
+    // engine-portable (ties broken by doc_id).
+    Reg("sample_stratified_source",
+      (s, dir) => {
+        val h = TextOps.hash60(col("doc_id").cast("string"))
+        val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+        Tables(s, dir).documents
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("source"), col("rn"), col("doc_id"), col("lang"))
+          .orderBy("source", "rn")
+      },
+      Some("""
+        WITH r AS (
+          SELECT source, doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                            doc_id) AS rn
+          FROM documents)
+        SELECT source, rn, doc_id, lang
+        FROM r WHERE rn <= 20
+        ORDER BY source, rn
+      """)),
+
+    // ---- end-to-end curation funnel (integration showcase) --------------
+    // The canonical corpus-curation pipeline as ONE query: language
+    // filter → quality threshold → exact-dedup survivors, with per-stage
+    // counts. One row out, all BIGINT: at 100 TB each stage is a filter
+    // or hash-agg over the previous — the funnel adds no join beyond the
+    // final single-row cross of two aggregates. Threshold 0.7 compares
+    // identical 4-dp doubles on both engines (quality_score hash-matches),
+    // so the stage sets agree exactly.
+    Reg("curation_funnel",
+      (s, dir) => {
+        val t = TextOps.tokens(col("text"))
+        val stopArr = array(stopwords.map(lit): _*)
+        val scored = Tables(s, dir).documents.select(
+          col("doc_id"), col("lang"), col("text"),
+          round(
+            round(size(array_distinct(t)).cast("double") / size(t), 4) * 0.4 +
+              (lit(1.0) - round(size(array_intersect(array_distinct(t), stopArr)).cast("double")
+                / size(array_distinct(t)), 4)) * 0.6, 4).as("quality"))
+        val counts = scored.agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("lang") === "en", 1)).as("n_lang_en"),
+          count(when(col("lang") === "en" && col("quality") >= 0.7, 1)).as("n_quality"))
+        val survivors = scored
+          .filter(col("lang") === "en" && col("quality") >= 0.7)
+          .groupBy(md5(lower(trim(col("text")))))
+          .agg(min(col("doc_id")).as("keep_id"))
+          .agg(count(lit(1)).as("n_after_dedup"))
+        counts.crossJoin(survivors)
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, text, string_split(trim(text), ' ') AS ws FROM documents),
+        f AS (SELECT doc_id, lang, text,
+                     round(round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) * 0.4 +
+                           (1.0 - round(CAST(len(list_intersect(list_distinct(ws),
+                              ${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) AS DOUBLE)
+                              / len(list_distinct(ws)), 4)) * 0.6, 4) AS quality
+              FROM t),
+        c AS (SELECT count(*) AS n_total,
+                     count(*) FILTER (lang = 'en') AS n_lang_en,
+                     count(*) FILTER (lang = 'en' AND quality >= 0.7) AS n_quality
+              FROM f),
+        d AS (SELECT count(*) AS n_after_dedup FROM (
+                SELECT min(doc_id) FROM f
+                WHERE lang = 'en' AND quality >= 0.7
+                GROUP BY md5(lower(trim(text)))))
+        SELECT n_total, n_lang_en, n_quality, n_after_dedup FROM c, d
+      """)),
+
     // ---- SimHash fingerprints (md5-derived, engine-portable) ------------
     Reg("simhash_fingerprint",
       (s, dir) => TextOps.simhash(Tables(s, dir).documents)

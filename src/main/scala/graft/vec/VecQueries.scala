@@ -35,6 +35,35 @@ object VecQueries {
 
   val all: Seq[Reg] = Seq(
 
+    // ---- embedding hygiene validation (norms ≈ 1) -----------------------
+    // Ingest-time sanity for a vector store: per-vector squared L2 norm
+    // via the codegen self-dot, graded on the corpus summary. Zero
+    // shuffles before the single-row aggregate; the per-row norm is the
+    // identical index-ordered IEEE sum on both engines, so the rounded
+    // min/max hash-match exactly.
+    Reg("embedding_norm_check",
+      (s, dir) => {
+        graft.functions.DotF32.register(s)
+        Tables(s, dir).embeddings
+          .withColumn("norm2", expr("dot_f32(embedding, embedding)"))
+          .agg(
+            count(lit(1)).as("n_vectors"),
+            count(when(abs(col("norm2") - 1.0) < 0.001, 1)).as("n_unit_norm"),
+            round(min(col("norm2")), 6).as("min_norm2"),
+            round(max(col("norm2")), 6).as("max_norm2"))
+      },
+      Some("""
+        WITH n AS (SELECT vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS norm2
+                   FROM embeddings)
+        SELECT count(*) AS n_vectors,
+               count(*) FILTER (abs(norm2 - 1.0) < 0.001) AS n_unit_norm,
+               round(min(norm2), 6) AS min_norm2,
+               round(max(norm2), 6) AS max_norm2
+        FROM n
+      """)),
+
     // ---- brute-force cosine top-5 (the honest quadratic baseline) -------
     Reg("cosine_topk_brute",
       (s, dir) => VecOps.topK(VecOps.bruteForceScores(Tables(s, dir).embeddings), 5)
