@@ -731,6 +731,62 @@ object RelQueries {
         ORDER BY o_orderkey
       """)),
 
+    // ---- per-group top-k via the bounded-heap Aggregator ----------------
+    // (§2.10: the scale-true per-group top-k — partial aggregation moves
+    // k rows per map partition per group, not whole sorted groups; graded
+    // against the window row_number oracle, same total order
+    // (price DESC, partkey ASC) on both sides.)
+    Reg("topk_heap_parts_by_brand",
+      (s, dir) => {
+        val topk = udaf(new graft.functions.TopKAggregator(3),
+          org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+        Tables(s, dir).part
+          .groupBy(col("p_brand"))
+          .agg(topk(col("p_retailprice"), col("p_partkey")).as("top"))
+          .select(col("p_brand"), posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("p_brand"), (col("i") + 1).cast("int").as("rank"),
+            col("t.id").as("p_partkey"), col("t.score").as("p_retailprice"))
+          .orderBy("p_brand", "rank")
+      },
+      Some("""
+        WITH r AS (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rank
+          FROM part)
+        SELECT p_brand, CAST(rank AS INT) AS rank, p_partkey, p_retailprice
+        FROM r WHERE rank <= 3
+        ORDER BY p_brand, rank
+      """)),
+
+    // ---- percent_rank / cume_dist / ntile (completes §2.5 ranking) ------
+    // All three share one window spec (one sort pass); the orderBy is
+    // made total with the orderkey tiebreak so ntile's row order — and
+    // hence its bucket assignment — is deterministic on both engines.
+    // percent_rank/cume_dist are integer-ratio doubles: identical ops,
+    // no rounding needed.
+    Reg("window_rank_ratios",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, dir).orders
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey
+      """)),
+
     // ---- RIGHT outer join with an unmatched-side filter -----------------
     // (completes the §2.3 outer-join row: orders ⟖ customer keeping
     // customers whose filtered order stream is empty — the right-outer

@@ -360,6 +360,35 @@ object StreamQueries {
         ORDER BY p_id, c_ts
       """)),
 
+    // ---- streaming → batch composition: gap detection on streamed candles
+    // The live-tsdb monitoring shape: the candle table is maintained by a
+    // streaming query, and the batch gap detector runs over the drained
+    // result — grading that the two layers compose (same oracle as the
+    // all-batch gap_detect_1h).
+    Reg("streaming_gap_detect",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val candles = readEventsStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("trades"))
+        val present = drainComplete(candles)
+          .select(col("event_type").as("series"), col("window.start").as("bucket"))
+        graft.ts.TimeSeries.gapDetect(present, 3600)
+          .select(col("series").as("event_type"),
+            date_format(col("bucket"), fmt).as("bucket"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""
+        WITH c AS (SELECT event_type AS s, date_trunc('hour', ts) AS b
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT s, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1),
+        sp AS (SELECT s, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM r)
+        SELECT sp.s AS event_type, strftime(sp.b, '%Y-%m-%d %H:%M:%S') AS bucket
+        FROM sp LEFT JOIN c ON c.s = sp.s AND c.b = sp.b
+        WHERE c.b IS NULL
+        ORDER BY 1, 2
+      """)),
+
     // ---- arbitrary-state running counts via flatMapGroupsWithState ------
     // The second arbitrary-state API, graded: per-user running event
     // counts drained in update mode — the LAST update per key is the

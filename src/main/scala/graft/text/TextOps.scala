@@ -123,6 +123,34 @@ object TextOps {
     exactJaccard(cand, docs, n).filter(col("jaccard") >= minJaccard)
   }
 
+  /** SimHash near-duplicate pairs at Hamming distance <= maxHd, banded by
+    * `chunks` equal bit-chunks of the fingerprint (the classic simhash
+    * dedup index): by pigeonhole, hd <= chunks−1 implies at least one
+    * identical chunk, so for maxHd < chunks the chunk join has EXACT
+    * recall — no probabilistic miss. The only all-docs shuffle is the
+    * (chunk_idx, chunk_value) grouping (same single-pass pair expansion
+    * as [[lshCandidates]]); the final bit_count(xor) filter touches only
+    * candidates. At 100 TB this is Σ bucket², never n². */
+  def simhashNearDupPairs(docs: DataFrame, chunks: Int, bitsPerChunk: Int,
+                          maxHd: Int): DataFrame = {
+    require(maxHd < chunks, "pigeonhole recall needs maxHd < chunks")
+    val mask = (1L << bitsPerChunk) - 1
+    val chunked = simhash(docs).select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        s"transform(sequence(0, ${chunks - 1}), c -> shiftright(simhash, c * $bitsPerChunk) & $mask)"))
+        .as(Seq("c", "ck")))
+    chunked.groupBy(col("c"), col("ck"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "b -> struct(a.doc_id AS doc_a, a.simhash AS sh_a, b.doc_id AS doc_b, b.simhash AS sh_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        expr("bit_count(p.sh_a ^ p.sh_b)").as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxHd)
+  }
+
   /** Connected components over an undirected pair relation (the corpus-
     * dedup step AFTER near-dup pairs: pairs → clusters → one survivor per
     * cluster). Iterative min-label propagation: every round each node

@@ -218,6 +218,31 @@ object TextQueries {
         FROM bits GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- SimHash near-dup pairs via chunk banding (hd <= 1) -------------
+    // The scale path for simhash dedup: 2 chunks of 30 bits — pigeonhole
+    // gives EXACT recall for hd <= 1, so the banded equi-join provably
+    // equals the oracle's brute-force all-pairs scan.
+    Reg("simhash_neardup_pairs",
+      (s, dir) => TextOps.simhashNearDupPairs(Tables(s, dir).documents,
+          chunks = 2, bitsPerChunk = 30, maxHd = 1)
+        .orderBy("doc_a", "doc_b"),
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+                     FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+        bits AS (SELECT doc_id, i,
+                        sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM h, range(60) t(i) GROUP BY 1, 2),
+        sh AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+               FROM bits GROUP BY 1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        ORDER BY 1, 2
+      """)),
+
     // ---- token statistics (counting + type-token ratio) -----------------
     Reg("token_stats",
       (s, dir) => {

@@ -73,6 +73,23 @@ class EdgeCasesSpec extends SparkSpec {
     assert(j.getAs[Double]("jaccard") == 0.0)
   }
 
+  test("connected components of an empty pair relation is empty, converges") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.text.TextOps.connectedComponents(pairs).count() == 0)
+  }
+
+  test("simhash near-dup pairs: singleton corpus yields no pairs; self-pairs never emitted") {
+    import spark.implicits._
+    val one = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(graft.text.TextOps.simhashNearDupPairs(one, 2, 30, 1).count() == 0)
+    // two identical docs: exactly one (a < b) pair at hd 0
+    val two = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.simhashNearDupPairs(two, 2, 30, 1).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L && got(0).getLong(1) == 2L
+      && got(0).getInt(2) == 0)
+  }
+
   test("zscore on a constant series (stddev 0) yields no outliers, no NaN crash") {
     val const = Seq.tabulate(5)(i =>
       (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-05 10:0$i:00"), 7L, "click", 1.0))
