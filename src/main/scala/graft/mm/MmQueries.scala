@@ -27,6 +27,26 @@ object MmQueries {
         FROM documents ORDER BY doc_id
       """)),
 
+    // ---- same features through the imperative per-partition codec seam --
+    // (the mapPartitions RDD hop a REAL image/audio codec drops into,
+    // MultiModal.extractFeaturesViaCodec): graded by the IDENTICAL oracle
+    // as mm_binary_features, proving the iterator-in/iterator-out seam
+    // end to end — schema, row conversion, partition iteration — not just
+    // declaring it. Kept separate from the columnar path, which remains
+    // the recommended (codegen, zero-RDD-hop) formulation.
+    Reg("mm_binary_features_codec",
+      (s, dir) => MultiModal.extractFeaturesViaCodec(
+          Tables(s, dir).documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               md5(text) AS content_md5,
+               CAST(ascii(substr(text, 1, 1)) AS INT) AS head_cp,
+               CAST((octet_length(encode(text)) - 1) // 16 + 1 AS INT) AS n_frames
+        FROM documents ORDER BY doc_id
+      """)),
+
     // ---- fixed-stride frame sampling over binary ------------------------
     Reg("mm_frame_sample",
       (s, dir) => MultiModal.sampleFrames(

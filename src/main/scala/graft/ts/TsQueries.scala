@@ -69,6 +69,52 @@ object TsQueries {
         ORDER BY 1, 2
       """)),
 
+    // ---- CSV sink round-trip: the reference's serving format, graded ----
+    // candles → write CSV (header, Spark's shortest-round-trip double
+    // repr) → read back with an EXPLICIT schema → same candle oracle.
+    // Grades serialization fidelity (quoting, header, float round-trip,
+    // BIGINT parse) end to end, not just the SinksSpec round-trip. The
+    // CSV copy is rebuilt per invocation (content-keyed scratch dir,
+    // deleted first — the incremental-store pattern): the graded result
+    // never depends on a previous run's files. Read-back re-sorts: CSV
+    // part-file order is not a data order.
+    Reg("csv_roundtrip_candles",
+      (s, dir) => {
+        val candles = TimeSeries.candles(Tables(s, dir).events, "hour")
+          .select(
+            date_format(col("bucket"), fmt).as("bucket"),
+            col("series").as("event_type"),
+            col("open"), col("high"), col("low"), col("close"),
+            round(col("volume"), 4).as("volume"),
+            col("trades"))
+        val src = java.nio.file.Paths.get(dir, "events.parquet")
+        val key = Integer.toHexString((dir + "|csv|" +
+          java.nio.file.Files.getLastModifiedTime(src).toMillis + "|" +
+          java.nio.file.Files.size(src)).hashCode)
+        val out = java.nio.file.Paths.get(s"/dev/shm/graft-csv/$key")
+        graft.sources.Fixtures.delete(out)
+        graft.sources.Sinks.writeCsv(candles, out.toString)
+        s.read
+          .schema("bucket STRING, event_type STRING, open DOUBLE, high DOUBLE, " +
+            "low DOUBLE, close DOUBLE, volume DOUBLE, trades BIGINT")
+          .option("header", "true")
+          .csv(out.toString)
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
     // ---- sub-hour fixed-width buckets (date_trunc can't do 15 min) ------
     Reg("candles_15m",
       (s, dir) => TimeSeries.candlesFixed(Tables(s, dir).events, 900)
