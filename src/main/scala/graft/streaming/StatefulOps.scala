@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary-state streaming operators (SURVEY.md §2.9): running per-key
   * counters via flatMapGroupsWithState, and a per-series EMA via Spark 4's
@@ -54,6 +54,76 @@ object StatefulOps {
       cur.foreach(ema.update)
       out.iterator
     }
+  }
+
+  /** Per-series gap alarm via transformWithState with EVENT-TIME TIMERS —
+    * the live-tsdb "data stopped flowing" monitor, and the op that
+    * exercises the timer half of the arbitrary-state API. Two alarm paths:
+    *
+    *  - "mid": a successor event arrives more than `gapUs` after its
+    *    predecessor → the predecessor's gap is alarmed at detection time
+    *    (deterministic under replay: depends only on the data order).
+    *  - "final": no successor ever arrives — the per-key timer, re-armed
+    *    at lastTs+gap on every batch, fires once the event-time watermark
+    *    passes it and the alarm is emitted from handleExpiredTimer. The
+    *    emitted set is watermark-deterministic: finals fire iff
+    *    last_ts + gap <= final watermark (= max(ts) − delay).
+    *
+    * Replay contract (what makes the op DuckDB-oracle-able): the graded
+    * fixture arrives in ONE micro-batch (single parquet file source), so
+    * mid-gaps are all detected before any timer can fire. On a live
+    * multi-batch stream a mid-gap whose successor arrives only after the
+    * watermark passed lastTs+gap alarms TWICE (final, then mid when data
+    * resumes) — that is the correct live-monitoring semantics, covered by
+    * the controlled-epoch GapAlarmSpec. State: one long per series. */
+  class GapAlarmProcessor(gapUs: Long)
+      extends StatefulProcessor[String, (String, java.sql.Timestamp, Long), (String, Long, String)] {
+    @transient private var last: ValueState[Long] = _ // last event ts, µs
+
+    private def expiryMs(lastUs: Long): Long = lastUs / 1000 + gapUs / 1000
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Long]("last", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+                                 timerValues: TimerValues): Iterator[(String, Long, String)] = {
+      // sort within the micro-batch (bounded by per-key batch size) so
+      // gap detection is shuffle-arrival-order independent
+      val ts = rows.map(_._3).toArray.sorted
+      var prev = if (last.exists()) Some(last.get()) else None
+      // re-arm: drop the timer guarding the previous batch's tail event
+      prev.foreach(p => getHandle.deleteTimer(expiryMs(p)))
+      val out = Seq.newBuilder[(String, Long, String)]
+      for (t <- ts) {
+        prev.foreach(p => if (t - p > gapUs) out += ((key, p, "mid")))
+        prev = Some(t)
+      }
+      prev.foreach { p =>
+        last.update(p)
+        getHandle.registerTimer(expiryMs(p))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, Long, String)] =
+      // guard against a stale timer from a superseded tail event (delete
+      // + watermark advance can race within one batch)
+      if (last.exists() && expiryMs(last.get()) == expiredTimerInfo.getExpiryTimeInMs)
+        Iterator((key, last.get(), "final"))
+      else Iterator.empty
+  }
+
+  /** events(event_type, ts) → (series, lastEventMicros, "mid"|"final")
+    * alarm rows; `delay` is the watermark delay gating final alarms. */
+  def gapAlarms(df: DataFrame, gapUs: Long, delay: String): Dataset[(String, Long, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withWatermark("ts", delay)
+      .select(col("event_type"), col("ts"), unix_micros(col("ts")))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new GapAlarmProcessor(gapUs), TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** events(event_type, ts, value) → (series, epochMicros, ema). */

@@ -360,6 +360,96 @@ object StreamQueries {
         ORDER BY p_id, c_ts
       """)),
 
+    // ---- stream-stream LEFT OUTER interval join -------------------------
+    // The attribution query users actually run: purchases WITH OR WITHOUT
+    // a prior click within 5 minutes. Matches emit as found; a purchase
+    // with no match emits null-extended once its state is evicted — which
+    // happens when the join watermark passes p_ts (no future click with
+    // c_ts <= p_ts can arrive). The watermark is computed per side on its
+    // own FILTERED stream and the join uses the min — so the cutoff is
+    // least(max purchase ts, max click ts) − 1 h, which the oracle
+    // mirrors; unmatched purchases newer than that stay in state when the
+    // drain stops (they'd emit when more data advanced the watermark) and
+    // appear on neither side. Null join
+    // columns are coalesced to sentinels ('' / −1.0) on both sides — the
+    // cross-engine NULL-float hashing trap (see Reg.scala doc).
+    Reg("streaming_join_outer",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val p = readEventsStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val c = readEventsStream(s, dir).filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("value").as("c_val"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = p.join(c,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+        drainAppend(joined)
+          .select(col("p_id"), col("p_user").as("user_id"),
+            date_format(col("p_ts"), fmt).as("p_ts"),
+            coalesce(date_format(col("c_ts"), fmt), lit("")).as("c_ts"),
+            coalesce(col("c_val"), lit(-1.0)).as("c_val"))
+          .orderBy("p_id", "c_ts")
+      },
+      Some("""
+        SELECT p.event_id AS p_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+               coalesce(strftime(c.ts, '%Y-%m-%d %H:%M:%S'), '') AS c_ts,
+               coalesce(c.value, -1.0) AS c_val
+        FROM events p LEFT JOIN events c
+          ON p.user_id = c.user_id AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 5 MINUTES AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+          AND (c.ts IS NOT NULL
+               OR p.ts < (SELECT least(max(ts) FILTER (event_type = 'purchase'),
+                                       max(ts) FILTER (event_type = 'click'))
+                            - INTERVAL 1 HOUR FROM events))
+        ORDER BY p_id, c_ts
+      """)),
+
+    // ---- EVENT-TIME TIMERS: per-series gap alarms (transformWithState) --
+    // Mid-stream gaps alarm when the successor arrives; the per-series
+    // tail event alarms from a TIMER firing when the watermark passes
+    // last_ts + 30 min (delay 0: final watermark = max(ts)). See
+    // StatefulOps.GapAlarmProcessor for the replay contract.
+    Reg("streaming_gap_alarm",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val alarms = StatefulOps.gapAlarms(readEventsStream(s, dir),
+              gapUs = 1800L * 1000000L, delay = "0 seconds")
+            .toDF("event_type", "ts_us", "kind")
+          drain(alarms, "update")
+            .select(col("event_type"),
+              date_format(timestamp_micros(col("ts_us")), fmt).as("last_ts"),
+              col("kind"))
+            .orderBy("event_type", "last_ts")
+        } finally prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""
+        WITH e AS (SELECT event_type, ts,
+                          lead(ts) OVER (PARTITION BY event_type ORDER BY ts) AS nxt
+                   FROM events)
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               CASE WHEN nxt IS NULL THEN 'final' ELSE 'mid' END AS kind
+        FROM e
+        WHERE (nxt IS NOT NULL AND epoch_us(nxt) - epoch_us(ts) > 1800000000)
+           OR (nxt IS NULL AND ts + INTERVAL 30 MINUTES <= (SELECT max(ts) FROM events))
+        ORDER BY 1, 2
+      """)),
+
     // ---- streaming → batch composition: gap detection on streamed candles
     // The live-tsdb monitoring shape: the candle table is maintained by a
     // streaming query, and the batch gap detector runs over the drained

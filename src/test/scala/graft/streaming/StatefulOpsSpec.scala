@@ -36,6 +36,57 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got == Map(5L -> 2L, 6L -> 1L))
   }
 
+  test("transformWithState gap alarm: event-time timers fire, re-arm, and survive resumed data") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long)] // (series, epoch µs)
+      val alarms = StatefulOps.gapAlarms(
+        input.toDF().toDF("event_type", "us")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"),
+        gapUs = 10_000_000L, delay = "0 seconds")
+      val q = alarms.toDF("series", "ts_us", "kind")
+        .writeStream.format("memory").queryName("tws_gap").outputMode("update")
+        .option("checkpointLocation",
+          s"/dev/shm/graft-ckpt/twsgap_${java.util.UUID.randomUUID().toString.take(8)}")
+        .start()
+      def got(): Set[(String, Long, String)] = spark.table("tws_gap")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      // all times offset by +100 s: EventTime mode drops rows at or below
+      // the current watermark, and the INITIAL watermark is 0 — an event
+      // at exactly t=0 would be discarded as late before the processor
+      // ever saw it
+      val t0 = 100_000_000L
+      try {
+        // epoch 1: a@+0s, a@+5s (same batch: a@+0's timer must be re-armed
+        // away, no alarm), b@+0s. Watermark after: +5 s < all timers.
+        input.addData(("a", t0), ("a", t0 + 5_000_000L), ("b", t0))
+        q.processAllAvailable()
+        assert(got().isEmpty, s"no timer may fire before the watermark moves: ${got()}")
+        // epoch 2: a@+40s → mid alarm for a@+5 at detection; watermark →
+        // +40 s, so b's timer (+0 s + 10 s) fires in the trailing no-data
+        // batch: final alarm for b@+0. a's re-armed timer (+50 s) must NOT.
+        input.addData(("a", t0 + 40_000_000L))
+        q.processAllAvailable()
+        assert(got() == Set(("a", t0 + 5_000_000L, "mid"), ("b", t0, "final")), got().toString)
+        // epoch 3: b resumes at +200 s → the documented live double-alarm:
+        // b@+0 already alarmed "final", now also alarms "mid". The +200 s
+        // watermark also fires a's re-armed timer (+50 s): final for a@+40.
+        input.addData(("b", t0 + 200_000_000L))
+        q.processAllAvailable()
+        assert(got() == Set(("a", t0 + 5_000_000L, "mid"), ("b", t0, "final"), ("b", t0, "mid"),
+          ("a", t0 + 40_000_000L, "final")), got().toString)
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState EMA: streaming recurrence equals hand-computed, state survives batches") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state-store provider
