@@ -194,17 +194,26 @@ object TextOps {
 
   /** 60-bit SimHash over distinct tokens: bit i of the fingerprint is set
     * iff the sum of ±1 contributions (per-token hash bit i) is positive.
-    * Two hash-aggregates over an exploded (doc × token × bit) relation. */
+    *
+    * Single-pass formulation: the ±1 sum over tokens equals
+    * 2·(count of tokens with bit i set) − n_tokens, so the whole
+    * fingerprint is ONE hash-aggregate of 60 per-bit sums + a count —
+    * partial aggregation compacts each map partition to one 61-column row
+    * per doc before the shuffle. The previous formulation exploded every
+    * token into 60 bit-rows (a 60× shuffle fan-out of the text hot path);
+    * TextOpsSpec pins the plan to a single Generate (the token explode)
+    * and a single aggregation level. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(tokens(col("text")))).as("w"))
       .withColumn("hv", hash60(col("w")))
-    tok
-      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("i"))
-      .withColumn("contrib", when(expr("(hv >> i) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+    val bitSums = (0 until 60).map(i => sum(expr(s"(hv >> $i) & 1")).as(s"c$i")) :+
+      count(lit(1)).as("n")
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(i =>
+          when(col(s"c$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 }

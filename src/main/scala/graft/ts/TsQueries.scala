@@ -336,6 +336,40 @@ object TsQueries {
         ORDER BY p.event_id
       """)),
 
+    // ---- range-bucketed as-of: the SKEW-PROOF variant -------------------
+    // Deliberately KEYLESS (the ultimate hot key): every purchase joins
+    // the most recent click anywhere — "latest global quote". The native
+    // exec would serialize this into one task (ClusteredDistribution on
+    // the key); AsofBucketed spreads it over 1-hour time buckets instead,
+    // so the plan parallelizes by time. Same DuckDB ASOF oracle as the
+    // keyed variants. First click precedes first purchase in the fixture,
+    // but the null path is mirrored anyway (sentinel coalesce).
+    Reg("asof_bucketed_global_click",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts").as("c_ts"), col("value").as("c_val"))
+        AsofBucketed.asofJoin(purchases, clicks, leftId = "p_id",
+            keys = Nil, leftTs = "p_ts", rightTs = "c_ts",
+            payload = Seq("c_val"), bucketUs = 3600L * 1000000L)
+          .select(col("p_id"), date_format(col("p_ts"), fmt).as("p_ts"),
+            coalesce(date_format(col("c_ts"), fmt), lit("")).as("c_ts"),
+            coalesce(col("c_val"), lit(-1.0)).as("c_val"))
+          .orderBy("p_id")
+      },
+      Some("""
+        SELECT p.event_id AS p_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+               coalesce(strftime(c.ts, '%Y-%m-%d %H:%M:%S'), '') AS c_ts,
+               coalesce(c.value, -1.0) AS c_val
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT ts, value FROM events WHERE event_type = 'click') c
+          ON p.ts >= c.ts
+        ORDER BY p_id
+      """)),
+
     // ---- 8-step windowed EMA (batch recurrence surface) -----------------
     // The bounded-window closed form of the EMA recurrence with α = 1/2:
     // weights (64,32,16,8,4,2,1,1)/128 over the last 8 values — the exact

@@ -181,7 +181,8 @@ object VecOps {
     * non-increasing per step (asserted in VecOpsSpec). Mean-dim
     * reassembly goes through a position-keyed map, not collect_list,
     * so it is shuffle-order independent. */
-  def lloydStep(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  def lloydStep(emb: DataFrame, centroids: DataFrame,
+                snap: Boolean = false): DataFrame = {
     graft.functions.DotF32.register(emb.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
@@ -191,10 +192,17 @@ object VecOps {
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .select(col("cid"), col("embedding"))
+    // snap: quantize each mean to the 1e-4 grid (the integer-scaled vwap
+    // pattern) so a DuckDB oracle can mirror the iteration exactly — the
+    // raw float mean is summation-order sensitive in its last ulps, the
+    // snapped one only at a round() boundary
+    val mean =
+      if (snap) (round(avg(col("v")) * 10000) / 10000).as("m")
+      else avg(col("v")).as("m")
     assigned
       .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "v")))
       .groupBy(col("cid"), col("i"))
-      .agg(avg(col("v")).as("m"))
+      .agg(mean)
       .groupBy(col("cid"))
       .agg(map_from_arrays(collect_list(col("i")), collect_list(col("m"))).as("dims"))
       .select(col("cid"),
@@ -210,17 +218,27 @@ object VecOps {
     * candidates in them. At 100 TB: assignment is a broadcast of `lists`
     * small rows against a scan (no shuffle of the big side beyond the
     * cell-keyed candidate join), candidate cost ∝ probed-cell sizes. */
-  def ivfTopK(emb: DataFrame, lists: Int, probes: Int, k: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, lists: Int, probes: Int, k: Int): DataFrame =
+    ivfSearch(emb, seedCentroids(emb, lists), probes, k)
+
+  /** Deterministic IVF seed centroids: the `lists` vectors with the
+    * smallest md5-derived hash of their id (portable to DuckDB, unlike a
+    * random sample). */
+  def seedCentroids(emb: DataFrame, lists: Int): DataFrame = emb
+    .withColumn("_h", expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+    .orderBy(col("_h"), col("vec_id")).limit(lists)
+    .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** IVF search against a given (cid, ce) centroid table: assign every
+    * vector to its nearest centroid (one O(n·lists) broadcast pass — the
+    * linear IVF build cost), let each query probe its `probes` nearest
+    * cells, rank candidates in them. */
+  def ivfSearch(emb: DataFrame, centroids: DataFrame, probes: Int, k: Int): DataFrame = {
     graft.functions.DotF32.register(emb.sparkSession)
-    val seeds = emb
-      .withColumn("_h", expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
-      .orderBy(col("_h"), col("vec_id")).limit(lists)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    // nearest-centroid ranking per vector: one broadcast O(n·lists) pass
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
     val ranked = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(seeds))
+      .crossJoin(broadcast(centroids))
       .withColumn("cd", expr("dot_f32(embedding, ce)"))
       .withColumn("crank", row_number().over(wAssign))
     val cells = ranked.filter(col("crank") === 1)
@@ -233,5 +251,18 @@ object VecOps {
       .withColumn("score", expr("dot_f32(qe, ne)"))
       .select("qid", "nid", "score")
     topK(scores, k)
+  }
+
+  /** IVF with `iters` snapped Lloyd refinements of the seed centroids —
+    * the full distributed k-means-refined ANN build, DuckDB-oracle-able
+    * because every iteration's centroids live on the 1e-4 grid (see
+    * [[lloydStep]] snap). Each iteration is one broadcast assignment pass
+    * + one position-keyed mean (two shuffles of (cid, i) rows); the
+    * centroid table never leaves executor space. */
+  def lloydIvfTopK(emb: DataFrame, lists: Int, iters: Int, probes: Int,
+                   k: Int): DataFrame = {
+    var cent = seedCentroids(emb, lists)
+    for (_ <- 0 until iters) cent = lloydStep(emb, cent, snap = true)
+    ivfSearch(emb, cent, probes, k)
   }
 }

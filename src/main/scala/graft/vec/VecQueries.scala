@@ -201,6 +201,67 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
+    // ---- IVF ANN after 2 Lloyd refinement iterations --------------------
+    // The distributed k-means build graded end to end: seed centroids by
+    // md5-of-id, 2 Lloyd steps with means SNAPPED to the 1e-4 grid (the
+    // integer-scaled vwap pattern — raw float means are summation-order
+    // sensitive, snapped ones only at a round() boundary), then the same
+    // probe-2 search as ivf_ann_topk. The oracle replays both iterations
+    // exactly, so the hash-match is independent of k-means quality.
+    Reg("ivf_lloyd2_topk",
+      (s, dir) => VecOps.lloydIvfTopK(Tables(s, dir).embeddings,
+          lists = 16, iters = 2, probes = 2, k = 3)
+        .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank"),
+      Some(s"""
+        WITH seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 16),
+        a1 AS (
+          SELECT a.vec_id, a.embedding, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN seeds b ON true),
+        m1 AS (
+          SELECT cid, i.i AS i,
+                 CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
+          FROM a1, range(64) i(i) WHERE crank = 1 GROUP BY cid, i.i),
+        c1 AS (SELECT cid, list(mf ORDER BY i) AS ce FROM m1 GROUP BY cid),
+        a2 AS (
+          SELECT a.vec_id, a.embedding, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN c1 b ON true),
+        m2 AS (
+          SELECT cid, i.i AS i,
+                 CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
+          FROM a2, range(64) i(i) WHERE crank = 1 GROUP BY cid, i.i),
+        c2 AS (SELECT cid, list(mf ORDER BY i) AS ce FROM m2 GROUP BY cid),
+        ranked AS (
+          SELECT a.vec_id, a.embedding, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN c2 b ON true),
+        cells AS (SELECT vec_id AS nid, embedding AS ne, cid FROM ranked WHERE crank = 1),
+        probed AS (SELECT vec_id AS qid, embedding AS qe, cid FROM ranked WHERE crank <= 2),
+        scored AS (
+          SELECT p.qid, c.nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> p.qe[i]::DOUBLE * c.ne[i]::DOUBLE)) AS d
+          FROM probed p JOIN cells c ON p.cid = c.cid AND p.qid <> c.nid),
+        r AS (SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM scored)
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """)),
+
     // ---- embedding-cosine near-duplicate pairs (LSH-bucketed) -----------
     // Scale-shaped: candidates from 6 hash tables × 4 hyperplanes (recall
     // ≈ 1−(1−0.18)⁶ ≈ 0.69 at cos 0.45; higher for truer duplicates), then

@@ -1,0 +1,72 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+
+/** Plan-shape regression guards (VERDICT r3 #8): the bench's run-to-run
+  * noise floor (~2× on this host) can hide a refactor that silently adds
+  * a shuffle, so the exchange counts of the most expensive BATCH queries
+  * are pinned here. A failure means the physical plan changed — either
+  * revert the regression or consciously re-pin the count in this table
+  * with a note in the commit message.
+  *
+  * Counts are (ShuffleExchange, BroadcastExchange) of the pre-AQE
+  * physical plan at sf0.001 (plan shape is scale-invariant for these
+  * queries; AQE only coalesces/re-plans at runtime). Streaming drains and
+  * eager queries (incremental store, connected components, CSV write)
+  * execute work at build time and are deliberately not listed.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val pinned: Seq[(String, (Int, Int))] = Seq(
+    // hash-agg + sort: partial/final exchange + the ORDER BY range
+    "q1_pricing" -> (2, 0),
+    // one agg shuffle; dims broadcast (4-deep BHJ chain), top-k is
+    // TakeOrderedAndProject (no extra exchange)
+    "q3_revenue_topk" -> (1, 2),
+    "q5_region_revenue" -> (2, 4),
+    "candles_1h" -> (2, 0),
+    // declared quadratic baseline: repartition + window + sort, one
+    // broadcast for the nested-loop stream side
+    "cosine_topk_brute" -> (2, 1),
+    // single-pass LSH: ONE all-docs shuffle (band grouping) + pair
+    // dedup + jaccard join exchanges; the 2 broadcasts are the shingle
+    // sets joined to both pair sides
+    "neardup_minhash_lsh" -> (4, 2),
+    // chunk grouping + pair dedup + sort; no broadcast (self-contained)
+    "simhash_neardup_pairs" -> (4, 0),
+    "cosine_neardup_pairs" -> (3, 2),
+    // bucket equi-join + window + sort; neighbor side broadcast
+    "ann_multiprobe_topk" -> (2, 1),
+    "ivf_ann_topk" -> (6, 2),
+    // co-partition left + right + window + ORDER BY; ZERO broadcasts —
+    // the custom exec's whole point is two key-clustered exchanges
+    "asof_purchase_click_native" -> (4, 0),
+    "skew_salted_join_agg" -> (2, 1),
+    // bounded-heap typed aggregator: partial/final + ORDER BY only
+    "topk_heap_parts_by_brand" -> (2, 0),
+    "sessionize_30m" -> (2, 0),
+    "doc_fingerprint" -> (2, 0),
+    "tfidf_top_terms" -> (5, 1),
+    // bucketed as-of: more exchanges by design, all on compacted or
+    // bucket-keyed relations — the price of hot-key parallelism
+    "asof_bucketed_global_click" -> (7, 3))
+
+  private def shape(name: String): (Int, Int) = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    val plan: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    (plan.collect { case e: ShuffleExchangeExec => e }.size,
+      plan.collect { case e: BroadcastExchangeExec => e }.size)
+  }
+
+  for ((name, want) <- pinned)
+    test(s"plan shape pinned: $name $want") {
+      assert(shape(name) == want,
+        s"$name exchange counts moved — diff the .explain against the pinned note")
+    }
+}

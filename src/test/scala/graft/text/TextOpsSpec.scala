@@ -60,6 +60,33 @@ class TextOpsSpec extends SparkSpec {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("simhash plan: one Generate (token explode), one aggregation, one shuffle") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    // AQE wraps the plan and hides it from collect(); unwrap to the
+    // current physical plan (shape, not runtime re-optimization, is
+    // what's pinned here)
+    val plan = TextOps.simhash(docs).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val generates = plan.collect { case g: GenerateExec => g }
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    val aggs = plan.collect {
+      case a: HashAggregateExec => a
+      case a: ObjectHashAggregateExec => a
+      case a: SortAggregateExec => a
+    }
+    assert(generates.size == 1, s"exactly the token explode, no ×60 bit explode:\n$plan")
+    assert(shuffles.size == 1, s"one doc_id shuffle:\n$plan")
+    // one logical aggregation = 2 physical (partial + final); the old
+    // two-level formulation had 4
+    assert(aggs.size == 2, s"single aggregation level (partial+final):\n$plan")
+  }
+
   test("hash60 is non-negative and stable") {
     val v = Seq(("a")).toDF("x").select(TextOps.hash60(col("x"))).as[Long].head()
     assert(v == 57446577476672362L) // cross-checked against DuckDB '0x'||substr(md5('a'),1,15)
