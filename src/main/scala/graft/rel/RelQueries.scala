@@ -365,6 +365,31 @@ object RelQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- approx-percentile RANK-tolerance contract ----------------------
+    // The GK sketch guarantees rank error <= 1/accuracy, so the approx
+    // p-quantile must lie between the EXACT (p−2ε)- and (p+2ε)-quantiles
+    // — a mathematical certainty, not a flaky statistical check; DuckDB
+    // predicts the booleans, the exact quantiles anchor the hash.
+    Reg("approx_quantile_contract",
+      (s, dir) => Tables(s, dir).lineitem
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("exact_p95"),
+          expr("approx_percentile(l_extendedprice, 0.5, 100)")
+            .between(expr("percentile(l_extendedprice, 0.48)"),
+              expr("percentile(l_extendedprice, 0.52)")).as("p50_ok"),
+          expr("approx_percentile(l_extendedprice, 0.95, 100)")
+            .between(expr("percentile(l_extendedprice, 0.93)"),
+              expr("percentile(l_extendedprice, 0.97)")).as("p95_ok")),
+      Some("""
+        SELECT count(*) AS n,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+               true AS p50_ok, true AS p95_ok
+        FROM lineitem
+      """)),
+
     // ---- date/time function surface: ship-delay histogram ---------------
     Reg("date_functions",
       (s, dir) => {

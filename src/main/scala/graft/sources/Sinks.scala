@@ -24,4 +24,8 @@ object Sinks {
   /** CSV with header — the reference's serving format. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** JSON-lines — the interchange format LLM-pipeline corpora ship in. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
 }

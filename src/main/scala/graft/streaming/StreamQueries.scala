@@ -479,6 +479,146 @@ object StreamQueries {
         ORDER BY 1, 2
       """)),
 
+    // ---- APPEND-mode streaming → batch gap detection --------------------
+    // The scale-true twin of streaming_gap_detect: the candle table is
+    // maintained by a WATERMARKED append stream (state drops as windows
+    // close), and the batch gap detector runs over what was emitted. The
+    // oracle restricts the candle set to closed windows (end <= max(ts)
+    // − delay) and spans the spine over exactly those.
+    Reg("streaming_gap_detect_append",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val candles = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("trades"))
+        val present = drainAppend(candles)
+          .select(col("event_type").as("series"), col("window.start").as("bucket"))
+        graft.ts.TimeSeries.gapDetect(present, 3600)
+          .select(col("series").as("event_type"),
+            date_format(col("bucket"), fmt).as("bucket"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""
+        WITH c AS (SELECT event_type AS s, date_trunc('hour', ts) AS b
+                   FROM events GROUP BY 1, 2
+                   HAVING b + INTERVAL 1 HOUR
+                            <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTES),
+        r AS (SELECT s, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1),
+        sp AS (SELECT s, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM r)
+        SELECT sp.s AS event_type, strftime(sp.b, '%Y-%m-%d %H:%M:%S') AS bucket
+        FROM sp LEFT JOIN c ON c.s = sp.s AND c.b = sp.b
+        WHERE c.b IS NULL
+        ORDER BY 1, 2
+      """)),
+
+    // ---- stream-stream FULL OUTER interval join -------------------------
+    // Completes the stream-stream join family (inner, left outer, full
+    // outer): purchases and clicks that never matched BOTH emit
+    // null-extended on state eviction. Cutoffs mirror Spark's per-side
+    // eviction, derived from the interval condition: an unmatched
+    // purchase needs no future click with c_ts <= p_ts (p_ts < W); an
+    // unmatched click needs no future purchase with p_ts in
+    // [c_ts, c_ts + 5 min] (c_ts < W − 5 min); W = min of both sides'
+    // filtered-stream watermarks.
+    Reg("streaming_join_full_outer",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val p = readEventsStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val c = readEventsStream(s, dir).filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("value").as("c_val"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = p.join(c,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+            col("c_ts") <= col("p_ts"),
+          "full_outer")
+        drainAppend(joined)
+          .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
+            coalesce(col("p_user"), col("c_user")).as("user_id"),
+            coalesce(date_format(col("p_ts"), fmt), lit("")).as("p_ts"),
+            coalesce(date_format(col("c_ts"), fmt), lit("")).as("c_ts"),
+            coalesce(col("c_val"), lit(-1.0)).as("c_val"))
+          .orderBy("p_id", "c_ts")
+      },
+      Some("""
+        WITH W AS (SELECT least(max(ts) FILTER (event_type = 'purchase'),
+                          max(ts) FILTER (event_type = 'click'))
+                     - INTERVAL 1 HOUR AS w FROM events),
+        p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+              FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user, ts AS c_ts, value AS c_val
+              FROM events WHERE event_type = 'click')
+        SELECT coalesce(p_id, -1) AS p_id,
+               coalesce(p_user, c_user) AS user_id,
+               coalesce(strftime(p_ts, '%Y-%m-%d %H:%M:%S'), '') AS p_ts,
+               coalesce(strftime(c_ts, '%Y-%m-%d %H:%M:%S'), '') AS c_ts,
+               coalesce(c_val, -1.0) AS c_val
+        FROM p FULL JOIN c
+          ON p.p_user = c.c_user
+         AND c.c_ts >= p.p_ts - INTERVAL 5 MINUTES AND c.c_ts <= p.p_ts
+        WHERE (p_id IS NOT NULL AND c_ts IS NOT NULL)
+           OR (c_ts IS NULL AND p_ts < (SELECT w FROM W))
+           OR (p_id IS NULL AND c_ts < (SELECT w FROM W) - INTERVAL 5 MINUTES)
+        ORDER BY p_id, c_ts
+      """)),
+
+    // ---- streaming PARQUET sink: the production persistence path --------
+    // streaming_candles_append's pipeline writing through the
+    // checkpointed parquet FILE sink (exactly-once manifest commit)
+    // instead of the memory sink, then read back from disk — grades the
+    // sink format + commit protocol end to end with the same oracle.
+    // Restart-mid-stream recovery of this sink is ExactlyOnceSpec's job.
+    Reg("streaming_sink_parquet",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val runId = java.util.UUID.randomUUID().toString.take(8)
+        val out = s"/dev/shm/graft-sink/candles_$runId"
+        val candles = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            min_by(col("value"), col("ts")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ts")).as("close"),
+            sum(col("value")).as("volume"),
+            count(lit(1)).as("trades"))
+          .select(date_format(col("window.start"), fmt).as("bucket"),
+            col("event_type"), col("open"), col("high"), col("low"), col("close"),
+            round(col("volume"), 4).as("volume"), col("trades"))
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = candles.writeStream.format("parquet").outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", s"/dev/shm/graft-ckpt/sink_$runId")
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.read.parquet(out).orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM events
+        GROUP BY 1, 2
+        HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
+                 <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTES
+        ORDER BY 1, 2
+      """)),
+
     // ---- arbitrary-state running counts via flatMapGroupsWithState ------
     // The second arbitrary-state API, graded: per-user running event
     // counts drained in update mode — the LAST update per key is the

@@ -389,6 +389,64 @@ object TextQueries {
                max(('0x' || substr(md5(s), 1, 15))::BIGINT) AS max_hash,
                count(*) AS n_shingles
         FROM sh GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- sliding token-window chunking (context-window prep) ------------
+    // THE LLM-pipeline op between curation and tokenization: split each
+    // doc into 32-token chunks with stride 24 (8-token overlap). Chunk
+    // starts are sequence(0, n−1, 24) — identical enumeration on both
+    // engines — and each chunk is graded by its md5, so chunk CONTENT
+    // (not just counts) is hash-verified. Explode + per-row slices: no
+    // shuffle at all before the output sort; at 100 TB this is a pure
+    // map-side operator.
+    Reg("chunk_documents",
+      (s, dir) => Tables(s, dir).documents
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(expr("sequence(0, size(t) - 1, 24)")).as("s"))
+        .select(col("doc_id"), expr("s div 24").as("chunk_idx"),
+          expr("slice(t, s + 1, 32)").as("c"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("c")).as("n_chunk_tokens"),
+          expr("element_at(c, 1)").as("head_token"),
+          expr("element_at(c, -1)").as("tail_token"),
+          md5(expr("concat_ws(' ', c)")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        st AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, 24)) AS s FROM t),
+        ch AS (SELECT doc_id, s // 24 AS chunk_idx,
+                      list_slice(ws, s + 1, least(s + 32, len(ws))) AS c
+               FROM st)
+        SELECT doc_id, chunk_idx, len(c) AS n_chunk_tokens,
+               c[1] AS head_token, c[-1] AS tail_token,
+               md5(array_to_string(c, ' ')) AS chunk_md5
+        FROM ch ORDER BY doc_id, chunk_idx
+      """)),
+
+    // ---- JSON-lines sink round-trip (corpus interchange format) ---------
+    // documents → write JSONL → read back with an EXPLICIT schema → grade
+    // against the base table: serialization fidelity for the format LLM
+    // corpora actually ship in (escaping, nulls, BIGINT). Rebuilt per
+    // invocation in /dev/shm (same lifecycle as csv_roundtrip_candles);
+    // read-back re-sorts since part-file order is not a data order.
+    Reg("jsonl_roundtrip_docs",
+      (s, dir) => {
+        // per-sfdir path, SaveMode.Overwrite: bounded scratch across reps
+        // (a UUID per call would leak a copy per bench rep)
+        val out = s"/dev/shm/graft-jsonl/docs_${Integer.toHexString(dir.hashCode)}"
+        graft.sources.Sinks.writeJsonl(
+          Tables(s, dir).documents.select("doc_id", "text", "lang", "source", "n_chars"), out)
+        s.read
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .json(out)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("lang"), col("source"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        FROM documents ORDER BY doc_id
       """))
   )
 }

@@ -201,6 +201,45 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
+    // ---- int8-quantized ANN: the vector-store compression path ----------
+    // Same LSH bucketing as ann_lsh_topk, but candidates are ranked by
+    // the INTEGER dot of round(x·127) vectors — 4× smaller storage, and
+    // the score column is BIGINT arithmetic, hash-exact by construction
+    // (float divergence cannot exist). Rank ties broken by nid on both
+    // engines; quantized ties are more common than float ties, so the
+    // tiebreak is load-bearing here.
+    Reg("ann_int8_topk",
+      (s, dir) => VecOps.annInt8TopK(Tables(s, dir).embeddings, planes = 4, k = 3)
+        .select(col("qid"), col("rank"), col("nid"), col("score"))
+        .orderBy("qid", "rank"),
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        q8 AS (SELECT vec_id, bucket,
+                      list_transform(embedding, x -> CAST(round(x::DOUBLE * 127) AS INT)) AS q
+               FROM sig),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS score
+              FROM q8 a JOIN q8 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        r AS (SELECT qid, nid, score,
+                     row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+              FROM p)
+        SELECT qid, rank, nid, score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """)),
+
     // ---- IVF ANN after 2 Lloyd refinement iterations --------------------
     // The distributed k-means build graded end to end: seed centroids by
     // md5-of-id, 2 Lloyd steps with means SNAPPED to the 1e-4 grid (the
