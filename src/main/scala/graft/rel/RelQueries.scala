@@ -860,6 +860,78 @@ object RelQueries {
                coalesce(n_purchases, CAST(0 AS BIGINT)) AS n_purchases
         FROM c FULL JOIN p ON c.user_id = p.user_id
         ORDER BY user_id
+      """)),
+
+    // ---- bivariate statistics: corr / covariance / OLS regression -------
+    // The validation-statistics surface (price-vs-quantity fit per return
+    // flag): corr, covar_pop/samp, and the regr_* OLS family are all
+    // single-pass partial+final hash aggregates — the 100 TB shape is
+    // identical to sum/avg. Rounded to 4dp on both sides; the measures
+    // are ratios of large sums so cross-engine summation-order noise is
+    // ~1e-10 relative, far inside the rounding grid.
+    Reg("stat_regression",
+      (s, dir) => Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+          round(covar_pop(col("l_extendedprice"), col("l_quantity")), 4).as("covar_p"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("covar_s"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"))
+        .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+               round(covar_pop(l_extendedprice, l_quantity), 4) AS covar_p,
+               round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_s,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+        FROM lineitem
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- time-based RANGE window frame: trailing 7-day revenue ----------
+    // rowsBetween counts rows; rangeBetween here is over the epoch-seconds
+    // ORDER BY value, so the frame is "all days within the last 6 days",
+    // present or not — the time-series-correct trailing window when the
+    // calendar has holes. Revenue is integer-scaled to cents BEFORE the
+    // frame sum (daily rounding is deterministic, the trailing BIGINT sum
+    // then exact on both engines regardless of accumulation order).
+    Reg("window_range_7d",
+      (s, dir) => {
+        val daily = Tables(s, dir).orders
+          .groupBy(col("o_orderpriority"),
+            date_trunc("day", col("o_orderdate")).as("d"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")) * 100, 0).cast("long").as("rev_cents"))
+          .withColumn("d_epoch", unix_timestamp(col("d")))
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("d_epoch"))
+          .rangeBetween(-6L * 86400L, 0L)
+        daily
+          .select(col("o_orderpriority"),
+            date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("n_orders"),
+            sum(col("n_orders")).over(w).as("n_orders_7d"),
+            sum(col("rev_cents")).over(w).as("rev_cents_7d"))
+          .orderBy("o_orderpriority", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_orderpriority, date_trunc('day', o_orderdate) AS d,
+                 count(*) AS n_orders,
+                 CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents,
+                 CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS d_epoch
+          FROM orders GROUP BY 1, 2)
+        SELECT o_orderpriority, strftime(d, '%Y-%m-%d') AS day, n_orders,
+               CAST(sum(n_orders) OVER w AS BIGINT) AS n_orders_7d,
+               CAST(sum(rev_cents) OVER w AS BIGINT) AS rev_cents_7d
+        FROM daily
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d_epoch
+                     RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderpriority, day
       """))
   )
 }

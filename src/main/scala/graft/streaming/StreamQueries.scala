@@ -81,6 +81,14 @@ object StreamQueries {
 
   private def drainAppend(df: DataFrame): DataFrame = drain(df, "append")
 
+  /** Recursive delete for /dev/shm scratch that is rebuilt per invocation
+    * — file-sink queries key their output on the sf dir and wipe it here
+    * so repeated bench reps don't accumulate copies. */
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rmrf)
+    f.delete(): Unit
+  }
+
   val all: Seq[Reg] = Seq(
 
     // ---- streaming OHLCV candles: window agg over the event-time column -
@@ -576,8 +584,12 @@ object StreamQueries {
     Reg("streaming_sink_parquet",
       (s, dir) => {
         val fmt = "yyyy-MM-dd HH:mm:ss"
-        val runId = java.util.UUID.randomUUID().toString.take(8)
-        val out = s"/dev/shm/graft-sink/candles_$runId"
+        // fixed per-sfdir scratch, wiped per invocation (checkpoint too —
+        // the file sink's manifest only matches a checkpoint it wrote)
+        val key = Integer.toHexString(dir.hashCode)
+        val out = s"/dev/shm/graft-sink/candles_$key"
+        val ckpt = s"/dev/shm/graft-ckpt/sink_$key"
+        rmrf(new java.io.File(out)); rmrf(new java.io.File(ckpt))
         val candles = readEventsStream(s, dir)
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -596,7 +608,7 @@ object StreamQueries {
         try {
           val q = candles.writeStream.format("parquet").outputMode("append")
             .option("path", out)
-            .option("checkpointLocation", s"/dev/shm/graft-ckpt/sink_$runId")
+            .option("checkpointLocation", ckpt)
             .start()
           q.processAllAvailable()
           q.stop()
@@ -616,6 +628,110 @@ object StreamQueries {
         GROUP BY 1, 2
         HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
                  <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTES
+        ORDER BY 1, 2
+      """)),
+
+    // ---- stream-static broadcast join: streaming fact ⋈ dim table -------
+    // The enrichment join every production pipeline runs: the stream side
+    // keeps its watermark, the static dim is broadcast (stateless — no
+    // join state at all, unlike stream-stream), and the windowed agg then
+    // closes in append mode. At 100 TB/day the dim broadcast is refreshed
+    // per micro-batch planning cycle; no shuffle touches the stream until
+    // the windowed agg. Watermark derives from the purchase-filtered
+    // stream, mirrored in the oracle's cutoff subquery.
+    Reg("streaming_static_join",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val cust = broadcast(graft.Tables(s, dir).customer
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val agg = readEventsStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withWatermark("ts", "10 minutes")
+          .join(cust, col("user_id") === col("c_custkey"))
+          .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+          .agg(round(sum(col("value")), 4).as("revenue"),
+            count(lit(1)).as("n_purchases"))
+        drainAppend(agg)
+          .select(date_format(col("window.start"), fmt).as("bucket"),
+            col("c_mktsegment"), col("revenue"), col("n_purchases"))
+          .orderBy("bucket", "c_mktsegment")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               c.c_mktsegment,
+               round(sum(e.value), 4) AS revenue,
+               count(*) AS n_purchases
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+        HAVING date_trunc('hour', min(e.ts)) + INTERVAL 1 HOUR
+                 <= (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+                      - INTERVAL 10 MINUTES
+        ORDER BY 1, 2
+      """)),
+
+    // ---- foreachBatch upsert sink: update-mode merge-by-key -------------
+    // The escape hatch for sinks Spark has no native writer for (JDBC
+    // upserts, key-value stores): update-mode emits each window's CHANGED
+    // aggregate per micro-batch, foreachBatch lands every delta tagged
+    // with its batch_id, and the read-back keeps the last write per key —
+    // exactly a MERGE. No watermark: update mode then never evicts, so
+    // the final update per key equals the full-history aggregate and the
+    // batch candle oracle grades the whole loop (unbounded state is the
+    // documented trade; the watermarked append path is
+    // streaming_sink_parquet's). Scratch is per-sfdir and wiped per call.
+    Reg("streaming_foreachbatch_upsert",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val key = Integer.toHexString(dir.hashCode)
+        val out = s"/dev/shm/graft-upsert/candles_$key"
+        val ckpt = s"/dev/shm/graft-ckpt/upsert_$key"
+        rmrf(new java.io.File(out)); rmrf(new java.io.File(ckpt))
+        val candles = readEventsStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            min_by(col("value"), col("ts")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ts")).as("close"),
+            sum(col("value")).as("volume"),
+            count(lit(1)).as("trades"))
+          .select(date_format(col("window.start"), fmt).as("bucket"),
+            col("event_type"), col("open"), col("high"), col("low"),
+            col("close"), round(col("volume"), 4).as("volume"), col("trades"))
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = candles.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              batch.withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket"), col("event_type"))
+          .orderBy(col("batch_id").desc)
+        s.read.parquet(out)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn", "batch_id")
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM events
+        GROUP BY 1, 2
         ORDER BY 1, 2
       """)),
 

@@ -52,7 +52,22 @@ class PlanShapeSpec extends SparkSpec {
     "tfidf_top_terms" -> (5, 1),
     // bucketed as-of: more exchanges by design, all on compacted or
     // bucket-keyed relations — the price of hot-key parallelism
-    "asof_bucketed_global_click" -> (7, 3))
+    "asof_bucketed_global_click" -> (7, 3),
+    // round-4 additions
+    // bivariate stats: one partial/final agg + ORDER BY, same as q1
+    "stat_regression" -> (2, 0),
+    // daily agg + RANGE window (re-partitions by priority) + ORDER BY
+    "window_range_7d" -> (3, 0),
+    // pure map-side regex pass; the only exchange is the output sort
+    "token_subword_regex" -> (1, 0),
+    // map-side explode + slice; output sort only
+    "chunk_documents" -> (1, 0),
+    // blocked pairwise: ONE (lang, source) equi-join (broadcast-hash at
+    // fixture scale) + output sort — must never degrade to a nested-loop
+    // cross
+    "jaccard_bigram_pairs" -> (1, 1),
+    // int8 path keeps ann_lsh_topk's shape: bucket join + window + sort
+    "ann_int8_topk" -> (2, 1))
 
   private def shape(name: String): (Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
