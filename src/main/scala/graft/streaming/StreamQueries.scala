@@ -52,7 +52,7 @@ object StreamQueries {
   /** Run a streaming query to a memory sink and return the final table.
     * State-store instance count = shuffle partitions at query start; per-
     * partition commit overhead dominates a small finite drain, so the
-    * stream runs with 8 partitions and the session setting is restored
+    * stream runs with 4 partitions and the session setting is restored
     * after. (On a live cluster this knob is sized to the key cardinality.)
     *
     * SEQUENTIAL CONTRACT: the temporary session-conf mutation means two
@@ -64,7 +64,7 @@ object StreamQueries {
     val spark = df.sparkSession
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       // fresh checkpoint per start: the memory sink cannot recover one
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
@@ -604,7 +604,7 @@ object StreamQueries {
             col("event_type"), col("open"), col("high"), col("low"), col("close"),
             round(col("volume"), 4).as("volume"), col("trades"))
         val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           val q = candles.writeStream.format("parquet").outputMode("append")
             .option("path", out)
@@ -700,7 +700,7 @@ object StreamQueries {
             col("event_type"), col("open"), col("high"), col("low"),
             col("close"), round(col("volume"), 4).as("volume"), col("trades"))
         val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           val q = candles.writeStream.outputMode("update")
             .option("checkpointLocation", ckpt)

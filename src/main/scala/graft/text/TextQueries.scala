@@ -478,32 +478,39 @@ object TextQueries {
         FROM sw ORDER BY doc_id
       """)),
 
-    // ---- direct n-gram Jaccard near-dup (blocked pairwise) --------------
+    // ---- direct n-gram Jaccard near-dup (blocked, exploded) -------------
     // The exact-Jaccard dedup flavor WITHOUT a sketch: candidate pairs are
     // bounded by a blocking key (lang, source) — the metadata-blocking
-    // technique — then bigram-set Jaccard is computed exactly. Similarity
-    // is emitted as the integer (intersection, union) pair, not a float
-    // ratio, so the hash gate has zero float risk; threshold J >= 0.3 in
-    // cross-multiplied integer form. At 100 TB the block key keeps each
-    // join partition at block size (the planted near-dups share source);
-    // MinHash-LSH (neardup_minhash_lsh) is the unblocked-corpus fallback.
+    // technique — and the intersection is computed by EXPLODING shingles
+    // and equi-joining on (block, shingle), so a pair materializes only if
+    // it shares at least one bigram and each shared bigram is touched
+    // exactly once (hash-agg count). This replaced a pairwise
+    // array_intersect formulation that re-evaluated the set op inside the
+    // join condition — 4× slower at sf0.1 and quadratic per block.
+    // Similarity is emitted as the integer (intersection, union) pair,
+    // not a float ratio, so the hash gate has zero float risk; threshold
+    // J >= 0.3 in cross-multiplied integer form. MinHash-LSH
+    // (neardup_minhash_lsh) is the unblocked-corpus fallback.
     Reg("jaccard_bigram_pairs",
       (s, dir) => {
-        val d = Tables(s, dir).documents
+        val sh = Tables(s, dir).documents
           .select(col("lang"), col("source"), col("doc_id"),
-            TextOps.shingles(col("text"), 2).as("sh"))
-          .filter(size(col("sh")) > 0) // mirror the oracle's len(ws) >= 2 guard
-        val a = d.select(col("lang"), col("source"), col("doc_id").as("a_id"),
-          col("sh").as("a_sh"))
-        val b = d.select(col("lang"), col("source"), col("doc_id").as("b_id"),
-          col("sh").as("b_sh"))
-        a.join(b, Seq("lang", "source")).filter(col("a_id") < col("b_id"))
-          .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
-          .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+            explode(TextOps.shingles(col("text"), 2)).as("shingle"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val a = sh.select(col("lang"), col("source"), col("shingle"),
+          col("doc_id").as("a_id"))
+        val b = sh.select(col("lang"), col("source"), col("shingle"),
+          col("doc_id").as("b_id"))
+        a.join(b, Seq("lang", "source", "shingle"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+          .withColumn("uni", col("na") + col("nb") - col("inter"))
           .filter(col("inter") * 10 >= col("uni") * 3)
           .select(col("a_id"), col("b_id"),
-            col("inter").cast("long").as("n_common"),
-            col("uni").cast("long").as("n_union"))
+            col("inter").as("n_common"), col("uni").as("n_union"))
           .orderBy("a_id", "b_id")
       },
       Some("""

@@ -62,10 +62,11 @@ class PlanShapeSpec extends SparkSpec {
     "token_subword_regex" -> (1, 0),
     // map-side explode + slice; output sort only
     "chunk_documents" -> (1, 0),
-    // blocked pairwise: ONE (lang, source) equi-join (broadcast-hash at
-    // fixture scale) + output sort — must never degrade to a nested-loop
-    // cross
-    "jaccard_bigram_pairs" -> (1, 1),
+    // exploded-shingle intersection counting: (block, shingle) self-join
+    // + pair hash-agg + ORDER BY, with both size lookups broadcast (the
+    // third broadcast is the shingle-side reuse) — must never degrade to
+    // a per-pair array_intersect nested loop
+    "jaccard_bigram_pairs" -> (4, 3),
     // int8 path keeps ann_lsh_topk's shape: bucket join + window + sort
     "ann_int8_topk" -> (2, 1))
 
