@@ -31,15 +31,29 @@ class TopKAggregator(k: Int) extends Aggregator[ScoredId, TopKBuf, Seq[ScoredId]
 
   override def reduce(b: TopKBuf, a: ScoredId): TopKBuf = {
     // buffers stay sorted; a candidate below a full buffer's floor is
-    // rejected in O(1) without allocation (the common case at scale)
+    // rejected in O(1) without allocation (the common case at scale),
+    // an accepted one spliced at its position in O(k) — no re-sort
     if (b.items.size >= k && !lt(a, b.items.last)) b
-    else TopKBuf((b.items :+ a).sortWith(lt).take(k))
+    else {
+      val (before, after) = b.items.span(lt(_, a))
+      TopKBuf(((before :+ a) ++ after).take(k))
+    }
   }
 
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
     if (b.items.isEmpty) a
     else if (a.items.isEmpty) b
-    else TopKBuf((a.items ++ b.items).sortWith(lt).take(k))
+    else { // two sorted runs: linear merge, stop at k
+      val out = Seq.newBuilder[ScoredId]
+      var (x, y, n) = (a.items, b.items, 0)
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && lt(x.head, y.head))) {
+          out += x.head; x = x.tail
+        } else { out += y.head; y = y.tail }
+        n += 1
+      }
+      TopKBuf(out.result())
+    }
 
   override def finish(b: TopKBuf): Seq[ScoredId] = b.items
 

@@ -28,4 +28,9 @@ object Sinks {
   /** JSON-lines — the interchange format LLM-pipeline corpora ship in. */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC — Spark's other native columnar format; schema is self-describing
+    * (typed read-back needs no explicit schema, unlike CSV/JSONL). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

@@ -41,6 +41,17 @@ object TextOps {
   def explodedShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
 
+  /** Word n-gram shingles WITH multiplicity (no dedup) — repetition
+    * statistics need every occurrence, not the set. Same short-doc guard
+    * as [[shingles]]. */
+  def shinglesAll(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i =>
+        concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
   /** MinHash hash family: ONE md5 per shingle (the expensive, portable
     * part), then k cheap affine rehashes h_i = (h·A_i + B_i) mod P over
     * the 31-bit prime field — the standard universal-hashing family, fully

@@ -527,6 +527,83 @@ object TextQueries {
         SELECT a_id, b_id, CAST(inter AS BIGINT) AS n_common, CAST(uni AS BIGINT) AS n_union
         FROM p WHERE inter * 10 >= uni * 3
         ORDER BY a_id, b_id
+      """)),
+
+    // ---- n-gram repetition statistics (Gopher-style quality signal) -----
+    // The repetition family of quality filters: per doc, trigrams WITH
+    // multiplicity → total count, the top trigram's count, and the total
+    // occurrences inside duplicated trigrams ("fraction of tokens in
+    // repeated n-grams" numerator). All-integer outputs; the ratio
+    // thresholding is the consumer's (curation_funnel-style) decision.
+    // Shape at 100 TB: explode + two hash-aggs, no joins.
+    Reg("repetition_ngram_stats",
+      (s, dir) => Tables(s, dir).documents
+        .select(col("doc_id"),
+          explode(TextOps.shinglesAll(col("text"), 3)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_trigrams"),
+          max(col("cnt")).as("top_trigram_count"),
+          coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L))
+            .as("dup_trigram_occurrences"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        g AS (SELECT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+              FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+              WHERE len(ws) >= 3),
+        c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+               CAST(max(cnt) AS BIGINT) AS top_trigram_count,
+               CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS BIGINT)
+                 AS dup_trigram_occurrences
+        FROM c GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- benchmark decontamination: eval-vs-corpus n-gram containment ---
+    // THE training-data hygiene op: how much of each held-out doc's
+    // content appears ANYWHERE in the training corpus. source='src0'
+    // stands in as the eval set; containment is distinct-5-gram semi-join
+    // hit count — a hash equi-join on the gram, NOT pairwise doc
+    // comparison, so at 100 TB it scales with corpus gram volume. The
+    // is_contaminated flag (>= 80% containment) is integer
+    // cross-multiplied.
+    Reg("decontamination_overlap",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val evalG = docs.filter(col("source") === "src0")
+          .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("g"))
+        val trainG = docs.filter(col("source") =!= "src0")
+          .select(explode(TextOps.shingles(col("text"), 5)).as("g")).distinct()
+        val totals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val hits = evalG.join(trainG, Seq("g"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        totals.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)) * 10 >= col("n_grams") * 8)
+              .as("is_contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+                   FROM documents),
+        sh AS (SELECT doc_id, source,
+                      list_distinct([array_to_string(ws[i:i+4], ' ')
+                                     FOR i IN range(1, len(ws) - 3)]) AS s
+               FROM t WHERE len(ws) >= 5),
+        ev AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source = 'src0'),
+        tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source <> 'src0'),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+        hit AS (SELECT ev.doc_id, count(*) AS n_hit
+                FROM ev JOIN tr ON ev.g = tr.g GROUP BY 1)
+        SELECT tot.doc_id, tot.n_grams,
+               coalesce(hit.n_hit, 0) AS n_hit,
+               coalesce(hit.n_hit, 0) * 10 >= tot.n_grams * 8 AS is_contaminated
+        FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+        ORDER BY tot.doc_id
       """))
   )
 }

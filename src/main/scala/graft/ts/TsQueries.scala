@@ -115,6 +115,44 @@ object TsQueries {
         ORDER BY 1, 2
       """)),
 
+    // ---- ORC sink round-trip: the self-describing columnar format -------
+    // Same loop as csv_roundtrip_candles but through ORC, whose file
+    // metadata carries the schema — the read-back has NO explicit schema,
+    // so the query grades that types (DOUBLE/BIGINT/STRING) survive the
+    // write-read cycle byte-exactly. Completes the sink-format matrix:
+    // parquet (Verify itself), CSV, JSONL, ORC.
+    Reg("orc_roundtrip_candles",
+      (s, dir) => {
+        val candles = TimeSeries.candles(Tables(s, dir).events, "hour")
+          .select(
+            date_format(col("bucket"), fmt).as("bucket"),
+            col("series").as("event_type"),
+            col("open"), col("high"), col("low"), col("close"),
+            round(col("volume"), 4).as("volume"),
+            col("trades"))
+        val src = java.nio.file.Paths.get(dir, "events.parquet")
+        val key = Integer.toHexString((dir + "|orc|" +
+          java.nio.file.Files.getLastModifiedTime(src).toMillis + "|" +
+          java.nio.file.Files.size(src)).hashCode)
+        val out = java.nio.file.Paths.get(s"/dev/shm/graft-orc/$key")
+        graft.sources.Fixtures.delete(out)
+        graft.sources.Sinks.writeOrc(candles, out.toString)
+        s.read.orc(out.toString).orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
     // ---- sub-hour fixed-width buckets (date_trunc can't do 15 min) ------
     Reg("candles_15m",
       (s, dir) => TimeSeries.candlesFixed(Tables(s, dir).events, 900)

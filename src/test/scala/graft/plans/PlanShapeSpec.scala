@@ -68,7 +68,12 @@ class PlanShapeSpec extends SparkSpec {
     // a per-pair array_intersect nested loop
     "jaccard_bigram_pairs" -> (4, 3),
     // int8 path keeps ann_lsh_topk's shape: bucket join + window + sort
-    "ann_int8_topk" -> (2, 1))
+    "ann_int8_topk" -> (2, 1),
+    // explode + (doc,gram) agg + doc agg + ORDER BY; no joins
+    "repetition_ngram_stats" -> (3, 0),
+    // gram semi-join + per-doc counts + totals join + sort; small sides
+    // broadcast at fixture scale
+    "decontamination_overlap" -> (4, 2))
 
   private def shape(name: String): (Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
