@@ -25,7 +25,15 @@ object Plans {
       // and the incremental store read-back (day-partitioned scan)
       "join_right_outer_customers", "join_full_outer_user_activity",
       "asof_purchase_click_tolerance", "ema_window_8",
-      "neardup_dup_groups", "incremental_candles_store")
+      "neardup_dup_groups", "incremental_candles_store",
+      // round-4: single-pass simhash bands, iterated Lloyd IVF, bucketed
+      // as-of, int8 ANN, exploded-shingle Jaccard, decontamination,
+      // repetition stats, RANGE frame, bivariate stats, token chunking
+      "simhash_neardup_pairs", "ivf_lloyd2_topk",
+      "asof_bucketed_global_click", "ann_int8_topk",
+      "jaccard_bigram_pairs", "decontamination_overlap",
+      "repetition_ngram_stats", "window_range_7d", "stat_regression",
+      "chunk_documents")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
