@@ -604,6 +604,31 @@ object TextQueries {
                coalesce(hit.n_hit, 0) * 10 >= tot.n_grams * 8 AS is_contaminated
         FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
         ORDER BY tot.doc_id
+      """)),
+
+    // ---- custom Catalyst Generator: streamed positional n-grams ---------
+    // The true UDTF tier graded end to end: ngrams_gen is a registered
+    // Generator expression that ITERATES (pos, ngram) rows instead of
+    // materializing the whole n-gram array per document before explode —
+    // the allocation profile that survives million-token outlier docs
+    // (see functions/NGramsGenerator.scala). Output = every trigram with
+    // its position, content-graded.
+    Reg("udtf_trigrams_pos",
+      (s, dir) => {
+        graft.functions.NGramsGenerator.register(s)
+        Tables(s, dir).documents
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .selectExpr("doc_id", "ngrams_gen(t, 3)")
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("ngram"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(ws[i:i+2], ' ') AS ngram
+        FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+        WHERE len(ws) >= 3
+        ORDER BY doc_id, pos
       """))
   )
 }

@@ -193,6 +193,62 @@ object VecOps {
     topK(scores, k)
   }
 
+  /** Product-quantization ANN top-k — the last rung of the compression
+    * ladder (float LSH → int8 → PQ): the 64-dim vector is split into
+    * `m` = 4 subspaces of 16 dims; each subspace gets an 8-codeword
+    * codebook (slices of the deterministic md5-seeded vectors, portable
+    * to the oracle); every vector is ENCODED as 4 small codes (4 bytes —
+    * 64× smaller than float32); candidates come from the query's LSH
+    * bucket and are ranked by asymmetric distance: the full-precision
+    * query dotted against the candidate's RECONSTRUCTION (codewords
+    * concatenated in subspace order).
+    *
+    * Determinism: subspace assignment maximizes
+    * dot(x_s, cw) − ‖cw‖²/2 (≡ min L2 distance) where both dots are
+    * index-ordered [[graft.functions.DotF32]] — the identical IEEE-754
+    * op sequence as the oracle's list_sum, so codes match exactly;
+    * assignment and rank ties break on id. The reconstruction is
+    * assembled position-keyed (subspace-index map), never
+    * collect_list-ordered.
+    *
+    * 100 TB shape: codebook is 32 tiny rows (broadcast); encoding is one
+    * broadcast pass over the scan; search joins on the bucket key only —
+    * the 16-float recon payload replaces the 64-float vector in the
+    * shuffle, which is the point of PQ. */
+  def pqTopK(emb: DataFrame, planes: Int, k: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val m = 4 // subspaces of 16 dims over the 64-dim fixtures
+    val cb = seedCentroids(emb, 8)
+      .crossJoin(spark_range_s(emb, m))
+      .select(col("s"), col("cid"), expr("slice(ce, s * 16 + 1, 16)").as("cw"))
+    val xs = emb
+      .crossJoin(spark_range_s(emb, m))
+      .select(col("vec_id"), col("s"), expr("slice(embedding, s * 16 + 1, 16)").as("xs"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("d").desc, col("cid"))
+    val codes = xs.join(broadcast(cb), Seq("s"))
+      .withColumn("d", expr("dot_f32(xs, cw) - 0.5 * dot_f32(cw, cw)"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("s"), col("cid"))
+    val recon = codes.join(broadcast(cb), Seq("s", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(map_from_arrays(collect_list(col("s")), collect_list(col("cw"))).as("parts"))
+      .select(col("vec_id").as("nid"),
+        expr(s"flatten(transform(sequence(0, ${m - 1}), s -> parts[s]))").as("recon"))
+    val b = lshBucket(emb, planes)
+    val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val n = b.select(col("vec_id").as("nid"), col("bucket")).join(recon, "nid")
+    val scores = q.join(n, "bucket").filter(col("qid") =!= col("nid"))
+      .withColumn("score", expr("dot_f32(qe, recon)"))
+      .select("qid", "nid", "score")
+    topK(scores, k)
+  }
+
+  /** A tiny (0..m-1) subspace-index frame on the input's session. */
+  private def spark_range_s(df: DataFrame, m: Int): DataFrame =
+    df.sparkSession.range(m).select(col("id").cast("int").as("s"))
+
   /** One Lloyd (k-means) iteration over (cid, ce) centroids: assign each
     * vector to its nearest centroid (broadcast O(n·k) pass, the same
     * shape as [[ivfTopK]]'s assignment), then recompute each cell's

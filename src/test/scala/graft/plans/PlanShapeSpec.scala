@@ -73,7 +73,12 @@ class PlanShapeSpec extends SparkSpec {
     "repetition_ngram_stats" -> (3, 0),
     // gram semi-join + per-doc counts + totals join + sort; small sides
     // broadcast at fixture scale
-    "decontamination_overlap" -> (4, 2))
+    "decontamination_overlap" -> (4, 2),
+    // PQ: encode (assignment window) + recon agg + bucket join + rank
+    // window + sort = 4 shuffles; the 7 broadcasts are all tiny plan-time
+    // relations (subspace-index ranges, 8-row seed slices, codebook on
+    // both the encode and recon sides) — never the embeddings table
+    "ann_pq_topk" -> (4, 7))
 
   private def shape(name: String): (Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
