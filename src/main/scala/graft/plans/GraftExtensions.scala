@@ -3,8 +3,9 @@ package graft.plans
 import graft.functions.DotF32
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Cast, Expression, ExpressionInfo, LambdaFunction, Literal, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, BloomFilterMightContain, Cast, Expression, ExpressionInfo, LambdaFunction, Literal, NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Multiply}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
@@ -30,6 +31,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotF32(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    // Runtime-filter surface (the InjectRuntimeFilter machinery, exposed as
+    // user-callable functions): bloom_agg(xxhash64(k), n_items) builds a
+    // bloom filter over the build side; might_contain(bf, xxhash64(k))
+    // pre-filters the probe side BEFORE its shuffle. Catalyst only injects
+    // these automatically when CBO stats exist; exposing them lets a query
+    // author force the 100 TB pattern (tiny dim → bloom → fact scan prune).
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(child)         => new BloomFilterAggregate(child)
+        case Seq(child, items)  => new BloomFilterAggregate(child, items)
+        case Seq(child, items, bits) => new BloomFilterAggregate(child, items, bits)
+        case _ => throw new IllegalArgumentException("bloom_agg(child[, items[, bits]])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs.head, exprs(1))))
   }
 }
 

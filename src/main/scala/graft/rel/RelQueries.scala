@@ -932,6 +932,59 @@ object RelQueries {
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d_epoch
                      RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
         ORDER BY o_orderpriority, day
+      """)),
+
+    // ---- runtime bloom filter: probe-side prune before the join ---------
+    // The InjectRuntimeFilter pattern forced by hand (functions/BloomFuncs):
+    // bloom over the filtered dim keys via a scalar subquery, probe rows
+    // dropped by might_contain BEFORE the join's shuffle. At 100 TB this is
+    // the difference between shuffling the whole fact table and shuffling
+    // ~the matching slice; the inner join after removes bloom false
+    // positives, so the oracle is the plain join — the bloom is invisible
+    // to the result, by construction. BloomPruneSpec pins the plan shape
+    // (filter below the join) and the pruning actually biting.
+    Reg("bloom_prune_revenue",
+      (s, dir) => {
+        graft.functions.BloomFuncs.register(s)
+        val t = Tables(s, dir)
+        t.customer.filter(col("c_acctbal") > 9000).createOrReplaceTempView("bloom_dim_v")
+        t.orders
+          .filter(expr(
+            """might_contain(
+                 (SELECT bloom_agg(xxhash64(c_custkey), CAST(4096 AS BIGINT)) FROM bloom_dim_v),
+                 xxhash64(o_custkey))"""))
+          .join(s.table("bloom_dim_v"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 9000
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- PII-style masking: digit redaction at the serving edge ---------
+    // Reversible-looking identifiers scrubbed before export: every digit
+    // masked, plus an audit count of redacted chars. Pure per-row
+    // expressions (single codegen stage, zero shuffle before the ORDER BY)
+    // — the 100 TB shape is a map-only pass. Spark regexp_replace is
+    // global by default; DuckDB needs the 'g' flag.
+    Reg("pii_mask_customers",
+      (s, dir) => Tables(s, dir).customer
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+          (length(col("c_name")) -
+            length(regexp_replace(col("c_name"), "[0-9]", ""))).cast("long").as("n_redacted"))
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+               length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS n_redacted
+        FROM customer ORDER BY c_custkey
       """))
   )
 }

@@ -629,6 +629,93 @@ object TextQueries {
         FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(i)
         WHERE len(ws) >= 3
         ORDER BY doc_id, pos
+      """)),
+
+    // ---- corpus heavy hitters: tokens above 0.1% of all occurrences -----
+    // The exact two-pass formulation (not a sketch): one hash-aggregate
+    // for per-token counts, a one-row total, broadcast back as the
+    // threshold. At 100 TB the counts agg map-side combines and the total
+    // is a scalar — nothing driver-side, nothing quadratic. The ratio is
+    // integer `div` (identical floor semantics to DuckDB `//`).
+    Reg("heavy_hitter_tokens",
+      (s, dir) => {
+        val counts = Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum(col("cnt")).as("n_total"))
+        counts.crossJoin(broadcast(total))
+          .filter(col("cnt") * 1000 > col("n_total"))
+          .select(col("tok"), col("cnt"),
+            expr("cnt * 10000 div n_total").as("permyriad"))
+          .orderBy(col("cnt").desc, col("tok"))
+      },
+      Some("""
+        WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+                     FROM documents),
+        c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+        SELECT tok, cnt, CAST(cnt * 10000 // n_total AS BIGINT) AS permyriad
+        FROM c, t
+        WHERE cnt * 1000 > n_total
+        ORDER BY cnt DESC, tok
+      """)),
+
+    // ---- vocabulary richness per source: type-token ratio ---------------
+    // Corpus-quality dashboard stat: distinct token types vs total tokens
+    // per source. countDistinct is an exact two-phase agg (partial sets
+    // are (source, tok) pairs — at 100 TB this is the standard distinct
+    // rewrite, one extra shuffle, no sketch error).
+    Reg("vocab_by_source",
+      (s, dir) => Tables(s, dir).documents
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("n_types"),
+          count(lit(1)).as("n_tokens"))
+        .withColumn("ttr_permille", expr("n_types * 1000 div n_tokens"))
+        .orderBy("source"),
+      Some("""
+        WITH tok AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+                     FROM documents)
+        SELECT source, count(DISTINCT tok) AS n_types, count(*) AS n_tokens,
+               count(DISTINCT tok) * 1000 // count(*) AS ttr_permille
+        FROM tok GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- boilerplate share: 5-grams appearing in 2+ documents -----------
+    // The CCNet/C4-style inter-document repetition signal: per doc, the
+    // share of its DISTINCT 5-grams that any other doc also contains.
+    // Formulation: ONE pass over the corpus — exploded distinct shingles,
+    // docfreq via a count window over the gram partition (no join-back,
+    // which computes the explode twice; no collect_list of doc ids, which
+    // materializes a hot gram's whole posting list in one buffer), then
+    // the per-doc hash-agg. A ubiquitous gram makes one sorted partition
+    // large, but rows stream through the window with spill — the
+    // skew-safe single-pass shape. A/B at sf0.1: 1.6 s vs 3.7 s join-back.
+    Reg("boilerplate_ngram_ratio",
+      (s, dir) => {
+        val g = TextOps.explodedShingles(Tables(s, dir).documents, 5)
+        g.withColumn("docfreq",
+            count(lit(1)).over(Window.partitionBy(col("shingle"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(col("docfreq") >= 2, 1)).as("n_shared"))
+          .withColumn("shared_permille", expr("n_shared * 1000 div n_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct([array_to_string(ws[i:i+4], ' ')
+                                     FOR i IN range(1, len(ws) - 3)]) AS s
+               FROM t WHERE len(ws) >= 5),
+        g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        dfq AS (SELECT g, count(*) AS docfreq FROM g GROUP BY 1),
+        j AS (SELECT g.doc_id, dfq.docfreq FROM g JOIN dfq ON g.g = dfq.g)
+        SELECT doc_id, count(*) AS n_grams,
+               count(*) FILTER (docfreq >= 2) AS n_shared,
+               count(*) FILTER (docfreq >= 2) * 1000 // count(*) AS shared_permille
+        FROM j GROUP BY 1 ORDER BY 1
       """))
   )
 }

@@ -419,6 +419,56 @@ object VecQueries {
                CAST(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT) AS n_match
         FROM r WHERE rank = 1
         GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- ANN accuracy contract: recall@3 of LSH vs brute ground truth ---
+    // The sketch-accuracy gate every ANN deployment needs: per query, how
+    // many of the true top-3 neighbors the single-table LSH search
+    // returned (0..3). The brute side is the declared quadratic
+    // ground-truth anchor (same as cosine_topk_brute — at 100 TB you run
+    // this on a SAMPLE of queries, and the sampled shape is identical);
+    // the LSH side is the production bucketed path. Hash-match is exact:
+    // the oracle replays both pipelines and intersects, no tolerance.
+    Reg("ann_recall_lsh",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val brute = VecOps.topK(VecOps.bruteForceScores(emb), 3)
+          .select(col("qid"), col("nid"))
+        val lsh = VecOps.annLshTopK(emb, planes = 4, k = 3)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(lsh, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        lp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        lr AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM lp),
+        lsh AS (SELECT qid, nid FROM lr WHERE rank <= 3),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(l.nid) AS n_hit
+        FROM brute b LEFT JOIN lsh l ON b.qid = l.qid AND b.nid = l.nid
+        GROUP BY 1 ORDER BY 1
       """))
   )
 }

@@ -78,7 +78,22 @@ class PlanShapeSpec extends SparkSpec {
     // window + sort = 4 shuffles; the 7 broadcasts are all tiny plan-time
     // relations (subspace-index ranges, 8-row seed slices, codebook on
     // both the encode and recon sides) — never the embeddings table
-    "ann_pq_topk" -> (4, 7))
+    "ann_pq_topk" -> (4, 7),
+    // round-4b additions
+    // bloom prune: probe filter (scalar-subquery bloom, no exchange of its
+    // own) + broadcast dim join + agg partial/final + ORDER BY
+    "bloom_prune_revenue" -> (2, 1),
+    // token counts agg appears twice in the plan (once for counts, once
+    // under the one-row total) = 2×2 exchanges + total broadcast — but the
+    // duplicated subtree is bit-identical, so ReusedExchange computes the
+    // corpus scan + counts agg ONCE at runtime (verified in the executed
+    // plan; the 4 is plan-shape, not work)
+    "heavy_hitter_tokens" -> (4, 1),
+    // distinct rewrite: (source, tok) partial + per-source final + sort
+    "vocab_by_source" -> (3, 0),
+    // single-pass: explode (map-side) → shingle-partition count window
+    // (1) → per-doc agg (1) → sort (1); no join, no broadcast
+    "boilerplate_ngram_ratio" -> (3, 0))
 
   private def shape(name: String): (Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
@@ -92,7 +107,9 @@ class PlanShapeSpec extends SparkSpec {
 
   for ((name, want) <- pinned)
     test(s"plan shape pinned: $name $want") {
-      assert(shape(name) == want,
-        s"$name exchange counts moved — diff the .explain against the pinned note")
+      val got = shape(name)
+      assert(got == want,
+        s"$name exchange counts moved: got $got, pinned $want — " +
+          "diff the .explain against the pinned note")
     }
 }
