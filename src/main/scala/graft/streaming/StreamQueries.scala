@@ -52,19 +52,22 @@ object StreamQueries {
   /** Run a streaming query to a memory sink and return the final table.
     * State-store instance count = shuffle partitions at query start; per-
     * partition commit overhead dominates a small finite drain, so the
-    * stream runs with 4 partitions and the session setting is restored
-    * after. (On a live cluster this knob is sized to the key cardinality.)
+    * stream runs with 4 partitions (2 for the stream-stream interval
+    * joins, whose two-sided state doubles the per-partition commit cost —
+    * ~10% off their drain time, A/B'd at sf0.1) and the session setting is
+    * restored after. (On a live cluster this knob is sized to key
+    * cardinality.)
     *
     * SEQUENTIAL CONTRACT: the temporary session-conf mutation means two
     * graded queries must not drain concurrently on one SparkSession —
     * Verify and Bench both run queries strictly sequentially. A service
     * embedding these ops concurrently should isolate each drain on
     * `spark.newSession()` (cheap: shares the SparkContext, forks conf). */
-  private def drain(df: DataFrame, mode: String): DataFrame = {
+  private def drain(df: DataFrame, mode: String, partitions: Int = 4): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     try {
       // fresh checkpoint per start: the memory sink cannot recover one
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
@@ -79,7 +82,8 @@ object StreamQueries {
 
   private def drainComplete(df: DataFrame): DataFrame = drain(df, "complete")
 
-  private def drainAppend(df: DataFrame): DataFrame = drain(df, "append")
+  private def drainAppend(df: DataFrame, partitions: Int = 4): DataFrame =
+    drain(df, "append", partitions)
 
   /** Recursive delete for /dev/shm scratch that is rebuilt per invocation
     * — file-sink queries key their output on the sf dir and wipe it here
@@ -350,11 +354,11 @@ object StreamQueries {
           col("p_user") === col("c_user") &&
             col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
             col("c_ts") <= col("p_ts"))
-        drainAppend(joined)
+        drainAppend(joined, partitions = 2)
           .select(col("p_id"), col("p_user").as("user_id"),
             date_format(col("p_ts"), fmt).as("p_ts"),
             date_format(col("c_ts"), fmt).as("c_ts"), col("c_val"))
-          .orderBy("p_id", "c_ts")
+          .orderBy("p_id", "c_ts", "c_val")
       },
       Some("""
         SELECT p.event_id AS p_id, p.user_id,
@@ -365,7 +369,7 @@ object StreamQueries {
           ON p.user_id = c.user_id
          AND p.event_type = 'purchase' AND c.event_type = 'click'
          AND c.ts >= p.ts - INTERVAL 5 MINUTES AND c.ts <= p.ts
-        ORDER BY p_id, c_ts
+        ORDER BY p_id, c_ts, c_val
       """)),
 
     // ---- stream-stream LEFT OUTER interval join -------------------------
@@ -397,12 +401,12 @@ object StreamQueries {
             col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
             col("c_ts") <= col("p_ts"),
           "left_outer")
-        drainAppend(joined)
+        drainAppend(joined, partitions = 2)
           .select(col("p_id"), col("p_user").as("user_id"),
             date_format(col("p_ts"), fmt).as("p_ts"),
             coalesce(date_format(col("c_ts"), fmt), lit("")).as("c_ts"),
             coalesce(col("c_val"), lit(-1.0)).as("c_val"))
-          .orderBy("p_id", "c_ts")
+          .orderBy("p_id", "c_ts", "c_val")
       },
       Some("""
         SELECT p.event_id AS p_id, p.user_id,
@@ -417,7 +421,7 @@ object StreamQueries {
                OR p.ts < (SELECT least(max(ts) FILTER (event_type = 'purchase'),
                                        max(ts) FILTER (event_type = 'click'))
                             - INTERVAL 1 HOUR FROM events))
-        ORDER BY p_id, c_ts
+        ORDER BY p_id, c_ts, c_val
       """)),
 
     // ---- EVENT-TIME TIMERS: per-series gap alarms (transformWithState) --
@@ -545,13 +549,15 @@ object StreamQueries {
             col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
             col("c_ts") <= col("p_ts"),
           "full_outer")
-        drainAppend(joined)
+        drainAppend(joined, partitions = 2)
           .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
             coalesce(col("p_user"), col("c_user")).as("user_id"),
             coalesce(date_format(col("p_ts"), fmt), lit("")).as("p_ts"),
             coalesce(date_format(col("c_ts"), fmt), lit("")).as("c_ts"),
             coalesce(col("c_val"), lit(-1.0)).as("c_val"))
-          .orderBy("p_id", "c_ts")
+          // total order: unmatched clicks share p_id=-1 and can collide on
+          // the second-resolution c_ts string — user_id + c_val break ties
+          .orderBy("p_id", "c_ts", "user_id", "c_val")
       },
       Some("""
         WITH W AS (SELECT least(max(ts) FILTER (event_type = 'purchase'),
@@ -572,7 +578,7 @@ object StreamQueries {
         WHERE (p_id IS NOT NULL AND c_ts IS NOT NULL)
            OR (c_ts IS NULL AND p_ts < (SELECT w FROM W))
            OR (p_id IS NULL AND c_ts < (SELECT w FROM W) - INTERVAL 5 MINUTES)
-        ORDER BY p_id, c_ts
+        ORDER BY p_id, c_ts, user_id, c_val
       """)),
 
     // ---- streaming PARQUET sink: the production persistence path --------

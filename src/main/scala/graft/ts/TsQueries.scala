@@ -525,6 +525,191 @@ object TsQueries {
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
         FROM s GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
+    // ---- Spark's NATIVE session_window in batch -------------------------
+    // The built-in operator twin of sessionize_30m (which derives sessions
+    // via lag + running sum): session_window merges events whose gap to
+    // the session end is < 30 min and emits [min ts, max ts + 30 min).
+    // Note the boundary difference vs sessionize_30m: session_window
+    // starts a NEW session at gap >= 30 min (the lag formulation there
+    // uses gap > 30 min) — the oracle mirrors >=. Single hash-agg shape,
+    // partial merge of session ranges — the 100 TB cost is one shuffle
+    // on user_id.
+    Reg("session_window_batch",
+      (s, dir) => Tables(s, dir).events
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), fmt).as("start_ts"),
+          date_format(col("session_window.end"), fmt).as("end_ts"),
+          col("n_events"))
+        .orderBy("user_id", "start_ts"),
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM e)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+               strftime(max(ts) + INTERVAL 30 MINUTES, '%Y-%m-%d %H:%M:%S') AS end_ts,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, start_ts
+      """)),
+
+    // ---- equi-depth histogram: per-type value deciles -------------------
+    // The profiling op behind "what does this metric's distribution look
+    // like": ntile(10) over a TOTAL order (value, event_id — ties must be
+    // deterministic or decile boundaries drift cross-engine), then decile
+    // min/max/count. One window shuffle on event_type + one hash-agg.
+    Reg("value_deciles_by_type",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        Tables(s, dir).events
+          .select(col("event_type"), col("value"),
+            ntile(10).over(w).cast("long").as("decile"))
+          .groupBy(col("event_type"), col("decile"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("value")), 4).as("lo"),
+            round(max(col("value")), 4).as("hi"))
+          .orderBy("event_type", "decile")
+      },
+      Some("""
+        WITH d AS (SELECT event_type, value,
+                          ntile(10) OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS decile
+                   FROM events)
+        SELECT event_type, decile, count(*) AS n,
+               round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
+    // ---- NEAREST-direction as-of: closest click within ±5 min -----------
+    // The third as-of flavor (backward / backward+tolerance exist): align
+    // each purchase to the temporally CLOSEST click either side. Keyed
+    // range join (user_id equi-join + |Δt| band filter) + rank-1 window —
+    // at 100 TB the same shape as range_join_views: one co-partitioned
+    // shuffle on the key, candidate set bounded by the band. Ties (one
+    // click before, one after, equidistant) break on (c_ts, c_val) —
+    // total on both engines.
+    Reg("asof_nearest_click",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_val"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_id"))
+          .orderBy(col("gap_us"), col("c_ts"), col("c_val"))
+        p.join(c, Seq("user_id"))
+          .withColumn("gap_us",
+            abs(unix_micros(col("c_ts")) - unix_micros(col("p_ts"))))
+          .filter(col("gap_us") <= 300000000L)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("p_id"), col("user_id"),
+            date_format(col("p_ts"), fmt).as("p_ts"),
+            date_format(col("c_ts"), fmt).as("c_ts"),
+            col("c_val"), col("gap_us"))
+          .orderBy("p_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts AS c_ts, value AS c_val
+              FROM events WHERE event_type = 'click'),
+        j AS (SELECT p.p_id, p.user_id, p.p_ts, c.c_ts, c.c_val,
+                     abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)) AS gap_us,
+                     row_number() OVER (PARTITION BY p.p_id
+                       ORDER BY abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)), c.c_ts, c.c_val) AS rk
+              FROM p JOIN c ON p.user_id = c.user_id
+               AND abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)) <= 300000000)
+        SELECT p_id, user_id,
+               strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+               strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+               c_val, gap_us
+        FROM j WHERE rk = 1 ORDER BY p_id
+      """)),
+
+    // ---- daily user growth: new / active / cumulative -------------------
+    // The live-dashboard triple every event store serves: per day, users
+    // seen for the first time, distinct active users, and the running
+    // total of acquired users. first-seen is one hash-agg on user_id; the
+    // cumulative sum runs on the DAILY relation (one row per day by
+    // construction — the single-partition window is bounded by calendar
+    // days, not data volume).
+    Reg("user_growth_daily",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val firstSeen = e.groupBy(col("user_id"))
+          .agg(min(date_trunc("day", col("ts"))).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+        val active = e.groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        active.join(firstSeen, Seq("day"), "left")
+          .select(col("day"), col("n_active"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("n_cum", sum(col("n_new")).over(w))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_active"), col("n_new"), col("n_cum"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH fs AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+                    FROM events GROUP BY 1),
+        nw AS (SELECT day, count(*) AS n_new FROM fs GROUP BY 1),
+        act AS (SELECT date_trunc('day', ts) AS day,
+                       count(DISTINCT user_id) AS n_active
+                FROM events GROUP BY 1)
+        SELECT strftime(act.day, '%Y-%m-%d') AS day, act.n_active,
+               coalesce(nw.n_new, 0) AS n_new,
+               CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY act.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
+        FROM act LEFT JOIN nw ON act.day = nw.day
+        ORDER BY day
+      """)),
+
+    // ---- cohort retention: active users by (first-seen day, day offset) -
+    // The canonical retention matrix: cohort = first-seen day, offset =
+    // days since, cell = distinct users from that cohort active at that
+    // offset. Shapes: first-seen hash-agg, distinct (user, day) pairs,
+    // equi-join on user_id, hash-agg on (cohort, offset) — all map-side
+    // combinable; nothing is quadratic in days or users.
+    Reg("cohort_retention",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val fs = e.groupBy(col("user_id"))
+          .agg(min(date_trunc("day", col("ts"))).as("d0"))
+        e.select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+          .join(fs, "user_id")
+          .withColumn("offset_d", datediff(col("d"), col("d0")).cast("long"))
+          .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort"), col("offset_d"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort", "offset_d")
+      },
+      Some("""
+        WITH fs AS (SELECT user_id, min(date_trunc('day', ts)) AS d0
+                    FROM events GROUP BY 1),
+        ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+        SELECT strftime(fs.d0, '%Y-%m-%d') AS cohort,
+               CAST(date_diff('day', fs.d0, ud.d) AS BIGINT) AS offset_d,
+               count(DISTINCT ud.user_id) AS n_users
+        FROM ud JOIN fs ON ud.user_id = fs.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
       """))
   )
 }

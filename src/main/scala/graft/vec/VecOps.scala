@@ -63,6 +63,39 @@ object VecOps {
     if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L) 1.0f else -1.0f
   }
 
+  /** 60-bit md5-derived hash of an arbitrary seed string — the same
+    * primitive as [[planeSign]], portable to DuckDB as
+    * ('0x' || substr(md5(s), 1, 15))::BIGINT. */
+  private def md5Hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** OPQ-lite rotation: a deterministic SIGNED COORDINATE PERMUTATION
+    * applied to every embedding before product quantization. Signed
+    * permutations are orthonormal, so dot products (hence rankings and
+    * the ANN result contract) are preserved exactly, while the subspace
+    * slices PQ sees get decorrelated/balanced — the cheap end of the OPQ
+    * idea (the full method learns a dense rotation; a signed permutation
+    * is the member of that family both engines can replay bit-exactly).
+    * rotated[j] = sgn(j) · x[perm(j)], perm = indices sorted by
+    * md5("perm"+i), sgn(j) = ±1 from md5("sf"+j) — both mirrored in the
+    * oracle. The expression is 64 unrolled literal-index terms (no HOF
+    * lambda), so it stays inside whole-stage codegen; float·±1.0 is
+    * exact, so no precision is lost. */
+  private[vec] val opqPerm: Seq[Int] =
+    (0 until 64).sortBy(i => (md5Hash60("perm" + i), i))
+  private[vec] val opqSgn: Seq[String] =
+    (0 until 64).map(j => if ((md5Hash60("sf" + j) & 1L) == 1L) "1.0" else "-1.0")
+
+  def opqRotate(emb: DataFrame): DataFrame = {
+    val terms = (0 until 64).map { j =>
+      s"CAST(${opqSgn(j)} * CAST(element_at(embedding, ${opqPerm(j) + 1}) AS DOUBLE) AS FLOAT)"
+    }
+    emb.withColumn("embedding", expr("array(" + terms.mkString(",") + ")"))
+  }
+
   /** Hyperplane j as a constant ARRAY<FLOAT> SQL literal (constant-folded
     * once by Catalyst); the projection is then one codegen dot_f32. */
   private def planeVecSql(j: Int): String =

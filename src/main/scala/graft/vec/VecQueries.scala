@@ -33,6 +33,58 @@ object VecQueries {
                  FROM sig sa JOIN sig sb
                    ON sa.t = sb.t AND sa.bucket = sb.bucket AND sa.vec_id $cmp sb.vec_id)"""
 
+  /** The PQ-ANN oracle pipeline (mirrors [[VecOps.pqTopK]] exactly),
+    * parameterized on the source relation so the OPQ variant can prepend
+    * rotation CTEs and run the identical pipeline over `emb2`. */
+  private def pqOracleSql(prefixCtes: String, src: String): String = s"""
+        WITH $prefixCtes
+        hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM $src e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM $src e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM $src
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 8),
+        cb AS (SELECT s.s, cid, ce[s.s * 16 + 1 : s.s * 16 + 16] AS cw
+               FROM seeds, range(4) s(s)),
+        xs AS (SELECT vec_id, s.s, embedding[s.s * 16 + 1 : s.s * 16 + 16] AS x
+               FROM $src, range(4) s(s)),
+        assign AS (
+          SELECT x.vec_id, x.s, c.cid,
+                 row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
+                   (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
+                    - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
+                   DESC, c.cid) AS crank
+          FROM xs x JOIN cb c ON x.s = c.s),
+        recon AS (
+          SELECT a.vec_id AS nid, flatten(list(c.cw ORDER BY a.s)) AS recon
+          FROM assign a JOIN cb c ON a.s = c.s AND a.cid = c.cid
+          WHERE a.crank = 1
+          GROUP BY a.vec_id),
+        p AS (SELECT a.vec_id AS qid, r.nid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * r.recon[i]::DOUBLE)) AS d
+              FROM sig a
+              JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              JOIN recon r ON r.nid = b.vec_id),
+        r AS (SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM p)
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """
+
   val all: Seq[Reg] = Seq(
 
     // ---- embedding hygiene validation (norms ≈ 1) -----------------------
@@ -252,53 +304,31 @@ object VecQueries {
       (s, dir) => VecOps.pqTopK(Tables(s, dir).embeddings, planes = 4, k = 3)
         .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
         .orderBy("qid", "rank"),
-      Some(s"""
-        WITH hp AS (SELECT j.j, i.i,
-                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
-                           THEN 1.0 ELSE -1.0 END AS sgn
-                    FROM range(4) j(j), range(64) i(i)),
-        sig AS (SELECT e.vec_id, e.embedding,
-                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
-                FROM embeddings e JOIN (
-                  SELECT e2.vec_id, hp.j,
-                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
-                  FROM embeddings e2 JOIN hp ON true
-                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
-                GROUP BY e.vec_id, e.embedding),
-        seeds AS (
-          SELECT vec_id AS cid, embedding AS ce
-          FROM embeddings
-          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
-          LIMIT 8),
-        cb AS (SELECT s.s, cid, ce[s.s * 16 + 1 : s.s * 16 + 16] AS cw
-               FROM seeds, range(4) s(s)),
-        xs AS (SELECT vec_id, s.s, embedding[s.s * 16 + 1 : s.s * 16 + 16] AS x
-               FROM embeddings, range(4) s(s)),
-        assign AS (
-          SELECT x.vec_id, x.s, c.cid,
-                 row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
-                   (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
-                    - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
-                   DESC, c.cid) AS crank
-          FROM xs x JOIN cb c ON x.s = c.s),
-        recon AS (
-          SELECT a.vec_id AS nid, flatten(list(c.cw ORDER BY a.s)) AS recon
-          FROM assign a JOIN cb c ON a.s = c.s AND a.cid = c.cid
-          WHERE a.crank = 1
-          GROUP BY a.vec_id),
-        p AS (SELECT a.vec_id AS qid, r.nid,
-                     list_sum(list_transform(range(1, 65),
-                       i -> a.embedding[i]::DOUBLE * r.recon[i]::DOUBLE)) AS d
-              FROM sig a
-              JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-              JOIN recon r ON r.nid = b.vec_id),
-        r AS (SELECT qid, nid, d,
-                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
-              FROM p)
-        SELECT qid, rank, nid, round(d, 4) AS score
-        FROM r WHERE rank <= 3
-        ORDER BY qid, rank
-      """)),
+      Some(pqOracleSql(prefixCtes = "", src = "embeddings"))),
+
+    // ---- OPQ-lite PQ ANN: rotate, then product-quantize -----------------
+    // The Optimized-PQ idea at the determinism-preserving end: a SIGNED
+    // COORDINATE PERMUTATION (orthonormal ⇒ dots, rankings, and the
+    // result contract are exactly preserved) decorrelates the subspace
+    // slices the codebook sees before the identical PQ pipeline runs.
+    // perm/sgn derive from md5 constants; the oracle rebuilds them and
+    // replays the whole rotated pipeline — same hash-exact grading as
+    // ann_pq_topk, zero tolerance.
+    Reg("ann_opq_topk",
+      (s, dir) => VecOps.pqTopK(VecOps.opqRotate(Tables(s, dir).embeddings),
+          planes = 4, k = 3)
+        .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank"),
+      Some(pqOracleSql(prefixCtes = s"""
+        pm AS (SELECT list(i ORDER BY ('0x' || substr(md5('perm' || i), 1, 15))::BIGINT, i) AS p
+               FROM range(64) t(i)),
+        sg AS (SELECT list(CASE WHEN (('0x' || substr(md5('sf' || i), 1, 15))::BIGINT & 1) = 1
+                                THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+               FROM range(64) t(i)),
+        emb2 AS (SELECT e.vec_id,
+                        [CAST(sg.s[j + 1] * e.embedding[pm.p[j + 1] + 1] AS REAL)
+                         FOR j IN range(64)] AS embedding
+                 FROM embeddings e, pm, sg),""", src = "emb2"))),
 
     // ---- IVF ANN after 2 Lloyd refinement iterations --------------------
     // The distributed k-means build graded end to end: seed centroids by
