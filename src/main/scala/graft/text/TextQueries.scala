@@ -716,6 +716,62 @@ object TextQueries {
                count(*) FILTER (docfreq >= 2) AS n_shared,
                count(*) FILTER (docfreq >= 2) * 1000 // count(*) AS shared_permille
         FROM j GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- bloom-screened decontamination: the 100 TB pre-filter ----------
+    // decontamination_overlap's exact gram semi-join shuffles every eval
+    // gram against the full train-gram set; the scale deployment first
+    // screens eval grams against a BLOOM of the train grams (a few MB
+    // travelling with the plan vs a corpus-sized shuffle side) and only
+    // semi-joins the survivors. Graded as a contract: bloom membership has
+    // NO false negatives, so n_bloom_hit must lie in [n_hit, n_grams] —
+    // a mathematical certainty the oracle predicts as booleans, anchored
+    // by the exact n_hit hash. The train grams are computed once per side
+    // at fixture scale (ReusedExchange dedups the shared agg subtree).
+    Reg("decontamination_bloom",
+      (s, dir) => {
+        graft.functions.BloomFuncs.register(s)
+        val docs = Tables(s, dir).documents
+        docs.filter(col("source") =!= "src0")
+          .select(explode(TextOps.shingles(col("text"), 5)).as("g")).distinct()
+          .createOrReplaceTempView("bloom_train_grams_v")
+        val evalG = docs.filter(col("source") === "src0")
+          .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("g"))
+          .withColumn("bloom_hit", expr(
+            """might_contain(
+                 (SELECT bloom_agg(xxhash64(g), CAST(1048576 AS BIGINT)) FROM bloom_train_grams_v),
+                 xxhash64(g))"""))
+        val exactHits = evalG
+          .join(s.table("bloom_train_grams_v"), Seq("g"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        evalG.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(col("bloom_hit"), 1)).as("_n_bloom"))
+          .join(exactHits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (col("_n_bloom") >= coalesce(col("n_hit"), lit(0L))).as("bloom_no_false_neg"),
+            (col("_n_bloom") <= col("n_grams")).as("bloom_bounded"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+                   FROM documents),
+        sh AS (SELECT doc_id, source,
+                      list_distinct([array_to_string(ws[i:i+4], ' ')
+                                     FOR i IN range(1, len(ws) - 3)]) AS s
+               FROM t WHERE len(ws) >= 5),
+        ev AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source = 'src0'),
+        tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source <> 'src0'),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+        hit AS (SELECT ev.doc_id, count(*) AS n_hit
+                FROM ev JOIN tr ON ev.g = tr.g GROUP BY 1)
+        SELECT tot.doc_id, tot.n_grams,
+               coalesce(hit.n_hit, 0) AS n_hit,
+               true AS bloom_no_false_neg,
+               true AS bloom_bounded
+        FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+        ORDER BY tot.doc_id
       """))
   )
 }
