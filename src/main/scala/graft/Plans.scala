@@ -33,7 +33,16 @@ object Plans {
       "asof_bucketed_global_click", "ann_int8_topk",
       "jaccard_bigram_pairs", "decontamination_overlap",
       "repetition_ngram_stats", "window_range_7d", "stat_regression",
-      "chunk_documents")
+      "chunk_documents",
+      // round-4b: bloom probe-side pruning (filter must sit under the
+      // join), bloom-screened decontamination, OPQ-rotated PQ, the ANN
+      // recall measurement, the single-pass boilerplate window, heavy
+      // hitters (ReusedExchange), native batch session_window, deciles,
+      // nearest as-of, growth/cohort analytics
+      "bloom_prune_revenue", "decontamination_bloom", "ann_opq_topk",
+      "ann_recall_lsh", "boilerplate_ngram_ratio", "heavy_hitter_tokens",
+      "vocab_by_source", "session_window_batch", "value_deciles_by_type",
+      "asof_nearest_click", "user_growth_daily", "cohort_retention")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
