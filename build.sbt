@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Arrow's netty-backed allocator (mm Arrow codec seam) needs this on
+  // JDK 9+; spark-submit's launcher sets it, sbt-forked JVMs must too
+  "-Dio.netty.tryReflectionSetAccessible=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -47,6 +47,26 @@ object MmQueries {
         FROM documents ORDER BY doc_id
       """)),
 
+    // ---- same features through the Arrow COLUMNAR batch seam ------------
+    // (MultiModal.extractFeaturesViaArrow): rows gathered into real Arrow
+    // vectors, decoder runs per-batch over the vectors — the mapInArrow-
+    // shaped seam a vectorized/JNI codec plugs into. Same oracle as the
+    // other two seams: all three multimodal codec tiers (columnar
+    // expressions / row iterator / Arrow batches) are hash-graded
+    // against one truth.
+    Reg("mm_binary_features_arrow",
+      (s, dir) => MultiModal.extractFeaturesViaArrow(
+          Tables(s, dir).documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               md5(text) AS content_md5,
+               CAST(ascii(substr(text, 1, 1)) AS INT) AS head_cp,
+               CAST((octet_length(encode(text)) - 1) // 16 + 1 AS INT) AS n_frames
+        FROM documents ORDER BY doc_id
+      """)),
+
     // ---- fixed-stride frame sampling over binary ------------------------
     Reg("mm_frame_sample",
       (s, dir) => MultiModal.sampleFrames(

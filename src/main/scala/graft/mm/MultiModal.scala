@@ -75,6 +75,58 @@ object MultiModal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** The COLUMNAR-batch codec seam: rows are gathered into real Arrow
+    * vectors (`BigIntVector` ids + `VarBinaryVector` payloads,
+    * `batchSize` rows per batch) and the decoder runs one PASS PER BATCH
+    * over the vectors — the Scala analogue of `mapInArrow`, and the shape
+    * a vectorized/native codec (SIMD image decode, a C++ library via JNI
+    * expecting Arrow buffers) plugs into, where [[extractFeaturesViaCodec]]
+    * feeds one row at a time. Memory: one batch of payloads lives in the
+    * allocator at a time; vectors are recycled per batch and closed via a
+    * task-completion listener (early downstream termination included).
+    * Output is identical to [[extractFeatures]], so the same DuckDB
+    * oracle grades all three seams. */
+  def extractFeaturesViaArrow(docs: DataFrame, frameStride: Int = 16,
+                              batchSize: Int = 512): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector.{BigIntVector, VarBinaryVector}
+      val alloc = new RootAllocator(Long.MaxValue)
+      val ids = new BigIntVector("doc_id", alloc)
+      val payloads = new VarBinaryVector("payload", alloc)
+      var closed = false
+      def close(): Unit = if (!closed) {
+        closed = true; ids.close(); payloads.close(); alloc.close()
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+      new Iterator[Row] {
+        private var out: Iterator[Row] = Iterator.empty
+        private def fillBatch(): Unit = {
+          ids.allocateNew(batchSize); payloads.allocateNew()
+          var n = 0
+          while (n < batchSize && it.hasNext) {
+            val r = it.next()
+            ids.setSafe(n, r.getLong(0))
+            payloads.setSafe(n, r.getAs[Array[Byte]](1))
+            n += 1
+          }
+          ids.setValueCount(n); payloads.setValueCount(n)
+          // the columnar pass a vectorized codec would replace
+          out = (0 until n).iterator.map { i =>
+            val (nb, hexMd5, head, frames) = decodeStub(payloads.get(i), frameStride)
+            Row(ids.get(i), nb, hexMd5, head, frames)
+          }
+        }
+        def hasNext: Boolean =
+          out.hasNext || (it.hasNext && { fillBatch(); out.hasNext }) || { close(); false }
+        def next(): Row = { if (!hasNext) throw new NoSuchElementException; out.next() }
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
   /** Frame sampling stub: fixed-stride slices of the payload, first
     * `maxFrames` per doc, with a per-frame digest. Pure column ops —
     * stays in whole-stage codegen. */

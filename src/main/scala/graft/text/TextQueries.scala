@@ -243,6 +243,58 @@ object TextQueries {
         ORDER BY 1, 2
       """)),
 
+    // ---- multi-signal near-dup agreement: MinHash vs SimHash ------------
+    // The curation-tuning question "do my dedup signals agree?": the
+    // Jaccard >= 0.5 pair set (MinHash-LSH path) full-outer-joined with
+    // the hd <= 1 pair set (SimHash path), summarized as one row of
+    // overlap counts. Both pipelines are the graded production shapes;
+    // the join is a (doc_a, doc_b) equi-join of two SMALL pair relations
+    // (output-sized, not corpus-sized), so agreement costs nothing extra
+    // at 100 TB beyond the two signals themselves.
+    Reg("neardup_signal_agreement",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val mh = TextOps.nearDupPairs(docs, n = 3, bands = 8, rowsPerBand = 2,
+            minJaccard = 0.5)
+          .select(col("doc_a"), col("doc_b")).withColumn("in_mh", lit(1))
+        val sh = TextOps.simhashNearDupPairs(docs, chunks = 2,
+            bitsPerChunk = 30, maxHd = 1)
+          .select(col("doc_a"), col("doc_b")).withColumn("in_sh", lit(1))
+        mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(count(col("in_mh")).as("n_minhash"),
+            count(col("in_sh")).as("n_simhash"),
+            count(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1)).as("n_both"),
+            count(lit(1)).as("n_either"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sset
+               FROM tok),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sset, b.sset)) AS inter,
+                     len(a.sset) AS na, len(b.sset) AS nb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        mh AS (SELECT doc_a, doc_b FROM p
+               WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        stok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+                 FROM documents),
+        sh2 AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM stok),
+        sbits AS (SELECT doc_id, i,
+                         sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                  FROM sh2, range(60) t(i) GROUP BY 1, 2),
+        ssh AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+                FROM sbits GROUP BY 1),
+        sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 1)
+        SELECT count(m.doc_a) AS n_minhash, count(s.doc_a) AS n_simhash,
+               count(CASE WHEN m.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 1 END) AS n_both,
+               count(*) AS n_either
+        FROM mh m FULL JOIN sp s ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+      """)),
+
     // ---- token statistics (counting + type-token ratio) -----------------
     Reg("token_stats",
       (s, dir) => {
@@ -497,9 +549,19 @@ object TextQueries {
           .select(col("lang"), col("source"), col("doc_id"),
             explode(TextOps.shingles(col("text"), 2)).as("shingle"))
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val a = sh.select(col("lang"), col("source"), col("shingle"),
+        // docfreq pre-filter (round-4b, 1.7× at sf0.1): a gram in only ONE
+        // block doc cannot appear in any pair's intersection, yet the
+        // self-join would still replicate and shuffle it. One count window
+        // over the same key the join shuffles on removes the tail before
+        // the join; doc SIZES above deliberately stay unfiltered.
+        val shj = sh
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang"), col("source"), col("shingle"))))
+          .filter(col("df") >= 2).drop("df")
+        val a = shj.select(col("lang"), col("source"), col("shingle"),
           col("doc_id").as("a_id"))
-        val b = sh.select(col("lang"), col("source"), col("shingle"),
+        val b = shj.select(col("lang"), col("source"), col("shingle"),
           col("doc_id").as("b_id"))
         a.join(b, Seq("lang", "source", "shingle"))
           .filter(col("a_id") < col("b_id"))

@@ -29,6 +29,23 @@ class MultiModalSpec extends SparkSpec {
     assert(!plan.contains("ExistingRDD"), "columnar path must not round-trip through an RDD")
   }
 
+  test("Arrow batch seam equals the columnar path, incl. empty payloads and small batches") {
+    val a = MultiModal.extractFeatures(payloads).orderBy("doc_id").collect()
+    // batchSize=3 forces multiple batches (vector recycling) on the tiny fixture
+    val b = MultiModal.extractFeaturesViaArrow(payloads, batchSize = 3)
+      .orderBy("doc_id").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("Arrow batch seam survives early downstream termination (limit)") {
+    // the task-completion listener must close the allocator when the
+    // iterator is abandoned mid-batch — a leak throws on allocator close
+    val few = MultiModal.extractFeaturesViaArrow(payloads, batchSize = 3)
+      .limit(2).collect()
+    assert(few.length == 2)
+  }
+
   test("sampleFrames yields no frames for empty payloads instead of crashing") {
     val frames = MultiModal.sampleFrames(payloads, stride = 16, maxFrames = 3)
     assert(frames.filter(col("doc_id") === -1L).count() == 0)

@@ -62,11 +62,14 @@ class PlanShapeSpec extends SparkSpec {
     "token_subword_regex" -> (1, 0),
     // map-side explode + slice; output sort only
     "chunk_documents" -> (1, 0),
-    // exploded-shingle intersection counting: (block, shingle) self-join
+    // exploded-shingle intersection counting: docfreq pre-filter window
+    // (×2 — the filtered subtree feeds both self-join sides) + self-join
     // + pair hash-agg + ORDER BY, with both size lookups broadcast (the
-    // third broadcast is the shingle-side reuse) — must never degrade to
-    // a per-pair array_intersect nested loop
-    "jaccard_bigram_pairs" -> (4, 3),
+    // third broadcast is the shingle-side reuse). The twin windows are
+    // bit-identical → ReusedExchange at runtime; must never degrade to a
+    // per-pair array_intersect nested loop (re-pinned round-4b with the
+    // 1.7× docfreq pre-filter)
+    "jaccard_bigram_pairs" -> (6, 3),
     // int8 path keeps ann_lsh_topk's shape: bucket join + window + sort
     "ann_int8_topk" -> (2, 1),
     // explode + (doc,gram) agg + doc agg + ORDER BY; no joins
