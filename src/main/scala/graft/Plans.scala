@@ -42,7 +42,11 @@ object Plans {
       "bloom_prune_revenue", "decontamination_bloom", "ann_opq_topk",
       "ann_recall_lsh", "boilerplate_ngram_ratio", "heavy_hitter_tokens",
       "vocab_by_source", "session_window_batch", "value_deciles_by_type",
-      "asof_nearest_click", "user_growth_daily", "cohort_retention")
+      "asof_nearest_click", "user_growth_daily", "cohort_retention",
+      // late round-4b: signal agreement, Arrow seam, robust stats,
+      // interpolating gap fill
+      "neardup_signal_agreement", "mm_binary_features_arrow",
+      "mad_outliers", "gap_fill_interp")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -85,6 +85,28 @@ object StreamQueries {
   private def drainAppend(df: DataFrame, partitions: Int = 4): DataFrame =
     drain(df, "append", partitions)
 
+  /** [[drain]] twin driven by Trigger.AvailableNow — the query paces
+    * itself through the available input and TERMINATES on its own
+    * (awaitTermination, no processAllAvailable/stop from the caller).
+    * This is the scheduled-incremental-job trigger; grading one candle
+    * query through it proves the trigger in the oracle-checked path, not
+    * just in AvailableNowSpec. Same SEQUENTIAL CONTRACT as drain(). */
+  private def drainAvailableNow(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation",
+          s"/dev/shm/graft-ckpt/${name}_${java.util.UUID.randomUUID().toString.take(8)}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(120000), "AvailableNow drain did not terminate")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
+  }
+
   /** Recursive delete for /dev/shm scratch that is rebuilt per invocation
     * — file-sink queries key their output on the sf dir and wipe it here
     * so repeated bench reps don't accumulate copies. */
@@ -110,6 +132,45 @@ object StreamQueries {
             sum(col("value")).as("volume"),
             count(lit(1)).as("trades"))
         drainComplete(candles)
+          .select(date_format(col("window.start"), fmt).as("bucket"),
+            col("event_type"), col("open"), col("high"), col("low"), col("close"),
+            round(col("volume"), 4).as("volume"), col("trades"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               round(sum(value), 4) AS volume,
+               count(*) AS trades
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
+    // ---- candles through Trigger.AvailableNow ---------------------------
+    // The scheduled-incremental-job trigger in the GRADED path: identical
+    // aggregation to streaming_candles_1h, but the query self-paces
+    // through the input and terminates on its own (no external stop) —
+    // what an hourly cron re-running over a growing directory executes.
+    // Same oracle as the batch candles: trigger choice must be
+    // result-invisible.
+    Reg("streaming_candles_availablenow",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val candles = readEventsStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            min_by(col("value"), col("ts")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ts")).as("close"),
+            sum(col("value")).as("volume"),
+            count(lit(1)).as("trades"))
+        drainAvailableNow(candles, "complete")
           .select(date_format(col("window.start"), fmt).as("bucket"),
             col("event_type"), col("open"), col("high"), col("low"), col("close"),
             round(col("volume"), 4).as("volume"), col("trades"))

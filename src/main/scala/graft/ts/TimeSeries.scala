@@ -109,6 +109,36 @@ object TimeSeries {
       .withColumn("volume", coalesce(col("volume"), lit(0.0)))
   }
 
+  /** Gap fill with LINEAR INTERPOLATION between the surrounding closes —
+    * the chart-serving repair for sparse series (forward fill holds a
+    * stale value; interpolation draws the line). Two series-partitioned
+    * windows (backward last + forward first, each with its bucket), then
+    * pure arithmetic; edge gaps (before the first / after the last close)
+    * fall back to the one-sided neighbor. Window state is one value per
+    * direction — same scale shape as [[gapFill]]. */
+  def gapFillInterp(candles: DataFrame, intervalSeconds: Long): DataFrame = {
+    val wb = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    spine(candles, intervalSeconds)
+      .join(candles, Seq("series", "bucket"), "left")
+      .withColumn("was_gap", col("close").isNull)
+      .withColumn("pc", last(col("close"), ignoreNulls = true).over(wb))
+      .withColumn("pb", last(when(col("close").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wb))
+      .withColumn("nc", first(col("close"), ignoreNulls = true).over(wf))
+      .withColumn("nb", first(when(col("close").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wf))
+      .withColumn("close_interp",
+        when(!col("was_gap"), col("close"))
+          .when(col("pc").isNotNull && col("nc").isNotNull,
+            col("pc") + (col("nc") - col("pc")) *
+              (unix_timestamp(col("bucket")) - unix_timestamp(col("pb"))).cast("double") /
+              (unix_timestamp(col("nb")) - unix_timestamp(col("pb"))).cast("double"))
+          .otherwise(coalesce(col("pc"), col("nc"))))
+  }
+
   /** Volume-weighted average price per (bucket, series): sum(p·v)/sum(v). */
   def vwap(events: DataFrame, unit: String, priceCol: String, volCol: String,
            seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame =

@@ -242,6 +242,46 @@ object TsQueries {
         ORDER BY 1, 2
       """)),
 
+    // ---- gap fill with LINEAR INTERPOLATION -----------------------------
+    // The chart-serving twin of gap_fill_1h: gaps get the line between
+    // the surrounding closes, not a stale carry-forward. Both engines
+    // evaluate the IDENTICAL arithmetic (same operand order, integer
+    // epochs, double division), so round(4) is safe; edge gaps fall back
+    // one-sided and are exercised by construction (series start/end).
+    Reg("gap_fill_interp",
+      (s, dir) => TimeSeries.gapFillInterp(
+          TimeSeries.candles(Tables(s, dir).events, "hour"), 3600)
+        .select(col("series").as("event_type"),
+          date_format(col("bucket"), fmt).as("bucket"),
+          col("was_gap"), round(col("close_interp"), 4).as("close_interp"))
+        .orderBy("event_type", "bucket"),
+      Some("""
+        WITH c AS (SELECT event_type AS s, date_trunc('hour', ts) AS b,
+                          arg_max(value, ts) AS close
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT s, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1),
+        sp AS (SELECT s, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM r),
+        j AS (SELECT sp.s, sp.b, c.close,
+                     last_value(c.close IGNORE NULLS) OVER wb AS pc,
+                     last_value(CASE WHEN c.close IS NOT NULL THEN sp.b END IGNORE NULLS) OVER wb AS pb,
+                     first_value(c.close IGNORE NULLS) OVER wf AS nc,
+                     first_value(CASE WHEN c.close IS NOT NULL THEN sp.b END IGNORE NULLS) OVER wf AS nb
+              FROM sp LEFT JOIN c ON c.s = sp.s AND c.b = sp.b
+              WINDOW wb AS (PARTITION BY sp.s ORDER BY sp.b
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY sp.s ORDER BY sp.b
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT s AS event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+               close IS NULL AS was_gap,
+               round(CASE WHEN close IS NOT NULL THEN close
+                          WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+                            pc + (nc - pc) *
+                              CAST(epoch(b) - epoch(pb) AS DOUBLE) /
+                              CAST(epoch(nb) - epoch(pb) AS DOUBLE)
+                          ELSE coalesce(pc, nc) END, 4) AS close_interp
+        FROM j ORDER BY 1, 2
+      """)),
+
     // ---- VWAP over lineitem (price = extendedprice, volume = quantity) --
     // vwap output is integer-scaled end to end: float sums differ between
     // engines by summation order, and even round() disagrees across engines
@@ -710,6 +750,49 @@ object TsQueries {
                count(DISTINCT ud.user_id) AS n_users
         FROM ud JOIN fs ON ud.user_id = fs.user_id
         GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
+    // ---- robust outliers: median absolute deviation (MAD) ---------------
+    // The robust twin of zscore_outliers: mean/σ move with the outliers
+    // they hunt; median/MAD do not. Two exact-median passes (per-type
+    // median, then median of |x − med|) + a count of |x − med| > 3·MAD.
+    // Spark `percentile(0.5)` and DuckDB `quantile_cont(0.5)` both
+    // linearly interpolate the same order statistics, so the medians are
+    // the identical doubles; the >3·MAD comparison happens on raw values
+    // and only the emitted medians are rounded. At 100 TB exact medians
+    // are the cost (full sort per group in the percentile agg) — the
+    // approx_percentile twin with a tolerance contract is
+    // approx_quantile_contract's pattern.
+    Reg("mad_outliers",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val med = e.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val mad = e.join(med, "event_type")
+          .groupBy(col("event_type"), col("med"))
+          .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+            count(lit(1)).as("n"))
+        e.join(mad, "event_type")
+          .groupBy(col("event_type"), col("med"), col("mad"), col("n"))
+          .agg(count(when(abs(col("value") - col("med")) > col("mad") * 3, 1))
+            .as("n_outliers"))
+          .select(col("event_type"), round(col("med"), 4).as("med"),
+            round(col("mad"), 4).as("mad"), col("n"), col("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                     FROM events GROUP BY 1),
+        mad AS (SELECT e.event_type, m.med,
+                       quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                       count(*) AS n
+                FROM events e JOIN med m ON e.event_type = m.event_type
+                GROUP BY 1, 2)
+        SELECT e.event_type, round(d.med, 4) AS med, round(d.mad, 4) AS mad,
+               d.n, count(*) FILTER (abs(e.value - d.med) > d.mad * 3) AS n_outliers
+        FROM events e JOIN mad d ON e.event_type = d.event_type
+        GROUP BY e.event_type, d.med, d.mad, d.n
+        ORDER BY e.event_type
       """))
   )
 }

@@ -46,6 +46,22 @@ class GraftExtensionsSpec extends SparkSpec {
       native("null_side") == null && native("empty") == 0.0)
   }
 
+  test("bloom_agg/might_contain resolve via function registration and agree with an exact semi-join") {
+    graft.functions.BloomFuncs.register(spark)
+    val t = graft.Tables(spark, sf("sf0.001"))
+    t.customer.limit(50).select(col("c_custkey")).createOrReplaceTempView("ge_bloom_dim")
+    val bloomKept = t.orders.filter(expr(
+      """might_contain((SELECT bloom_agg(xxhash64(c_custkey)) FROM ge_bloom_dim),
+         xxhash64(o_custkey))"""))
+      .select(col("o_orderkey"))
+    val exactKept = t.orders
+      .join(spark.table("ge_bloom_dim"), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    // superset with no false negatives
+    assert(exactKept.join(bloomKept, Seq("o_orderkey"), "left_anti").count() == 0)
+    assert(bloomKept.count() >= exactKept.count())
+  }
+
   test("dot_f32 returns NULL on null array elements, matching the HOF") {
     graft.functions.DotF32.register(spark)
     val row = spark.sql(
