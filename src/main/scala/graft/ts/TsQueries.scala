@@ -244,16 +244,29 @@ object TsQueries {
 
     // ---- gap fill with LINEAR INTERPOLATION -----------------------------
     // The chart-serving twin of gap_fill_1h: gaps get the line between
-    // the surrounding closes, not a stale carry-forward. Both engines
-    // evaluate the IDENTICAL arithmetic (same operand order, integer
-    // epochs, double division), so round(4) is safe; edge gaps fall back
-    // one-sided and are exercised by construction (series start/end).
+    // the surrounding closes, not a stale carry-forward. Output is
+    // integer CENTS end to end (the vwap pattern): a float interpolation
+    // of 2-decimal closes lands EXACTLY on .xxxx5 midpoints, where Spark
+    // (decimal HALF_UP) and DuckDB (binary round) disagree — found at
+    // sf0.001. Closes snap exactly to cents (fixture values are
+    // 2-decimal, so close·100 is integer ± float error ≪ 0.5), then the
+    // interpolation is pure integer math: (pc·dy + (nc−pc)·dx) div dy —
+    // identical truncation on both engines (all values positive).
     Reg("gap_fill_interp",
       (s, dir) => TimeSeries.gapFillInterp(
           TimeSeries.candles(Tables(s, dir).events, "hour"), 3600)
+        .withColumn("cc", round(col("close") * 100).cast("long"))
+        .withColumn("pcc", round(col("pc") * 100).cast("long"))
+        .withColumn("ncc", round(col("nc") * 100).cast("long"))
+        .withColumn("dx", (unix_timestamp(col("bucket")) - unix_timestamp(col("pb"))))
+        .withColumn("dy", (unix_timestamp(col("nb")) - unix_timestamp(col("pb"))))
         .select(col("series").as("event_type"),
           date_format(col("bucket"), fmt).as("bucket"),
-          col("was_gap"), round(col("close_interp"), 4).as("close_interp"))
+          col("was_gap"),
+          when(!col("was_gap"), col("cc"))
+            .when(col("pcc").isNotNull && col("ncc").isNotNull,
+              expr("(pcc * dy + (ncc - pcc) * dx) div dy"))
+            .otherwise(coalesce(col("pcc"), col("ncc"))).as("close_interp_cents"))
         .orderBy("event_type", "bucket"),
       Some("""
         WITH c AS (SELECT event_type AS s, date_trunc('hour', ts) AS b,
@@ -262,9 +275,10 @@ object TsQueries {
         r AS (SELECT s, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1),
         sp AS (SELECT s, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM r),
         j AS (SELECT sp.s, sp.b, c.close,
-                     last_value(c.close IGNORE NULLS) OVER wb AS pc,
+                     CAST(round(c.close * 100) AS BIGINT) AS cc,
+                     CAST(round(last_value(c.close IGNORE NULLS) OVER wb * 100) AS BIGINT) AS pcc,
                      last_value(CASE WHEN c.close IS NOT NULL THEN sp.b END IGNORE NULLS) OVER wb AS pb,
-                     first_value(c.close IGNORE NULLS) OVER wf AS nc,
+                     CAST(round(first_value(c.close IGNORE NULLS) OVER wf * 100) AS BIGINT) AS ncc,
                      first_value(CASE WHEN c.close IS NOT NULL THEN sp.b END IGNORE NULLS) OVER wf AS nb
               FROM sp LEFT JOIN c ON c.s = sp.s AND c.b = sp.b
               WINDOW wb AS (PARTITION BY sp.s ORDER BY sp.b
@@ -273,12 +287,12 @@ object TsQueries {
                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         SELECT s AS event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
                close IS NULL AS was_gap,
-               round(CASE WHEN close IS NOT NULL THEN close
-                          WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
-                            pc + (nc - pc) *
-                              CAST(epoch(b) - epoch(pb) AS DOUBLE) /
-                              CAST(epoch(nb) - epoch(pb) AS DOUBLE)
-                          ELSE coalesce(pc, nc) END, 4) AS close_interp
+               CASE WHEN close IS NOT NULL THEN cc
+                    WHEN pcc IS NOT NULL AND ncc IS NOT NULL THEN
+                      (pcc * CAST(epoch(nb) - epoch(pb) AS BIGINT)
+                       + (ncc - pcc) * CAST(epoch(b) - epoch(pb) AS BIGINT))
+                        // CAST(epoch(nb) - epoch(pb) AS BIGINT)
+                    ELSE coalesce(pcc, ncc) END AS close_interp_cents
         FROM j ORDER BY 1, 2
       """)),
 
