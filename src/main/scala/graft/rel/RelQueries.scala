@@ -526,6 +526,33 @@ object RelQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- pivot with MULTIPLE aggregates per cell ------------------------
+    // Spark suffixes each pivot column with the aggregate alias
+    // (`F_n` / `F_rev` …) — the multi-measure crosstab shape. Revenue is
+    // cents-scaled before the pivot sum (integer-exact per cell).
+    Reg("pivot_status_multi",
+      (s, dir) => Tables(s, dir).orders
+        .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("rev"))
+        .na.fill(0L, Seq("F_n", "F_rev", "O_n", "O_rev", "P_n", "P_rev"))
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'F') AS F_n,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (o_orderstatus = 'F'), 0) AS BIGINT) AS F_rev,
+               count(*) FILTER (o_orderstatus = 'O') AS O_n,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (o_orderstatus = 'O'), 0) AS BIGINT) AS O_rev,
+               count(*) FILTER (o_orderstatus = 'P') AS P_n,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (o_orderstatus = 'P'), 0) AS BIGINT) AS P_rev
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- CASE WHEN bucketing --------------------------------------------
     Reg("case_price_buckets",
       (s, dir) => Tables(s, dir).orders

@@ -390,6 +390,52 @@ object TextQueries {
         ORDER BY d.doc_id
       """)),
 
+    // ---- language-ID confusion matrix -----------------------------------
+    // The evaluation view of lang_id_predict: (actual, predicted) counts —
+    // what a curation run reports before trusting the classifier's
+    // language routing. Same pipeline as lang_id_predict plus one
+    // hash-agg; at 100 TB the matrix is |langs|² rows.
+    Reg("lang_confusion_matrix",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        val wTop = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("w"))
+        val top10 = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
+          .select(col("lang").as("cand_lang"), col("w"))
+        val docTok = docs.select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+        val votes = docTok.join(top10, "w")
+          .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("votes"))
+        val wPick = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("cand_lang"))
+        votes.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang").as("lang_actual"), col("cand_lang").as("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang_actual", "lang_pred")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        top10 AS (SELECT lang AS cand_lang, w FROM (
+                    SELECT lang, w, row_number() OVER (
+                      PARTITION BY lang ORDER BY count(*) DESC, w) AS rn
+                    FROM tok GROUP BY lang, w) WHERE rn <= 10),
+        dtok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+                 FROM documents),
+        votes AS (SELECT doc_id, cand_lang, count(*) AS votes
+                  FROM dtok JOIN top10 USING (w) GROUP BY 1, 2),
+        pick AS (SELECT doc_id, cand_lang, votes, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY votes DESC, cand_lang) AS rn
+                 FROM votes)
+        SELECT d.lang AS lang_actual, p.cand_lang AS lang_pred,
+               count(*) AS n_docs
+        FROM pick p JOIN documents d USING (doc_id)
+        WHERE p.rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
     // ---- TF-IDF top terms per language ----------------------------------
     // Output is all-integer (lang, rank, token, tf, df): the tf·ln(N/df)
     // ranking can only tie when (tf, df) pairs are equal — then the score
