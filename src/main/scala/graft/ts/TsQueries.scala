@@ -507,6 +507,61 @@ object TsQueries {
         ORDER BY event_id
       """)),
 
+    // ---- 8-step DEMA: double exponential smoothing ----------------------
+    // DEMA = 2·EMA − EMA(EMA) — the lag-reduced trend smoother. Layered
+    // exactly on ema_window_8's integer closed form: the first EMA is the
+    // 8-tap ×128 integer convolution; the second applies the SAME taps to
+    // the first's sequence (×16384 total); rows need 15 predecessors.
+    // All-BIGINT arithmetic end to end — zero float risk, the same
+    // reason ema_window_8 hashes exactly.
+    Reg("dema_window_8",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"))
+        val weights = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L, 1L)
+        val vc = round(col("value") * 100).cast("long")
+        val ema1Terms = weights.zipWithIndex.map { case (wt, k) =>
+          (if (k == 0) vc else lag(vc, k).over(w)) * lit(wt) }
+        val stage1 = Tables(s, dir).events
+          .withColumn("ema1",
+            when(lag(vc, 7).over(w).isNotNull, ema1Terms.reduce(_ + _)))
+        val ema2Terms = weights.zipWithIndex.map { case (wt, k) =>
+          (if (k == 0) col("ema1") else lag(col("ema1"), k).over(w)) * lit(wt) }
+        stage1
+          .withColumn("ema2", ema2Terms.reduce(_ + _))
+          .withColumn("dema_x16384_cents", col("ema1") * 256 - col("ema2"))
+          .filter(col("dema_x16384_cents").isNotNull)
+          .select(col("event_id"), col("event_type"), col("dema_x16384_cents"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, event_type, ts,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM events),
+        m1 AS (
+          SELECT event_id, event_type, ts,
+                 CASE WHEN lag(vc, 7) OVER w IS NOT NULL THEN
+                   64*vc + 32*lag(vc,1) OVER w + 16*lag(vc,2) OVER w
+                   + 8*lag(vc,3) OVER w + 4*lag(vc,4) OVER w
+                   + 2*lag(vc,5) OVER w + 1*lag(vc,6) OVER w
+                   + 1*lag(vc,7) OVER w END AS ema1
+          FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        m2 AS (
+          SELECT event_id, event_type,
+                 ema1,
+                 64*ema1 + 32*lag(ema1,1) OVER w + 16*lag(ema1,2) OVER w
+                 + 8*lag(ema1,3) OVER w + 4*lag(ema1,4) OVER w
+                 + 2*lag(ema1,5) OVER w + 1*lag(ema1,6) OVER w
+                 + 1*lag(ema1,7) OVER w AS ema2
+          FROM m1 WINDOW w AS (PARTITION BY event_type ORDER BY ts))
+        SELECT event_id, event_type,
+               CAST(ema1 * 256 - ema2 AS BIGINT) AS dema_x16384_cents
+        FROM m2
+        WHERE ema1 * 256 - ema2 IS NOT NULL
+        ORDER BY event_id
+      """)),
+
     // ---- incremental candle store: the UPDATE LIFECYCLE, graded ---------
     // Builds the day-partitioned store from the first ~27 days, then runs
     // Incremental.update with the full history (re-aggregating only the

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry invariants the grading contract depends on. These never touch
+  * Spark — they guard the STRUCTURE the driver consumes: a query that
+  * loses its oracle silently downgrades to a rows-only check, and a name
+  * collision makes one query shadow another in the Map. */
+class RegistrySpec extends AnyFunSuite {
+
+  private def registry = Seq(
+    graft.ts.TsQueries.all, graft.rel.RelQueries.all,
+    graft.text.TextQueries.all, graft.vec.VecQueries.all,
+    graft.mm.MmQueries.all, graft.streaming.StreamQueries.all).flatten
+
+  test("every registered query has a DuckDB oracle") {
+    val missing = registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty,
+      s"queries without oracleSql (driver downgrades them to rows-only): $missing")
+  }
+
+  test("query names are unique and machine-friendly") {
+    val names = registry.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names (Map silently drops one): $dups")
+    val bad = names.filterNot(_.matches("[a-z0-9_]+"))
+    assert(bad.isEmpty, s"non [a-z0-9_] names: $bad")
+  }
+
+  test("every oracle is total-ordered or single-row (ORDER BY present)") {
+    // single-row global aggregates are exempt (no ordering ambiguity);
+    // everything else must carry an ORDER BY for the hash compare
+    val noOrder = registry.filter { r =>
+      r.oracle.exists(sql => !sql.toUpperCase.contains("ORDER BY"))
+    }.map(_.name)
+    val exempt = Set(
+      // single-row outputs by construction (global aggregates)
+      "embedding_norm_check", "approx_quantile_contract",
+      "neardup_signal_agreement", "distinct_counts", "curation_funnel")
+    val offenders = noOrder.filterNot(exempt)
+    assert(offenders.isEmpty,
+      s"oracles without ORDER BY (row order is engine-arbitrary): $offenders")
+  }
+}
