@@ -821,6 +821,123 @@ object TsQueries {
         GROUP BY 1, 2 ORDER BY 1, 2
       """)),
 
+    // ---- hourly log-free returns per series (integer permyriad) ---------
+    // The per-candle return series every tsdb chart derives:
+    // (close − prev_close)/prev_close as integer permyriad. Closes snap
+    // exactly to cents (2-decimal fixture contract); `div` and DuckDB `//`
+    // both truncate toward zero (verified incl. negatives), so the ratio
+    // is integer-exact in both engines.
+    Reg("candle_returns_1h",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("series")).orderBy(col("bucket"))
+        TimeSeries.candles(Tables(s, dir).events, "hour")
+          .withColumn("cc", round(col("close") * 100).cast("long"))
+          .withColumn("pc", lag(col("cc"), 1).over(w))
+          .filter(col("pc").isNotNull)
+          .select(col("series").as("event_type"),
+            date_format(col("bucket"), fmt).as("bucket"),
+            col("cc").as("close_cents"),
+            expr("(cc - pc) * 10000 div pc").as("ret_permyriad"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""
+        WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                          CAST(round(arg_max(value, ts) * 100) AS BIGINT) AS cc
+                   FROM events GROUP BY 1, 2),
+        l AS (SELECT event_type, b, cc,
+                     lag(cc) OVER (PARTITION BY event_type ORDER BY b) AS pc
+              FROM c)
+        SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+               cc AS close_cents,
+               (cc - pc) * 10000 // pc AS ret_permyriad
+        FROM l WHERE pc IS NOT NULL
+        ORDER BY event_type, bucket
+      """)),
+
+    // ---- ordered-step funnel within sessions ----------------------------
+    // The conversion question "view → click → purchase IN ORDER within
+    // one session": sessionize (30 min gap, the sessionize_30m CTE), take
+    // each step's MIN ts per session, count sessions where the mins are
+    // strictly ordered. Min-per-step is a hash-agg; the ordering check is
+    // a filter — no per-event sequence scan, no quadratic step matching.
+    Reg("funnel_ordered_steps",
+      (s, dir) => {
+        val steps = TimeSeries.sessionize(Tables(s, dir).events, 1800)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+        steps.agg(
+          count(lit(1)).as("n_sessions"),
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+          count(when(col("t_view") < col("t_click") &&
+            col("t_click") < col("t_buy"), 1)).as("n_view_click_buy"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts, event_type,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM e),
+        st AS (SELECT user_id, sid,
+                      min(ts) FILTER (event_type = 'view') AS t_view,
+                      min(ts) FILTER (event_type = 'click') AS t_click,
+                      min(ts) FILTER (event_type = 'purchase') AS t_buy
+               FROM s GROUP BY 1, 2)
+        SELECT count(*) AS n_sessions,
+               count(t_view) AS n_view,
+               count(*) FILTER (t_view < t_click) AS n_view_click,
+               count(*) FILTER (t_view < t_click AND t_click < t_buy) AS n_view_click_buy
+        FROM st
+      """)),
+
+    // ---- DAU/MAU stickiness per month -----------------------------------
+    // The engagement ratio dashboards track: per month, the sum of daily
+    // distinct users, days observed, monthly distinct users, and
+    // stickiness = avg-DAU/MAU in integer permille
+    // (sum_dau·1000 div (n_days·mau)). Two distinct hash-aggs + one
+    // month agg — no window over raw data.
+    Reg("dau_mau_month",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val dau = e.groupBy(date_trunc("day", col("ts")).as("d"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+          .groupBy(date_trunc("month", col("d")).as("m"))
+          .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+        val mau = e.groupBy(date_trunc("month", col("ts")).as("m"))
+          .agg(countDistinct(col("user_id")).as("mau"))
+        dau.join(mau, "m")
+          .select(date_format(col("m"), "yyyy-MM").as("month"),
+            col("sum_dau"), col("n_days"), col("mau"),
+            expr("sum_dau * 1000 div (n_days * mau)").as("stickiness_permille"))
+          .orderBy("month")
+      },
+      Some("""
+        WITH dau AS (SELECT date_trunc('day', ts) AS d,
+                            count(DISTINCT user_id) AS dau
+                     FROM events GROUP BY 1),
+        m1 AS (SELECT date_trunc('month', d) AS m,
+                      CAST(sum(dau) AS BIGINT) AS sum_dau,
+                      count(*) AS n_days
+               FROM dau GROUP BY 1),
+        m2 AS (SELECT date_trunc('month', ts) AS m,
+                      count(DISTINCT user_id) AS mau
+               FROM events GROUP BY 1)
+        SELECT strftime(m1.m, '%Y-%m') AS month,
+               m1.sum_dau, m1.n_days, m2.mau,
+               m1.sum_dau * 1000 // (m1.n_days * m2.mau) AS stickiness_permille
+        FROM m1 JOIN m2 ON m1.m = m2.m
+        ORDER BY month
+      """)),
+
     // ---- robust outliers: median absolute deviation (MAD) ---------------
     // The robust twin of zscore_outliers: mean/σ move with the outliers
     // they hunt; median/MAD do not. Two exact-median passes (per-type

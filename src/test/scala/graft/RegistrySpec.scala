@@ -36,7 +36,8 @@ class RegistrySpec extends AnyFunSuite {
     val exempt = Set(
       // single-row outputs by construction (global aggregates)
       "embedding_norm_check", "approx_quantile_contract",
-      "neardup_signal_agreement", "distinct_counts", "curation_funnel")
+      "neardup_signal_agreement", "distinct_counts", "curation_funnel",
+      "funnel_ordered_steps")
     val offenders = noOrder.filterNot(exempt)
     assert(offenders.isEmpty,
       s"oracles without ORDER BY (row order is engine-arbitrary): $offenders")
