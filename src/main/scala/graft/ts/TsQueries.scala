@@ -855,6 +855,104 @@ object TsQueries {
         ORDER BY event_type, bucket
       """)),
 
+    // ---- Bollinger bands: 20-candle SMA ± 2σ ----------------------------
+    // The volatility envelope over the hourly close series. The window is
+    // a deterministic 20-row frame over a total order, so both engines
+    // fold the same 20 closes; stddev_samp is rounded at 4dp (same
+    // precedent as stat_regression — sqrt is IEEE-correctly-rounded, the
+    // variance differs only in last-ulp accumulation). Full windows only
+    // (20th predecessor present), mirrored via lag(19).
+    Reg("bollinger_20",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("series")).orderBy(col("bucket"))
+        val w20 = w.rowsBetween(-19, 0)
+        TimeSeries.candles(Tables(s, dir).events, "hour")
+          .withColumn("_p19", lag(col("close"), 19).over(w))
+          // windows BEFORE the full-window filter — filtering first would
+          // shrink the frame to the surviving rows
+          .withColumn("sma20", round(avg(col("close")).over(w20), 4))
+          .withColumn("sd20", round(stddev_samp(col("close")).over(w20), 4))
+          .filter(col("_p19").isNotNull)
+          .select(col("series").as("event_type"),
+            date_format(col("bucket"), fmt).as("bucket"),
+            col("sma20"), col("sd20"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""
+        WITH c AS (SELECT event_type AS s, date_trunc('hour', ts) AS b,
+                          arg_max(value, ts) AS close
+                   FROM events GROUP BY 1, 2),
+        l AS (SELECT s, b, close,
+                     lag(close, 19) OVER (PARTITION BY s ORDER BY b) AS p19,
+                     round(avg(close) OVER w20, 4) AS sma20,
+                     round(stddev_samp(close) OVER w20, 4) AS sd20
+              FROM c
+              WINDOW w20 AS (PARTITION BY s ORDER BY b
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        SELECT s AS event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+               sma20, sd20
+        FROM l WHERE p19 IS NOT NULL
+        ORDER BY event_type, bucket
+      """)),
+
+    // ---- cross-series correlation on the aligned hourly grid ------------
+    // "Do these two metrics move together?": hourly mean value per series,
+    // inner-joined on the hour (alignment!), then corr per series pair.
+    // The hourly means are rounded to 4dp BEFORE the correlation so both
+    // engines correlate the identical inputs; corr itself is rounded like
+    // stat_regression. Unordered pairs via s1 < s2.
+    Reg("series_correlation",
+      (s, dir) => {
+        val hourly = Tables(s, dir).events
+          .groupBy(date_trunc("hour", col("ts")).as("b"), col("event_type"))
+          .agg(round(avg(col("value")), 4).as("v"))
+        val a = hourly.select(col("b"), col("event_type").as("s1"), col("v").as("v1"))
+        val b = hourly.select(col("b"), col("event_type").as("s2"), col("v").as("v2"))
+        a.join(b, Seq("b")).filter(col("s1") < col("s2"))
+          .groupBy(col("s1"), col("s2"))
+          .agg(count(lit(1)).as("n_hours"),
+            round(corr(col("v1"), col("v2")), 4).as("corr_v"))
+          .orderBy("s1", "s2")
+      },
+      Some("""
+        WITH h AS (SELECT date_trunc('hour', ts) AS b, event_type,
+                          round(avg(value), 4) AS v
+                   FROM events GROUP BY 1, 2)
+        SELECT a.event_type AS s1, b.event_type AS s2,
+               count(*) AS n_hours,
+               round(corr(a.v, b.v), 4) AS corr_v
+        FROM h a JOIN h b ON a.b = b.b AND a.event_type < b.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
+    // ---- event-type transition matrix (per-user next-event Markov) ------
+    // Sequence analytics: for each user-ordered event pair, count
+    // (from_type → to_type) transitions — the raw material of a Markov
+    // behavior model. lead() over the per-user total order + one
+    // hash-agg; all-integer output.
+    Reg("event_transition_matrix",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables(s, dir).events
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type,
+                          lead(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+                   FROM events)
+        SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        FROM t WHERE next_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
     // ---- ordered-step funnel within sessions ----------------------------
     // The conversion question "view → click → purchase IN ORDER within
     // one session": sessionize (30 min gap, the sessionize_30m CTE), take
