@@ -826,6 +826,26 @@ object TextQueries {
         FROM j GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- doc-length percentiles per source ------------------------------
+    // The corpus-profile stat behind length filtering: exact p10/p50/p90
+    // of n_chars per source. Integer inputs, identical linear
+    // interpolation (`percentile` ↔ `quantile_cont`), rounded 2dp.
+    Reg("doclen_percentiles_by_source",
+      (s, dir) => Tables(s, dir).documents
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_chars, 0.1)"), 2).as("p10"),
+          round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 2).as("p90"))
+        .orderBy("source"),
+      Some("""
+        SELECT source, count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.1), 2) AS p10,
+               round(quantile_cont(n_chars, 0.5), 2) AS p50,
+               round(quantile_cont(n_chars, 0.9), 2) AS p90
+        FROM documents GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- bloom-screened decontamination: the 100 TB pre-filter ----------
     // decontamination_overlap's exact gram semi-join shuffles every eval
     // gram against the full train-gram set; the scale deployment first

@@ -451,6 +451,66 @@ object VecQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- IVF index balance: members per cell ----------------------------
+    // The index-health stat an ANN operator watches: cell sizes after
+    // assignment (a skewed cell = a hot probe path). Same broadcast
+    // assignment as ivf_ann_topk, then one hash-agg; integer output.
+    Reg("ivf_cell_balance",
+      (s, dir) => {
+        graft.functions.DotF32.register(s)
+        val emb = Tables(s, dir).embeddings
+        val cents = VecOps.seedCentroids(emb, 16)
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
+        emb.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cd", expr("dot_f32(embedding, ce)"))
+          .withColumn("crank", row_number().over(wAssign))
+          .filter(col("crank") === 1)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("cid")
+      },
+      Some(s"""
+        WITH seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 16),
+        ranked AS (
+          SELECT a.vec_id, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN seeds b ON true)
+        SELECT cid, count(*) AS n_members
+        FROM ranked WHERE crank = 1
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- cosine score histogram over LSH candidates ---------------------
+    // Threshold tuning for embedding dedup: the distribution of candidate
+    // similarities in integer deci-bands (floor(d·10), identical on both
+    // engines — scores are the same exact doubles, and a band-boundary
+    // hit would need a dot to be an exact multiple of 0.1 in binary,
+    // which the fixture's irrational-ish floats never are). Shows where
+    // to put the near-dup cutoff before committing to one.
+    Reg("cosine_score_histogram",
+      (s, dir) => VecOps.lshScoredPairs(Tables(s, dir).embeddings,
+          planes = 4, tables = 6, directed = false)
+        .withColumn("band", floor(col("score") * 10).cast("long"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("band"),
+      Some(s"""
+        WITH ${duckSigCtes(4, 6, "<")},
+        scored AS (SELECT c.qid, c.nid, $duckDot AS d
+                   FROM cand c
+                   JOIN embeddings a ON a.vec_id = c.qid
+                   JOIN embeddings b ON b.vec_id = c.nid)
+        SELECT CAST(floor(d * 10) AS BIGINT) AS band, count(*) AS n_pairs
+        FROM scored GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- ANN accuracy contract: recall@3 of LSH vs brute ground truth ---
     // The sketch-accuracy gate every ANN deployment needs: per query, how
     // many of the true top-3 neighbors the single-table LSH search
