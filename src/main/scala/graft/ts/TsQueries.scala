@@ -855,6 +855,67 @@ object TsQueries {
         ORDER BY event_type, bucket
       """)),
 
+    // ---- seasonality profile: hour-of-day × series ----------------------
+    // The load/traffic shape behind capacity planning and anomaly
+    // baselines: per (event_type, hour-of-day 0–23), event count and
+    // cents-exact mean value (integer div). One hash-agg; hour() and
+    // DuckDB's date_part('hour') agree on UTC timestamps.
+    Reg("seasonality_hour_profile",
+      (s, dir) => Tables(s, dir).events
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("_sum_cents"))
+        .withColumn("mean_cents", expr("_sum_cents div n"))
+        .drop("_sum_cents")
+        .orderBy("event_type", "hod"),
+      Some("""
+        SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hod,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 // count(*) AS mean_cents
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
+    // ---- 8-tap linearly-weighted moving average (WMA) -------------------
+    // The third smoother beside EMA/DEMA: weights 8,7,…,1 (÷36) over the
+    // last 8 values — linear decay instead of exponential. Integer
+    // arithmetic end to end (×36 cents), full windows only.
+    Reg("wma_window_8",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"))
+        val vc = round(col("value") * 100).cast("long")
+        val terms = (0 until 8).map { k =>
+          (if (k == 0) vc else lag(vc, k).over(w)) * lit(8L - k) }
+        Tables(s, dir).events
+          .withColumn("wma8_x36_cents", terms.reduce(_ + _))
+          .withColumn("_l7", lag(vc, 7).over(w))
+          .filter(col("_l7").isNotNull)
+          .select(col("event_id"), col("event_type"), col("wma8_x36_cents"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS vc,
+                 lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS l1,
+                 lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS l2,
+                 lag(CAST(round(value * 100) AS BIGINT), 3) OVER w AS l3,
+                 lag(CAST(round(value * 100) AS BIGINT), 4) OVER w AS l4,
+                 lag(CAST(round(value * 100) AS BIGINT), 5) OVER w AS l5,
+                 lag(CAST(round(value * 100) AS BIGINT), 6) OVER w AS l6,
+                 lag(CAST(round(value * 100) AS BIGINT), 7) OVER w AS l7
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts))
+        SELECT event_id, event_type,
+               8*vc + 7*l1 + 6*l2 + 5*l3 + 4*l4 + 3*l5 + 2*l6 + 1*l7
+                 AS wma8_x36_cents
+        FROM e
+        WHERE l7 IS NOT NULL
+        ORDER BY event_id
+      """)),
+
     // ---- Bollinger bands: 20-candle SMA ± 2σ ----------------------------
     // The volatility envelope over the hourly close series. The window is
     // a deterministic 20-row frame over a total order, so both engines
