@@ -337,6 +337,40 @@ object RelQueries {
         FROM orders
       """)),
 
+    // ---- partitioned HLL sketches: build daily, merge monthly -----------
+    // THE pre-aggregated distinct-count pattern at 100 TB: per-partition
+    // (event_type, day) Datasketches HLL sketches — the thing a real
+    // warehouse persists — union-merged to the coarser grain and
+    // estimated, WITHOUT touching raw data again. Graded as a contract
+    // (the approx_distinct_users pattern): exact distinct anchors the
+    // hash, the booleans assert the merged estimate lands within 5%
+    // (lgK=12 ⇒ rse ≈ 1.6%, 3σ ≈ 5%) — DuckDB predicts `true`.
+    Reg("hll_partitioned_merge",
+      (s, dir) => {
+        val daily = Tables(s, dir).events
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        val merged = daily.groupBy(col("event_type"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"),
+            count(lit(1)).as("n_days"))
+        val exact = Tables(s, dir).events
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        merged.join(exact, "event_type")
+          .select(col("event_type"), col("n_days"), col("n_exact"),
+            (abs(col("est").cast("double") - col("n_exact")) <=
+              lit(0.05) * col("n_exact")).as("hll_ok"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               count(DISTINCT date_trunc('day', ts)) AS n_days,
+               count(DISTINCT user_id) AS n_exact,
+               true AS hll_ok
+        FROM events
+        GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- approx sketches (HLL + t-digest-style percentile) --------------
     // The estimates themselves are engine-specific, but their ACCURACY
     // CONTRACT is oracle-able: emit the exact values (SQL on both
