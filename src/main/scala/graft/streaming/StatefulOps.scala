@@ -114,6 +114,70 @@ object StatefulOps {
       else Iterator.empty
   }
 
+  /** Timer-closed SESSIONS via transformWithState — true streaming
+    * sessionization without session_window: a session closes either when
+    * a later event of the same key breaks the gap (emitted at detection,
+    * deterministic from the data) or when the event-time watermark passes
+    * last_ts + gap and the per-key timer fires (the "user went away"
+    * close). State per key = one open session (start, last, count); the
+    * same delete/re-arm + stale-timer guard discipline as
+    * [[GapAlarmProcessor]]. Emitted set is watermark-deterministic:
+    * non-final sessions always emit, each key's final session emits iff
+    * last + gap <= final watermark. */
+  class TimerSessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long), (Long, Long, Long, Long)] {
+    @transient private var sess: ValueState[(Long, Long, Long)] = _ // (startUs, lastUs, n)
+
+    private def expiryMs(lastUs: Long): Long = lastUs / 1000 + gapUs / 1000
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val ts = rows.map(_._3).toArray.sorted
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      cur.foreach { case (_, last, _) => getHandle.deleteTimer(expiryMs(last)) }
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      for (t <- ts) {
+        cur match {
+          case Some((start, last, n)) if t - last > gapUs =>
+            out += ((key, start, last, n)) // gap broken by data: close
+            cur = Some((t, t, 1L))
+          case Some((start, _, n)) => cur = Some((start, t, n + 1))
+          case None => cur = Some((t, t, 1L))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        getHandle.registerTimer(expiryMs(c._2))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+      if (sess.exists() && expiryMs(sess.get()._2) == expiredTimerInfo.getExpiryTimeInMs) {
+        val (start, last, n) = sess.get()
+        sess.clear()
+        Iterator((key, start, last, n))
+      } else Iterator.empty
+  }
+
+  /** events(user_id, ts) → (user_id, startUs, lastUs, n) closed sessions;
+    * `delay` is the watermark delay gating timer-fired (final) closes. */
+  def timerSessions(df: DataFrame, gapUs: Long, delay: String): Dataset[(Long, Long, Long, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TimerSessionProcessor(gapUs), TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** events(event_type, ts) → (series, lastEventMicros, "mid"|"final")
     * alarm rows; `delay` is the watermark delay gating final alarms. */
   def gapAlarms(df: DataFrame, gapUs: Long, delay: String): Dataset[(String, Long, String)] = {

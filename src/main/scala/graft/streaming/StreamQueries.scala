@@ -523,6 +523,63 @@ object StreamQueries {
         ORDER BY 1, 2
       """)),
 
+    // ---- timer-closed sessions via transformWithState -------------------
+    // True streaming sessionization WITHOUT session_window: a session
+    // closes when later data breaks the 30-min gap (emitted at detection)
+    // or when the event-time watermark passes last+gap and the per-key
+    // TIMER fires — the "user went away" close session_window gets for
+    // free and arbitrary state must build by hand. Oracle = the batch
+    // sessionize relation (gap > 30 min, matching the processor's strict
+    // inequality); each user's final session appears iff its close timer
+    // could fire before the drain stopped (end + 30 min <= max ts, the
+    // delay-0 watermark cutoff — the streaming_gap_alarm pattern).
+    Reg("streaming_session_timers",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sessions = StatefulOps.timerSessions(readEventsStream(s, dir),
+              gapUs = 1800L * 1000000L, delay = "0 seconds")
+            .toDF("user_id", "start_us", "last_us", "n_events")
+          drain(sessions, "update")
+            .select(col("user_id"),
+              date_format(timestamp_micros(col("start_us")), fmt).as("start_ts"),
+              date_format(timestamp_micros(col("last_us")), fmt).as("end_ts"),
+              col("n_events"))
+            .orderBy("user_id", "start_ts")
+        } finally prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts,
+                     CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+              FROM e),
+        st AS (SELECT user_id, sid,
+                      min(ts) AS start_ts, max(ts) AS end_ts, count(*) AS n_events
+               FROM s GROUP BY 1, 2),
+        mx AS (SELECT user_id, max(sid) AS last_sid FROM st GROUP BY 1)
+        SELECT st.user_id,
+               strftime(st.start_ts, '%Y-%m-%d %H:%M:%S') AS start_ts,
+               strftime(st.end_ts, '%Y-%m-%d %H:%M:%S') AS end_ts,
+               st.n_events
+        FROM st JOIN mx ON st.user_id = mx.user_id
+        WHERE st.sid < mx.last_sid
+           OR st.end_ts + INTERVAL 30 MINUTES <= (SELECT max(ts) FROM events)
+        ORDER BY st.user_id, st.start_ts
+      """)),
+
     // ---- streaming → batch composition: gap detection on streamed candles
     // The live-tsdb monitoring shape: the candle table is maintained by a
     // streaming query, and the batch gap detector runs over the drained
