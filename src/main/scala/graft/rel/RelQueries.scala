@@ -1046,6 +1046,227 @@ object RelQueries {
                regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
                length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS n_redacted
         FROM customer ORDER BY c_custkey
+      """)),
+
+    // ---- LATERAL correlated subquery: per-customer top-2 orders ---------
+    // The SQL-standard LATERAL join surface (Spark 4 supports correlated
+    // LATERAL with ORDER BY + LIMIT; Catalyst plans it as a
+    // DomainJoin-decorrelated window under the hood). Total order inside
+    // the lateral body (price DESC, key ASC) keeps the picked rows
+    // deterministic. Cents output.
+    Reg("lateral_top2_orders",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer.createOrReplaceTempView("lat_customer_v")
+        t.orders.createOrReplaceTempView("lat_orders_v")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey,
+                 CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM lat_customer_v c,
+          LATERAL (SELECT o_orderkey, o_totalprice
+                   FROM lat_orders_v o
+                   WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   LIMIT 2) t
+          WHERE c.c_mktsegment = 'BUILDING'
+          ORDER BY c_custkey, price_cents DESC, o_orderkey
+        """)
+      },
+      Some("""
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey, price_cents DESC, o_orderkey
+      """)),
+
+    // ---- ordered string aggregation (listagg surface) --------------------
+    // Per region: comma-joined nation list. Spark side sorts the collected
+    // list BEFORE joining (sort_array ∘ collect_list — collect order is
+    // partition-nondeterministic, the sort restores a total order), the
+    // oracle uses string_agg's ORDER BY — same deterministic string.
+    Reg("listagg_nations",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation.alias("n")
+          .join(t.region.alias("r"),
+            col("n.n_regionkey") === col("r.r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy("r_name")
+      },
+      Some("""
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+      """)),
+
+    // ---- equal-width histogram over order totals --------------------------
+    // $50k-wide buckets via integer division on cents — the histogram
+    // shape that survives 100 TB (single hash-agg; no width_bucket float
+    // edge-case risk because the bucket id is BIGINT arithmetic).
+    Reg("price_histogram_50k",
+      (s, dir) => Tables(s, dir).orders
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("bucket", expr("cents div 5000000"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        .orderBy("bucket"),
+      Some("""
+        WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders)
+        SELECT cents // 5000000 AS bucket, count(*) AS n,
+               min(cents) AS min_cents, max(cents) AS max_cents
+        FROM c GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- deterministic mode (most frequent value) per series --------------
+    // mode() builtins tie-break engine-arbitrarily — this derives the mode
+    // with an explicit total order (count DESC, value ASC) so both engines
+    // are fully determined. Deci-scaled values; two hash-aggs + one window.
+    Reg("mode_value_by_type",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cnt").desc, col("vd"))
+        Tables(s, dir).events
+          .withColumn("vd", round(col("value") * 10).cast("long"))
+          .groupBy(col("event_type"), col("vd"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("vd").as("mode_decis"), col("cnt"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type, CAST(round(value * 10) AS BIGINT) AS vd,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, vd, cnt,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cnt DESC, vd) AS rk
+          FROM c)
+        SELECT event_type, vd AS mode_decis, cnt
+        FROM r WHERE rk = 1
+        ORDER BY event_type
+      """)),
+
+    // ---- join cardinality estimation from per-key histograms --------------
+    // The planner's question answered WITHOUT executing the join: the
+    // lineitem⋈lineitem self-join on l_partkey has exactly Σₖ cnt(k)²
+    // output rows — computed from the key histogram (one hash-agg over the
+    // fact table) instead of materializing the quadratic join. Plus the
+    // HLL distinct-key estimate with its tolerance contract (the
+    // approx_distinct_users pattern: the bound is near-certain at rsd=2%,
+    // DuckDB predicts `true`).
+    Reg("join_cardinality_estimate",
+      (s, dir) => Tables(s, dir).lineitem
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys_exact"),
+          sum(col("cnt") * col("cnt")).as("selfjoin_card"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("_hll"))
+        .select(col("n_keys_exact"), col("selfjoin_card"),
+          (abs(col("_hll").cast("double") - col("n_keys_exact")) <=
+            lit(2 * 0.02) * col("n_keys_exact")).as("hll_ok")),
+      Some("""
+        WITH h AS (SELECT l_partkey, count(*) AS cnt
+                   FROM lineitem GROUP BY 1)
+        SELECT count(*) AS n_keys_exact,
+               CAST(sum(cnt * cnt) AS BIGINT) AS selfjoin_card,
+               true AS hll_ok
+        FROM h
+      """)),
+
+    // ---- skewness / kurtosis from exact integer moment sums ---------------
+    // Higher-moment shape statistics. The builtins' internal float
+    // summation is order-sensitive cross-engine, so both sides instead
+    // compute the four raw moments as EXACT BIGINT sums over integer-unit
+    // values (Σx⁴ ≤ 2·10¹⁵ at sf0.1 — fits), then evaluate ONE identical
+    // double expression. Population (biased) definitions; round(4).
+    Reg("skew_kurtosis_moments",
+      (s, dir) => {
+        val vi = round(col("value")).cast("long")
+        val mu = col("s1").cast("double") / col("n")
+        val m2 = col("s2").cast("double") / col("n") - mu * mu
+        val m3 = col("s3").cast("double") / col("n") -
+          lit(3.0) * mu * (col("s2").cast("double") / col("n")) +
+          lit(2.0) * mu * mu * mu
+        val m4 = col("s4").cast("double") / col("n") -
+          lit(4.0) * mu * (col("s3").cast("double") / col("n")) +
+          lit(6.0) * mu * mu * (col("s2").cast("double") / col("n")) -
+          lit(3.0) * mu * mu * mu * mu
+        Tables(s, dir).events
+          .withColumn("x", vi)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+            sum(col("x") * col("x")).as("s2"),
+            sum(col("x") * col("x") * col("x")).as("s3"),
+            sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+          .select(col("event_type"), col("n"),
+            round(m3 / pow(m2, 1.5), 4).as("skewness"),
+            round(m4 / (m2 * m2) - 3.0, 4).as("excess_kurtosis"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH m AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS s1,
+                 CAST(sum(x * x) AS BIGINT) AS s2,
+                 CAST(sum(x * x * x) AS BIGINT) AS s3,
+                 CAST(sum(x * x * x * x) AS BIGINT) AS s4
+          FROM (SELECT event_type, CAST(round(value) AS BIGINT) AS x
+                FROM events)
+          GROUP BY 1)
+        SELECT event_type, n,
+               round((CAST(s3 AS DOUBLE) / n
+                      - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                      + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                     / pow(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5),
+                     4) AS skewness,
+               round((CAST(s4 AS DOUBLE) / n
+                      - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                      + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                      - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                     / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                        * (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                     - 3.0,
+                     4) AS excess_kurtosis
+        FROM m
+        ORDER BY event_type
+      """)),
+
+    // ---- VARIANT semi-structured path (Spark 4 parse_json) ----------------
+    // The open-ended JSON column through Spark's native VARIANT type:
+    // parse_json once, typed variant_get extraction — the shredded-scan
+    // path at 100 TB (vs get_json_object re-parsing per access in
+    // json_props_agg). Output is plain integers for oracle parity.
+    Reg("variant_props_stats",
+      (s, dir) => Tables(s, dir).events
+        .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'int')"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k").cast("long")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"),
+          count(when(col("k").isNull, 1)).as("n_null_k"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k,
+               count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null_k
+        FROM events
+        GROUP BY 1 ORDER BY 1
       """))
   )
 }

@@ -1138,6 +1138,331 @@ object TsQueries {
         FROM events e JOIN mad d ON e.event_type = d.event_type
         GROUP BY e.event_type, d.med, d.mad, d.n
         ORDER BY e.event_type
+      """)),
+
+    // ---- RSI (Cutler's SMA form), 14-step ---------------------------------
+    // Momentum oscillator: 1000·Σgains₁₄/(Σgains₁₄+Σlosses₁₄) as integer
+    // permille. Deltas in cents (BIGINT) over the per-series total order
+    // (unique-(event_type, ts) fixture contract), windowed sums of
+    // non-negative BIGINTs, integer `div` ↔ `//` (operands non-negative,
+    // truncation == floor). Full 14-delta windows only. One window pass,
+    // one shuffle on event_type — the same 100 TB shape as ema_window_8.
+    Reg("rsi_cutler_14",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"))
+        val w14 = w.rowsBetween(-13, 0)
+        val vc = round(col("value") * 100).cast("long")
+        Tables(s, dir).events
+          .withColumn("d", vc - lag(vc, 1).over(w))
+          .withColumn("g14", sum(greatest(col("d"), lit(0L))).over(w14))
+          .withColumn("l14", sum(greatest(-col("d"), lit(0L))).over(w14))
+          .withColumn("_hist", lag(vc, 14).over(w))
+          .filter(col("_hist").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            when(col("g14") + col("l14") === 0, lit(-1L))
+              .otherwise(expr("(g14 * 1000) div (g14 + l14)")).as("rsi_permille"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_id, event_type, ts,
+                 CAST(round(value * 100) AS BIGINT) AS vc,
+                 CAST(round(value * 100) AS BIGINT)
+                   - lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS d,
+                 lag(CAST(round(value * 100) AS BIGINT), 14) OVER w AS hist
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        g AS (
+          SELECT event_id, event_type, hist,
+                 CAST(sum(greatest(d, 0)) OVER w14 AS BIGINT) AS g14,
+                 CAST(sum(greatest(-d, 0)) OVER w14 AS BIGINT) AS l14
+          FROM d
+          WINDOW w14 AS (PARTITION BY event_type ORDER BY ts
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT event_id, event_type,
+               CASE WHEN g14 + l14 = 0 THEN -1
+                    ELSE (g14 * 1000) // (g14 + l14) END AS rsi_permille
+        FROM g WHERE hist IS NOT NULL
+        ORDER BY event_id
+      """)),
+
+    // ---- stochastic oscillator %K(14) / %D(3) -----------------------------
+    // %K = 1000·(v − min₁₄)/(max₁₄ − min₁₄) permille (integer div, operands
+    // non-negative); %D kept as the UNDIVIDED 3-tap sum of %K (d_x3) so the
+    // smoothing stays all-BIGINT. Rows need 16 predecessors (14-window for
+    // %K at lag 2). min/max windows stay BIGINT on both engines.
+    Reg("stochastic_14_3",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"))
+        val w14 = w.rowsBetween(-13, 0)
+        val vc = round(col("value") * 100).cast("long")
+        Tables(s, dir).events
+          .withColumn("vc", vc)
+          .withColumn("lo", min(col("vc")).over(w14))
+          .withColumn("hi", max(col("vc")).over(w14))
+          .withColumn("k", when(col("hi") === col("lo"), lit(-1L))
+            .otherwise(expr("((vc - lo) * 1000) div (hi - lo)")))
+          .withColumn("d_x3", col("k") + lag(col("k"), 1).over(w) + lag(col("k"), 2).over(w))
+          .withColumn("_hist", lag(col("vc"), 15).over(w))
+          .filter(col("_hist").isNotNull && col("d_x3").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            col("k").as("k_permille"), col("d_x3").as("d_x3_permille"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT event_id, event_type, ts,
+                 CAST(round(value * 100) AS BIGINT) AS vc,
+                 lag(CAST(round(value * 100) AS BIGINT), 15) OVER
+                   (PARTITION BY event_type ORDER BY ts) AS hist
+          FROM events),
+        k AS (
+          SELECT event_id, event_type, ts, hist,
+                 CASE WHEN max(vc) OVER w14 = min(vc) OVER w14 THEN -1
+                      ELSE ((vc - min(vc) OVER w14) * 1000)
+                           // (max(vc) OVER w14 - min(vc) OVER w14) END AS k
+          FROM v
+          WINDOW w14 AS (PARTITION BY event_type ORDER BY ts
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        d AS (
+          SELECT event_id, event_type, hist, k,
+                 k + lag(k, 1) OVER w + lag(k, 2) OVER w AS d_x3
+          FROM k WINDOW w AS (PARTITION BY event_type ORDER BY ts))
+        SELECT event_id, event_type, k AS k_permille, d_x3 AS d_x3_permille
+        FROM d WHERE hist IS NOT NULL AND d_x3 IS NOT NULL
+        ORDER BY event_id
+      """)),
+
+    // ---- maximum drawdown per series --------------------------------------
+    // Risk statistic: drawdown = (running-max − v)/running-max as integer
+    // permyriad; per-series maximum. run_max can be 0 (a leading 0.00 value
+    // exists at sf0.1) → guarded to 0 on both sides. Two window passes +
+    // one hash-agg; all-BIGINT.
+    Reg("max_drawdown",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"))
+          .rowsBetween(Long.MinValue, 0)
+        val vc = round(col("value") * 100).cast("long")
+        Tables(s, dir).events
+          .withColumn("vc", vc)
+          .withColumn("rm", max(col("vc")).over(w))
+          .withColumn("dd", when(col("rm") > 0,
+            expr("((rm - vc) * 10000) div rm")).otherwise(lit(0L)))
+          .groupBy(col("event_type"))
+          .agg(max(col("dd")).as("max_dd_permyriad"),
+            max(col("rm")).as("peak_cents"), count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS vc,
+                 max(CAST(round(value * 100) AS BIGINT)) OVER
+                   (PARTITION BY event_type ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+          FROM events)
+        SELECT event_type,
+               max(CASE WHEN rm > 0 THEN ((rm - vc) * 10000) // rm ELSE 0 END)
+                 AS max_dd_permyriad,
+               max(rm) AS peak_cents,
+               count(*) AS n
+        FROM r GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- on-balance volume (running signed accumulation) ------------------
+    // OBV: Σ sign(Δv)·v over the per-series total order — the classic
+    // volume-flow accumulator. Signed cents, running BIGINT sum (DuckDB's
+    // windowed sum types HUGEINT → CAST, the sessionize_30m note). First
+    // row per series contributes 0 (no delta).
+    Reg("obv_running",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"))
+        val vc = round(col("value") * 100).cast("long")
+        Tables(s, dir).events
+          .withColumn("vc", vc)
+          .withColumn("d", col("vc") - lag(col("vc"), 1).over(w))
+          .withColumn("sgn", when(col("d") > 0, 1L).when(col("d") < 0, -1L).otherwise(0L))
+          .withColumn("obv_cents", sum(col("sgn") * col("vc")).over(
+            w.rowsBetween(Long.MinValue, 0)))
+          .select(col("event_id"), col("event_type"), col("obv_cents"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_id, event_type, ts,
+                 CAST(round(value * 100) AS BIGINT) AS vc,
+                 CAST(round(value * 100) AS BIGINT)
+                   - lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS d
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts))
+        SELECT event_id, event_type,
+               CAST(sum((CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END) * vc)
+                 OVER (PARTITION BY event_type ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS obv_cents
+        FROM d
+        ORDER BY event_id
+      """)),
+
+    // ---- Donchian channel (prior-20 breakout) ------------------------------
+    // Channel = [min, max] of the PRIOR 20 values (frame [-20, -1] — the
+    // current value never sees itself, the standard breakout definition);
+    // flag = +1 above the channel, −1 below, 0 inside. All-BIGINT window
+    // min/max, full windows only.
+    Reg("donchian_breakout_20",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"))
+        val w20 = w.rowsBetween(-20, -1)
+        val vc = round(col("value") * 100).cast("long")
+        Tables(s, dir).events
+          .withColumn("vc", vc)
+          .withColumn("upper", max(col("vc")).over(w20))
+          .withColumn("lower", min(col("vc")).over(w20))
+          .withColumn("_hist", lag(col("vc"), 20).over(w))
+          .filter(col("_hist").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            col("upper").as("upper_cents"), col("lower").as("lower_cents"),
+            when(col("vc") > col("upper"), 1L)
+              .when(col("vc") < col("lower"), -1L).otherwise(0L).as("breakout"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT event_id, event_type, ts,
+                 CAST(round(value * 100) AS BIGINT) AS vc,
+                 lag(CAST(round(value * 100) AS BIGINT), 20) OVER
+                   (PARTITION BY event_type ORDER BY ts) AS hist
+          FROM events),
+        c AS (
+          SELECT event_id, event_type, vc, hist,
+                 max(vc) OVER w20 AS upper_c,
+                 min(vc) OVER w20 AS lower_c
+          FROM v
+          WINDOW w20 AS (PARTITION BY event_type ORDER BY ts
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        SELECT event_id, event_type, upper_c AS upper_cents,
+               lower_c AS lower_cents,
+               CASE WHEN vc > upper_c THEN 1
+                    WHEN vc < lower_c THEN -1 ELSE 0 END AS breakout
+        FROM c WHERE hist IS NOT NULL
+        ORDER BY event_id
+      """)),
+
+    // ---- 8-step TEMA: triple exponential smoothing -------------------------
+    // TEMA = 3·EMA − 3·EMA(EMA) + EMA(EMA(EMA)) — the third layer of the
+    // ema_window_8 → dema_window_8 integer family. Scales compose: ema1
+    // ×128, ema2 ×128², ema3 ×128³, so TEMA×128³ = 3·16384·ema1 −
+    // 3·128·ema2 + ema3. Rows need 21 predecessors; magnitudes stay ≤
+    // ~4·10¹¹ (vc ≤ 6·10⁴) — all-BIGINT, zero float risk.
+    Reg("tema_window_8",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"))
+        val weights = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L, 1L)
+        def conv(c: org.apache.spark.sql.Column) =
+          weights.zipWithIndex.map { case (wt, k) =>
+            (if (k == 0) c else lag(c, k).over(w)) * lit(wt) }.reduce(_ + _)
+        val vc = round(col("value") * 100).cast("long")
+        Tables(s, dir).events
+          .withColumn("ema1", when(lag(vc, 7).over(w).isNotNull, conv(vc)))
+          .withColumn("ema2", conv(col("ema1")))
+          .withColumn("ema3", conv(col("ema2")))
+          .withColumn("tema_x2097152_cents",
+            col("ema1") * lit(3L * 16384L) - col("ema2") * lit(3L * 128L) + col("ema3"))
+          .filter(col("tema_x2097152_cents").isNotNull)
+          .select(col("event_id"), col("event_type"), col("tema_x2097152_cents"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, event_type, ts,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM events),
+        m1 AS (
+          SELECT event_id, event_type, ts,
+                 CASE WHEN lag(vc, 7) OVER w IS NOT NULL THEN
+                   64*vc + 32*lag(vc,1) OVER w + 16*lag(vc,2) OVER w
+                   + 8*lag(vc,3) OVER w + 4*lag(vc,4) OVER w
+                   + 2*lag(vc,5) OVER w + 1*lag(vc,6) OVER w
+                   + 1*lag(vc,7) OVER w END AS ema1
+          FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        m2 AS (
+          SELECT event_id, event_type, ts, ema1,
+                 64*ema1 + 32*lag(ema1,1) OVER w + 16*lag(ema1,2) OVER w
+                 + 8*lag(ema1,3) OVER w + 4*lag(ema1,4) OVER w
+                 + 2*lag(ema1,5) OVER w + 1*lag(ema1,6) OVER w
+                 + 1*lag(ema1,7) OVER w AS ema2
+          FROM m1 WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        m3 AS (
+          SELECT event_id, event_type, ema1, ema2,
+                 64*ema2 + 32*lag(ema2,1) OVER w + 16*lag(ema2,2) OVER w
+                 + 8*lag(ema2,3) OVER w + 4*lag(ema2,4) OVER w
+                 + 2*lag(ema2,5) OVER w + 1*lag(ema2,6) OVER w
+                 + 1*lag(ema2,7) OVER w AS ema3
+          FROM m2 WINDOW w AS (PARTITION BY event_type ORDER BY ts))
+        SELECT event_id, event_type,
+               CAST(ema1 * 49152 - ema2 * 384 + ema3 AS BIGINT)
+                 AS tema_x2097152_cents
+        FROM m3
+        WHERE ema1 * 49152 - ema2 * 384 + ema3 IS NOT NULL
+        ORDER BY event_id
+      """)),
+
+    // ---- lag-1 autocorrelation per series ----------------------------------
+    // Serial dependence: Pearson r between v and lag(v). Computed from
+    // EXACT BIGINT moment sums over cents (sums fit: Σx² ≤ 2·10¹⁴ per
+    // series at sf0.1), then ONE identical double expression on both
+    // engines — the summation-order hazard is confined to integer adds,
+    // which commute exactly. round(6) guards the final formula's last ulp.
+    Reg("autocorr_lag1",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"))
+        val vc = round(col("value") * 100).cast("long")
+        Tables(s, dir).events
+          .withColumn("x", vc)
+          .withColumn("y", lag(vc, 1).over(w))
+          .filter(col("y").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), col("n"),
+            round(
+              (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+                (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+                 sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))),
+              6).as("acf1"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS x,
+                 lag(CAST(round(value * 100) AS BIGINT), 1) OVER
+                   (PARTITION BY event_type ORDER BY ts) AS y
+          FROM events),
+        m AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM p WHERE y IS NOT NULL GROUP BY 1)
+        SELECT event_type, n,
+               round(
+                 (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                 (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                  sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+               6) AS acf1
+        FROM m
+        ORDER BY event_type
       """))
   )
 }
