@@ -900,6 +900,140 @@ object TextQueries {
                true AS bloom_bounded
         FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
         ORDER BY tot.doc_id
+      """)),
+
+    // ---- per-document unigram entropy (quality signal) -------------------
+    // −Σ p·ln p over the doc's token distribution — low entropy flags
+    // repetitive/templated text. Cross-engine float discipline: the ≤31
+    // per-doc terms are folded in TOKEN ORDER on both engines (Spark
+    // sort_array ∘ collect_list + aggregate HOF; DuckDB list(… ORDER BY w)
+    // + list_sum), so the IEEE op sequence is identical; the result lands
+    // on a 1e-4 integer grid (BIGINT output, no float hashing). Scale
+    // shape: explode + two hash-aggs; the collect_list is per-doc,
+    // vocabulary-bounded.
+    Reg("entropy_unigram_docs",
+      (s, dir) => {
+        val tok = Tables(s, dir).documents
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("len"), count(lit(1)).as("n_types"),
+            sort_array(collect_list(struct(col("w"), col("c")))).as("arr"))
+          .withColumn("ent", expr(
+            """-aggregate(arr, CAST(0 AS DOUBLE),
+                 (a, s) -> a + (CAST(s.c AS DOUBLE) / len) * ln(CAST(s.c AS DOUBLE) / len))"""))
+          .select(col("doc_id"), col("len"), col("n_types"),
+            round(col("ent") * 10000).cast("long").as("entropy_x1e4"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len, count(*) AS n_types,
+                     list(CAST(c AS DOUBLE) ORDER BY w) AS cs
+              FROM cnt GROUP BY 1)
+        SELECT doc_id, len, n_types,
+               CAST(round(-list_sum(list_transform(cs,
+                      c -> (c / len) * ln(c / len))) * 10000) AS BIGINT)
+                 AS entropy_x1e4
+        FROM d ORDER BY doc_id
+      """)),
+
+    // ---- KL divergence: per-source unigram dist vs the corpus ------------
+    // Distribution drift per source: KL(source ‖ corpus) = Σ pₛ·ln(pₛ/p_c)
+    // over the source's tokens (source ⊆ corpus ⇒ p_c > 0 everywhere).
+    // Same ordered-fold discipline as entropy_unigram_docs; 1e-6 integer
+    // grid output. Two hash-aggs + one vocab-sized join — the corpus
+    // total is a 1-row broadcast.
+    Reg("kl_divergence_sources",
+      (s, dir) => {
+        val tok = Tables(s, dir).documents
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        val sc = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+        val ls = sc.groupBy(col("source")).agg(sum(col("cs")).as("ls"))
+        val cc = tok.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+        val lc = cc.agg(sum(col("cc")).as("lc"))
+        sc.join(ls, "source").join(cc, "w").crossJoin(broadcast(lc))
+          .withColumn("term", expr(
+            """(CAST(cs AS DOUBLE) / ls) *
+               ln((CAST(cs AS DOUBLE) / ls) / (CAST(cc AS DOUBLE) / lc))"""))
+          .groupBy(col("source"))
+          .agg(max(col("ls")).as("n_tokens"),
+            sort_array(collect_list(struct(col("w"), col("term")))).as("arr"))
+          .withColumn("kl", expr(
+            "aggregate(arr, CAST(0 AS DOUBLE), (a, s) -> a + s.term)"))
+          .select(col("source"), col("n_tokens"),
+            round(col("kl") * 1000000).cast("long").as("kl_x1e6"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH tok AS (SELECT source, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        sc AS (SELECT source, w, count(*) AS cs FROM tok GROUP BY 1, 2),
+        ls AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ls FROM sc GROUP BY 1),
+        cc AS (SELECT w, count(*) AS cc FROM tok GROUP BY 1),
+        lc AS (SELECT CAST(sum(cc) AS BIGINT) AS lc FROM cc),
+        terms AS (
+          SELECT sc.source, sc.w, ls.ls,
+                 (CAST(sc.cs AS DOUBLE) / ls.ls) *
+                 ln((CAST(sc.cs AS DOUBLE) / ls.ls) / (CAST(cc.cc AS DOUBLE) / lc.lc)) AS term
+          FROM sc JOIN ls USING (source) JOIN cc USING (w) CROSS JOIN lc)
+        SELECT source, max(ls) AS n_tokens,
+               CAST(round(list_sum(list(term ORDER BY w)) * 1000000) AS BIGINT)
+                 AS kl_x1e6
+        FROM terms
+        GROUP BY source
+        ORDER BY source
+      """)),
+
+    // ---- Zipf power-law fit over the corpus vocabulary -------------------
+    // log-log OLS of token frequency vs rank — the classic corpus-health
+    // diagnostic (natural corpora slope ≈ −1). Ranks are integers with a
+    // total tie-break (freq DESC, token ASC); the four OLS sums fold over
+    // the 31 (ln rank, ln freq) points in RANK ORDER on both engines, then
+    // one identical double expression. Window over a vocabulary-sized
+    // aggregate — scale-free.
+    Reg("zipf_slope_corpus",
+      (s, dir) => {
+        val tok = Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+        val w = Window.orderBy(col("f").desc, col("w"))
+        tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("x", expr("ln(CAST(rk AS DOUBLE))"))
+          .withColumn("y", expr("ln(CAST(f AS DOUBLE))"))
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(struct(col("rk"), col("x"), col("y")))).as("arr"))
+          .withColumn("sx", expr("aggregate(arr, CAST(0 AS DOUBLE), (a, s) -> a + s.x)"))
+          .withColumn("sy", expr("aggregate(arr, CAST(0 AS DOUBLE), (a, s) -> a + s.y)"))
+          .withColumn("sxy", expr("aggregate(arr, CAST(0 AS DOUBLE), (a, s) -> a + s.x * s.y)"))
+          .withColumn("sxx", expr("aggregate(arr, CAST(0 AS DOUBLE), (a, s) -> a + s.x * s.x)"))
+          .select(col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+            round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+              .as("intercept"))
+      },
+      Some("""
+        WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        f AS (SELECT w, count(*) AS f FROM tok GROUP BY 1),
+        r AS (SELECT w, f, row_number() OVER (ORDER BY f DESC, w) AS rk FROM f),
+        p AS (SELECT rk, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y FROM r),
+        sums AS (
+          SELECT count(*) AS n,
+                 list_sum(list(x ORDER BY rk)) AS sx,
+                 list_sum(list(y ORDER BY rk)) AS sy,
+                 list_sum(list(x * y ORDER BY rk)) AS sxy,
+                 list_sum(list(x * x ORDER BY rk)) AS sxx
+          FROM p)
+        SELECT n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+               round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+                 AS intercept
+        FROM sums
       """))
   )
 }

@@ -559,6 +559,93 @@ object VecQueries {
         SELECT b.qid, count(l.nid) AS n_hit
         FROM brute b LEFT JOIN lsh l ON b.qid = l.qid AND b.nid = l.nid
         GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- ANN accuracy contract: recall@3 of IVF vs brute ground truth ---
+    // The ann_recall_lsh twin for the cell-partitioned index: per query,
+    // how many of the true top-3 the 2-probe IVF search returned. Both
+    // pipelines are replayed stage-for-stage in the oracle (seeds,
+    // assignment rank, probe rank, brute rank) and intersected — exact
+    // hash-match, no tolerance. At 100 TB the brute anchor runs on a
+    // query SAMPLE; the IVF side is the production path.
+    Reg("ann_recall_ivf",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val brute = VecOps.topK(VecOps.bruteForceScores(emb), 3)
+          .select(col("qid"), col("nid"))
+        val ivf = VecOps.ivfTopK(emb, lists = 16, probes = 2, k = 3)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(ivf, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 16),
+        ranked AS (
+          SELECT a.vec_id, a.embedding, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN seeds b ON true),
+        cells AS (SELECT vec_id AS nid, embedding AS ne, cid FROM ranked WHERE crank = 1),
+        probed AS (SELECT vec_id AS qid, embedding AS qe, cid FROM ranked WHERE crank <= 2),
+        scored AS (
+          SELECT p.qid, c.nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> p.qe[i]::DOUBLE * c.ne[i]::DOUBLE)) AS d
+          FROM probed p JOIN cells c ON p.cid = c.cid AND p.qid <> c.nid),
+        ir AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM scored),
+        ivf AS (SELECT qid, nid FROM ir WHERE rank <= 3),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(i.nid) AS n_hit
+        FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- label-centroid separation matrix --------------------------------
+    // Cluster-geometry diagnostic: per-label mean vector, every component
+    // snapped to the 1e-4 integer grid (the lloydStep snap — the float
+    // mean's last-ulp summation-order hazard collapses onto a round()
+    // boundary), then EXACT BIGINT dots between all 45 unordered label
+    // pairs. Confirms FIXTURES.md's "labels are not clusters": all dots
+    // hover near 0. One (label, i) hash-agg + a 640-row self-join —
+    // scale-free beyond the first aggregate.
+    Reg("label_centroid_cosine",
+      (s, dir) => {
+        val comp = Tables(s, dir).embeddings
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+          .groupBy(col("label"), col("i"))
+          .agg(round(avg(col("v").cast("double")) * 10000).cast("long").as("c"))
+        val a = comp.select(col("label").as("la"), col("i"), col("c").as("ca"))
+        val b = comp.select(col("label").as("lb"), col("i"), col("c").as("cb"))
+        a.join(b, Seq("i")).filter(col("la") < col("lb"))
+          .groupBy(col("la"), col("lb"))
+          .agg(sum(col("ca") * col("cb")).as("dot_x1e8"))
+          .orderBy("la", "lb")
+      },
+      Some("""
+        WITH comp AS (
+          SELECT label, i,
+                 CAST(round(avg(embedding[i]::DOUBLE) * 10000) AS BIGINT) AS c
+          FROM embeddings, range(1, 65) t(i)
+          GROUP BY 1, 2)
+        SELECT a.label AS la, b.label AS lb,
+               CAST(sum(a.c * b.c) AS BIGINT) AS dot_x1e8
+        FROM comp a JOIN comp b ON a.i = b.i AND a.label < b.label
+        GROUP BY 1, 2
+        ORDER BY 1, 2
       """))
   )
 }
