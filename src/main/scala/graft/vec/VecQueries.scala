@@ -514,17 +514,20 @@ object VecQueries {
     // ---- ANN accuracy contract: recall@3 of LSH vs brute ground truth ---
     // The sketch-accuracy gate every ANN deployment needs: per query, how
     // many of the true top-3 neighbors the single-table LSH search
-    // returned (0..3). The brute side is the declared quadratic
-    // ground-truth anchor (same as cosine_topk_brute — at 100 TB you run
-    // this on a SAMPLE of queries, and the sampled shape is identical);
-    // the LSH side is the production bucketed path. Hash-match is exact:
-    // the oracle replays both pipelines and intersects, no tolerance.
+    // returned (0..3). Measured on a DETERMINISTIC 25% query sample (the
+    // sample_hash_10pct md5 bucket, mirrored in the oracle) — exactly how
+    // the brute ground-truth anchor runs at 100 TB: the quadratic side
+    // scales with |sample|·n, the index side is untouched. The filter
+    // sits BELOW the brute top-k window (qid is the partition key, so it
+    // pushes to the cross-join's query side). Hash-match is exact: the
+    // oracle replays both pipelines and intersects, no tolerance.
     Reg("ann_recall_lsh",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        val brute = VecOps.topK(VecOps.bruteForceScores(emb), 3)
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.topK(VecOps.bruteForceScores(emb).filter(keep), 3)
           .select(col("qid"), col("nid"))
-        val lsh = VecOps.annLshTopK(emb, planes = 4, k = 3)
+        val lsh = VecOps.annLshTopK(emb, planes = 4, k = 3).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(lsh, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -549,9 +552,12 @@ object VecQueries {
         lr AS (SELECT qid, nid,
                       row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
                FROM lp),
-        lsh AS (SELECT qid, nid FROM lr WHERE rank <= 3),
+        lsh AS (SELECT qid, nid FROM lr
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
         bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
-               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
         br AS (SELECT qid, nid,
                       row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
                FROM bp),
@@ -563,17 +569,18 @@ object VecQueries {
 
     // ---- ANN accuracy contract: recall@3 of IVF vs brute ground truth ---
     // The ann_recall_lsh twin for the cell-partitioned index: per query,
-    // how many of the true top-3 the 2-probe IVF search returned. Both
-    // pipelines are replayed stage-for-stage in the oracle (seeds,
-    // assignment rank, probe rank, brute rank) and intersected — exact
-    // hash-match, no tolerance. At 100 TB the brute anchor runs on a
-    // query SAMPLE; the IVF side is the production path.
+    // how many of the true top-3 the 2-probe IVF search returned. Same
+    // deterministic 25% query sample as ann_recall_lsh (the 100 TB shape:
+    // the quadratic ground-truth side runs on a sample, the index side is
+    // the production path). Both pipelines are replayed stage-for-stage
+    // in the oracle and intersected — exact hash-match, no tolerance.
     Reg("ann_recall_ivf",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        val brute = VecOps.topK(VecOps.bruteForceScores(emb), 3)
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.topK(VecOps.bruteForceScores(emb).filter(keep), 3)
           .select(col("qid"), col("nid"))
-        val ivf = VecOps.ivfTopK(emb, lists = 16, probes = 2, k = 3)
+        val ivf = VecOps.ivfTopK(emb, lists = 16, probes = 2, k = 3).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(ivf, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -602,9 +609,12 @@ object VecQueries {
         ir AS (SELECT qid, nid,
                       row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
                FROM scored),
-        ivf AS (SELECT qid, nid FROM ir WHERE rank <= 3),
+        ivf AS (SELECT qid, nid FROM ir
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
         bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
-               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
         br AS (SELECT qid, nid,
                       row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
                FROM bp),
@@ -646,6 +656,56 @@ object VecQueries {
         FROM comp a JOIN comp b ON a.i = b.i AND a.label < b.label
         GROUP BY 1, 2
         ORDER BY 1, 2
+      """)),
+
+    // ---- PQ reconstruction error per subspace -----------------------------
+    // Index-quality diagnostic for the PQ codec (the ivf_cell_balance
+    // pattern applied to quantization): per subspace, Σ‖x − cw‖² over all
+    // encoded vectors. The per-row error is three index-ordered dots
+    // (identical IEEE sequence both engines), snapped to a 1e-6 grid per
+    // ROW, then summed as exact BIGINTs — the aggregate never sums raw
+    // floats. Encode = one broadcast pass (32-row codebook).
+    Reg("pq_reconstruction_error",
+      (s, dir) => {
+        val enc = VecOps.pqEncode(Tables(s, dir).embeddings)
+        enc
+          .withColumn("err", expr(
+            "dot_f32(x, x) - 2 * dot_f32(x, cw) + dot_f32(cw, cw)"))
+          .withColumn("err_x1e6", round(col("err") * 1000000).cast("long"))
+          .groupBy(col("s"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("err_x1e6")).as("sum_err_x1e6"),
+            max(col("err_x1e6")).as("max_err_x1e6"))
+          .orderBy("s")
+      },
+      Some("""
+        WITH seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 8),
+        cb AS (SELECT s.s, cid, ce[s.s * 16 + 1 : s.s * 16 + 16] AS cw
+               FROM seeds, range(4) s(s)),
+        xs AS (SELECT vec_id, s.s, embedding[s.s * 16 + 1 : s.s * 16 + 16] AS x
+               FROM embeddings, range(4) s(s)),
+        assign AS (
+          SELECT x.vec_id, x.s, c.cid, x.x, c.cw,
+                 row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
+                   (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
+                    - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
+                   DESC, c.cid) AS crank
+          FROM xs x JOIN cb c ON x.s = c.s),
+        e AS (
+          SELECT s, CAST(round(
+                   (list_sum(list_transform(range(1, 17), i -> x[i]::DOUBLE * x[i]::DOUBLE))
+                    - 2 * list_sum(list_transform(range(1, 17), i -> x[i]::DOUBLE * cw[i]::DOUBLE))
+                    + list_sum(list_transform(range(1, 17), i -> cw[i]::DOUBLE * cw[i]::DOUBLE)))
+                   * 1000000) AS BIGINT) AS err_x1e6
+          FROM assign WHERE crank = 1)
+        SELECT s, count(*) AS n,
+               CAST(sum(err_x1e6) AS BIGINT) AS sum_err_x1e6,
+               max(err_x1e6) AS max_err_x1e6
+        FROM e GROUP BY 1 ORDER BY 1
       """))
   )
 }

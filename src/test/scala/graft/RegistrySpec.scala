@@ -37,7 +37,7 @@ class RegistrySpec extends AnyFunSuite {
       // single-row outputs by construction (global aggregates)
       "embedding_norm_check", "approx_quantile_contract",
       "neardup_signal_agreement", "distinct_counts", "curation_funnel",
-      "funnel_ordered_steps")
+      "funnel_ordered_steps", "join_cardinality_estimate")
     val offenders = noOrder.filterNot(exempt)
     assert(offenders.isEmpty,
       s"oracles without ORDER BY (row order is engine-arbitrary): $offenders")

@@ -96,7 +96,40 @@ class PlanShapeSpec extends SparkSpec {
     "vocab_by_source" -> (3, 0),
     // single-pass: explode (map-side) → shingle-partition count window
     // (1) → per-doc agg (1) → sort (1); no join, no broadcast
-    "boilerplate_ngram_ratio" -> (3, 0))
+    "boilerplate_ngram_ratio" -> (3, 0),
+    // round-5 additions
+    // the whole indicator family (rsi/stochastic/drawdown/obv/donchian/
+    // tema) shares this shape: ONE window shuffle on event_type + the
+    // output sort — lag chains and frame aggs all ride the same exchange.
+    // tema is the deepest (three chained 8-tap convolutions, still one
+    // shuffle); rsi adds running frame sums on the same spec
+    "tema_window_8" -> (2, 0),
+    "rsi_cutler_14" -> (2, 0),
+    // window pass + final agg REUSES the window's hash partitioning on
+    // event_type (no third exchange) + ORDER BY
+    "autocorr_lag1" -> (2, 0),
+    // key histogram agg partial/final; the Σcnt² roll-up collapses into
+    // the single-row agg — the join itself is never executed
+    "join_cardinality_estimate" -> (2, 0),
+    // LATERAL decorrelates to a window over the orders side joined back
+    // broadcast; + ORDER BY
+    "lateral_top2_orders" -> (2, 1),
+    // explode → (doc,w) agg → per-doc agg + ordered-fold → sort
+    "entropy_unigram_docs" -> (3, 0),
+    // (label,i) component agg + i-keyed self-join (one exchange per
+    // side reused) + pair agg + sort; the 1-broadcast is the tiny
+    // centroid side of the join at fixture scale
+    "label_centroid_cosine" -> (4, 1),
+    // PQ encode assignment window + per-subspace agg + sort; broadcasts
+    // are the 32-row codebook + subspace ranges, never the vectors
+    "pq_reconstruction_error" -> (3, 3),
+    // two windows on one (event_type,hod) exchange + bands agg reusing
+    // it + broadcast band join + final agg... net: window shuffle +
+    // output sort, bands broadcast
+    "hourly_percentile_bands" -> (2, 1),
+    // sessionize window (user_id) + distinct agg + self-join (broadcast
+    // at fixture scale) + pair agg + sort
+    "session_pair_counts" -> (4, 1))
 
   private def shape(name: String): (Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
