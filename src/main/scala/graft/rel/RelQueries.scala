@@ -1247,6 +1247,34 @@ object RelQueries {
         ORDER BY event_type
       """)),
 
+    // ---- bucketed co-located join, GRADED (was spec-only BucketingSpec) --
+    // The 100 TB playbook's recurring fact-to-fact join: both sides live
+    // bucketed (8) + sorted on the order key, so the MERGE-hinted SMJ
+    // reads co-located buckets with ZERO exchange and ZERO sort below the
+    // join — the dominant shuffle of every repeated lineitem⋈orders is
+    // gone at write time, not query time. Layout is content-keyed
+    // external-table scratch (Fixtures), built once per fixture identity;
+    // PlanShapeSpec pins the (2, 0) shape — both exchanges are ABOVE the
+    // join (agg + ORDER BY). The oracle is the plain join: bucketing is
+    // result-invisible by construction.
+    Reg("bucketed_join_priority_revenue",
+      (s, dir) => {
+        val (liN, ordN) = graft.sources.Fixtures.ensureBucketedOrderTables(s, dir)
+        s.table(liN).hint("merge").join(s.table(ordN), "l_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o.o_orderpriority,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- VARIANT semi-structured path (Spark 4 parse_json) ----------------
     // The open-ended JSON column through Spark's native VARIANT type:
     // parse_json once, typed variant_get extraction — the shredded-scan

@@ -39,6 +39,38 @@ object Fixtures {
     path.toString
   }
 
+  /** Bucketed twin tables for the co-located join graded path: lineitem
+    * and orders both bucketed (8) + sorted on the order key, registered
+    * as EXTERNAL tables with /dev/shm data. Table names and data paths
+    * are keyed on the source files' identity (the partitioned-events
+    * cache discipline), so regenerated fixtures can't serve stale
+    * buckets and concurrent sf dirs can't collide. Returns the
+    * (lineitem, orders) table names. Rebuilds only when this session's
+    * catalog has no entry — the bucketing METADATA lives in the session
+    * catalog, so a fresh session re-registers (and rewrites) rather than
+    * trusting bare parquet files whose bucket spec it can't see. */
+  def ensureBucketedOrderTables(spark: SparkSession, dir: String): (String, String) = synchronized {
+    val key = Seq("lineitem", "orders").map { t =>
+      val p = Paths.get(dir, s"$t.parquet")
+      Files.getLastModifiedTime(p).toMillis + "|" + Files.size(p)
+    }.mkString(dir + "|", "|", "")
+    val hex = Integer.toHexString(key.hashCode)
+    val (liName, ordName) = (s"li_bkt_$hex", s"ord_bkt_$hex")
+    val t = graft.Tables(spark, dir)
+    if (!spark.catalog.tableExists(liName)) {
+      t.lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"/dev/shm/graft-bkt/$hex/lineitem")
+        .saveAsTable(liName)
+      t.orders.withColumnRenamed("o_orderkey", "l_orderkey")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"/dev/shm/graft-bkt/$hex/orders")
+        .saveAsTable(ordName)
+    }
+    (liName, ordName)
+  }
+
   private[graft] def delete(p: Path): Unit = {
     if (Files.isDirectory(p)) Files.list(p).forEach(delete)
     Files.deleteIfExists(p)

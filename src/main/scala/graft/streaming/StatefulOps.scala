@@ -199,4 +199,42 @@ object StatefulOps {
       .groupByKey(_._1)
       .transformWithState(new EmaProcessor(alpha), TimeMode.None(), OutputMode.Update())
   }
+
+  /** Per-key running counts that EXPIRE on an EVENT-TIME TIMEOUT via
+    * flatMapGroupsWithState(EventTimeTimeout) — the classic fMGWS
+    * idle-key close, covering the timeout corner of the OLDER
+    * arbitrary-state API (timers in the transformWithState API are
+    * [[GapAlarmProcessor]]). When the watermark passes last-seen +
+    * idleMs the key emits one final ("expired") row and its state is
+    * REMOVED — state stays bounded by the live-key set, not the
+    * all-time key space. Input needs `tsCol` for the watermark. */
+  def expiringCountsByKey(df: DataFrame, keyCol: String, tsCol: String,
+                          delay: String, idleMs: Long): Dataset[(Long, Long, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the watermark-carrying timestamp COLUMN must survive into the
+    // grouped Dataset (projecting it away fails the streaming checker)
+    df.withWatermark(tsCol, delay)
+      .select(col(keyCol).cast("long"), col(tsCol))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, String)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, _) = state.get
+            state.remove()
+            Iterator((key, n, "expired"))
+          } else {
+            val batch = rows.toSeq
+            val (n0, last0) = state.getOption.getOrElse((0L, 0L))
+            val n = n0 + batch.size
+            val last = math.max(last0, batch.map(_._2.getTime).max)
+            state.update((n, last))
+            state.setTimeoutTimestamp(last + idleMs)
+            Iterator((key, n, "active"))
+          }
+      }
+  }
 }

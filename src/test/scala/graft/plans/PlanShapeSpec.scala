@@ -129,7 +129,11 @@ class PlanShapeSpec extends SparkSpec {
     "hourly_percentile_bands" -> (2, 1),
     // sessionize window (user_id) + distinct agg + self-join (broadcast
     // at fixture scale) + pair agg + sort
-    "session_pair_counts" -> (4, 1))
+    "session_pair_counts" -> (4, 1),
+    // bucketed co-located SMJ: BOTH exchanges are above the join (agg +
+    // ORDER BY); the join itself reads Bucketed: true scans with zero
+    // exchange — the graded twin of BucketingSpec's plan assert
+    "bucketed_join_priority_revenue" -> (2, 0))
 
   private def shape(name: String): (Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))

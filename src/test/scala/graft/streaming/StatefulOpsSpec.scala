@@ -36,6 +36,42 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got == Map(5L -> 2L, 6L -> 1L))
   }
 
+  test("fMGWS EventTimeTimeout: idle keys emit one final expired row and drop state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (key, epoch ms)
+    val counts = StatefulOps.expiringCountsByKey(
+      input.toDF().toDF("k", "ms")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms"),
+      keyCol = "k", tsCol = "ts", delay = "0 seconds", idleMs = 10000L)
+    val q = counts.toDF("k", "n", "kind")
+      .writeStream.format("memory").queryName("fmgws_expire").outputMode("update")
+      .option("checkpointLocation",
+        s"/dev/shm/graft-ckpt/fmgws_exp_${java.util.UUID.randomUUID().toString.take(8)}")
+      .start()
+    def rows(): Set[(Long, Long, String)] = spark.table("fmgws_expire")
+      .as[(Long, Long, String)].collect().toSet
+    try {
+      input.addData((1L, 1000L), (2L, 1000L)) // both keys arm timeout at 11 s
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 1L, "active"), (2L, 1L, "active")))
+      // advances the watermark to 20 s; the subsequent no-data batch fires
+      // key 1's 11 s timeout (key 2 re-armed itself to 30 s in the same
+      // batch, so it survives)
+      input.addData((2L, 20000L))
+      q.processAllAvailable()
+      val r = rows()
+      assert(r.contains((1L, 1L, "expired")), s"key 1 should expire: $r")
+      assert(r.contains((2L, 2L, "active")), s"key 2 keeps counting: $r")
+      assert(!r.exists(t => t._1 == 2L && t._3 == "expired"), s"key 2 alive: $r")
+      // expired key's state is GONE: new data restarts key 1 from zero
+      // (a surviving state would emit n = 2)
+      input.addData((1L, 31000L))
+      q.processAllAvailable()
+      assert(!rows().exists(t => t._1 == 1L && t._2 > 1L),
+        s"key 1 must restart from a clean state: ${rows()}")
+    } finally q.stop()
+  }
+
   test("transformWithState gap alarm: event-time timers fire, re-arm, and survive resumed data") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
