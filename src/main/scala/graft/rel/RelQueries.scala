@@ -371,6 +371,56 @@ object RelQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- sliding-window distinct via HLL sketch algebra ------------------
+    // The rolling-uniques dashboard query at 100 TB: per-(series, day)
+    // sketches (built once, the persisted-sketch-table pattern of
+    // hll_partitioned_merge) union-merged over a CALENDAR 7-day window
+    // frame — raw data is touched once; every window after that is
+    // sketch-merge arithmetic. rangeBetween on the day number keeps the
+    // frame calendar-correct even if a day is missing. Contract grading:
+    // exact rolling distinct anchors the hash (grid ⨝ distinct day-users),
+    // the boolean asserts the merged estimate within 5% (lgK=12).
+    Reg("hll_sliding_distinct",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val daily = e
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(datediff(col("d"), to_date(lit("2024-01-01"))))
+          .rangeBetween(-6, 0)
+        val slid = daily
+          .withColumn("_msk", expr("hll_union_agg(sk, false)").over(w))
+          .withColumn("est", expr("hll_sketch_estimate(_msk)"))
+          .select(col("event_type"), col("d"), col("est"))
+        val du = e.select(col("event_type"),
+          date_trunc("day", col("ts")).as("dd"), col("user_id")).distinct()
+        val exact = slid.select(col("event_type"), col("d")).alias("g")
+          .join(du.alias("u"),
+            col("g.event_type") === col("u.event_type") &&
+              col("u.dd") >= col("g.d") - expr("INTERVAL 6 DAYS") &&
+              col("u.dd") <= col("g.d"))
+          .groupBy(col("g.event_type").as("event_type"), col("g.d").as("d"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        slid.join(exact, Seq("event_type", "d"))
+          .select(col("event_type"),
+            date_format(col("d"), "yyyy-MM-dd").as("day"), col("n_exact"),
+            (abs(col("est").cast("double") - col("n_exact")) <=
+              lit(0.05) * col("n_exact")).as("hll_ok"))
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH du AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS dd, user_id
+                    FROM events),
+        grid AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS d FROM events)
+        SELECT g.event_type, strftime(g.d, '%Y-%m-%d') AS day,
+               count(DISTINCT du.user_id) AS n_exact,
+               true AS hll_ok
+        FROM grid g JOIN du ON du.event_type = g.event_type
+          AND du.dd BETWEEN g.d - INTERVAL 6 DAY AND g.d
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
     // ---- approx sketches (HLL + t-digest-style percentile) --------------
     // The estimates themselves are engine-specific, but their ACCURACY
     // CONTRACT is oracle-able: emit the exact values (SQL on both

@@ -658,6 +658,62 @@ object VecQueries {
         ORDER BY 1, 2
       """)),
 
+    // ---- ANN accuracy contract: recall@3 of int8 vs FLOAT ground truth --
+    // Completes the recall family (lsh / ivf / int8): how much the
+    // combination of LSH bucketing AND int8 quantization costs against
+    // the float brute-force truth — the number a vector store quotes
+    // when it turns on compression. Same deterministic 25% query sample;
+    // both pipelines replayed in the oracle, exact hash-match.
+    Reg("ann_recall_int8",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.topK(VecOps.bruteForceScores(emb).filter(keep), 3)
+          .select(col("qid"), col("nid"))
+        val i8 = VecOps.annInt8TopK(emb, planes = 4, k = 3).filter(keep)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(i8, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        q8 AS (SELECT vec_id, bucket,
+                      list_transform(embedding, x -> CAST(round(x::DOUBLE * 127) AS INT)) AS q
+               FROM sig),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS score
+              FROM q8 a JOIN q8 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        ir AS (SELECT qid, nid, score,
+                      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+               FROM p),
+        i8 AS (SELECT qid, nid FROM ir WHERE rank <= 3),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(i.nid) AS n_hit
+        FROM brute b LEFT JOIN i8 i ON b.qid = i.qid AND b.nid = i.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- PQ reconstruction error per subspace -----------------------------
     // Index-quality diagnostic for the PQ codec (the ivf_cell_balance
     // pattern applied to quantization): per subspace, Σ‖x − cw‖² over all
