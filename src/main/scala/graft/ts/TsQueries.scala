@@ -1522,6 +1522,76 @@ object TsQueries {
         ORDER BY v.event_type, hod
       """)),
 
+    // ---- compounded return index via Spark 4 RECURSIVE CTE -----------------
+    // The equity-curve computation: level_d = level_{d−1} · (1 + r_d),
+    // seeded at 10000 — a MULTIPLICATIVE recurrence that window frames
+    // cannot express without a lossy log transform, so this is the
+    // honest use case for WITH RECURSIVE (UnionLoopExec; Spark 4.1
+    // supports UNION ALL recursion — each step joins the previous day,
+    // strictly increasing rn terminates at the series end, depth = 30
+    // days, under the default recursion limit). All-BIGINT: returns in
+    // truncated permyriad, level scaled ×10000, `div` ↔ `//` on
+    // non-negative operands; a zero previous close contributes r = 0 on
+    // both sides. The identical recursion runs in DuckDB.
+    Reg("compound_index_daily",
+      (s, dir) => {
+        Tables(s, dir).events.createOrReplaceTempView("compound_events_v")
+        s.sql("""
+          WITH RECURSIVE
+          daily AS (
+            SELECT event_type, date_trunc('DAY', ts) AS d,
+                   CAST(round(max_by(value, ts) * 100) AS BIGINT) AS cc
+            FROM compound_events_v GROUP BY 1, 2),
+          seq AS (
+            SELECT event_type, d, cc,
+                   row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+                   lag(cc) OVER (PARTITION BY event_type ORDER BY d) AS pc
+            FROM daily),
+          rets AS (
+            SELECT event_type, rn, d,
+                   CASE WHEN pc IS NULL OR pc = 0 THEN 0
+                        ELSE (cc - pc) * 10000 div pc END AS ret
+            FROM seq),
+          lvl(event_type, rn, level) AS (
+            SELECT event_type, rn, CAST(10000 AS BIGINT) FROM rets WHERE rn = 1
+            UNION ALL
+            SELECT r.event_type, r.rn, (l.level * (10000 + r.ret)) div 10000
+            FROM lvl l JOIN rets r
+              ON r.event_type = l.event_type AND r.rn = l.rn + 1)
+          SELECT l.event_type, date_format(r.d, 'yyyy-MM-dd') AS day,
+                 l.level AS index_x1e4
+          FROM lvl l JOIN rets r ON r.event_type = l.event_type AND r.rn = l.rn
+          ORDER BY 1, 2
+        """)
+      },
+      Some("""
+        WITH RECURSIVE
+        daily AS (
+          SELECT event_type, date_trunc('day', ts) AS d,
+                 CAST(round(arg_max(value, ts) * 100) AS BIGINT) AS cc
+          FROM events GROUP BY 1, 2),
+        seq AS (
+          SELECT event_type, d, cc,
+                 row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+                 lag(cc) OVER (PARTITION BY event_type ORDER BY d) AS pc
+          FROM daily),
+        rets AS (
+          SELECT event_type, rn, d,
+                 CASE WHEN pc IS NULL OR pc = 0 THEN 0
+                      ELSE (cc - pc) * 10000 // pc END AS ret
+          FROM seq),
+        lvl(event_type, rn, level) AS (
+          SELECT event_type, rn, CAST(10000 AS BIGINT) FROM rets WHERE rn = 1
+          UNION ALL
+          SELECT r.event_type, r.rn, (l.level * (10000 + r.ret)) // 10000
+          FROM lvl l JOIN rets r
+            ON r.event_type = l.event_type AND r.rn = l.rn + 1)
+        SELECT l.event_type, strftime(r.d, '%Y-%m-%d') AS day,
+               l.level AS index_x1e4
+        FROM lvl l JOIN rets r ON r.event_type = l.event_type AND r.rn = l.rn
+        ORDER BY 1, 2
+      """)),
+
     // ---- within-session event-type co-occurrence ---------------------------
     // Market-basket analytics over behavior sessions: for every 30-min
     // session, which DISTINCT event-type pairs co-occur, counted across
