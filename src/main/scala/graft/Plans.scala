@@ -57,7 +57,12 @@ object Plans {
       "join_cardinality_estimate", "entropy_unigram_docs",
       "kl_divergence_sources", "zipf_slope_corpus",
       "label_centroid_cosine", "pq_reconstruction_error",
-      "hourly_percentile_bands", "session_pair_counts", "ann_recall_ivf")
+      "hourly_percentile_bands", "session_pair_counts", "ann_recall_ivf",
+      // late round-5: the graded bucketed co-located join (zero exchange
+      // below the SMJ), sliding sketch-merge distinct, int8 recall, and
+      // the recursive-CTE compounding index
+      "bucketed_join_priority_revenue", "hll_sliding_distinct",
+      "ann_recall_int8", "compound_index_daily")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1535,32 +1535,35 @@ object TsQueries {
     // both sides. The identical recursion runs in DuckDB.
     Reg("compound_index_daily",
       (s, dir) => {
-        Tables(s, dir).events.createOrReplaceTempView("compound_events_v")
+        // materialize the 150-row returns relation ONCE (localCheckpoint —
+        // the connectedComponents discipline): UnionLoopExec re-executes
+        // the step subtree every iteration, and without this the daily
+        // agg + windows re-ran 30× (measured 8.2 s → ~1 s at sf0.1)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("d"))
+        Tables(s, dir).events
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(round(max_by(col("value"), col("ts")) * 100).cast("long").as("cc"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("pc", lag(col("cc"), 1).over(w))
+          .withColumn("ret", when(col("pc").isNull || col("pc") === 0, 0L)
+            .otherwise(expr("(cc - pc) * 10000 div pc")))
+          .select(col("event_type"), col("rn"), col("d"), col("ret"))
+          .localCheckpoint(true)
+          .createOrReplaceTempView("compound_rets_v")
         s.sql("""
           WITH RECURSIVE
-          daily AS (
-            SELECT event_type, date_trunc('DAY', ts) AS d,
-                   CAST(round(max_by(value, ts) * 100) AS BIGINT) AS cc
-            FROM compound_events_v GROUP BY 1, 2),
-          seq AS (
-            SELECT event_type, d, cc,
-                   row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
-                   lag(cc) OVER (PARTITION BY event_type ORDER BY d) AS pc
-            FROM daily),
-          rets AS (
-            SELECT event_type, rn, d,
-                   CASE WHEN pc IS NULL OR pc = 0 THEN 0
-                        ELSE (cc - pc) * 10000 div pc END AS ret
-            FROM seq),
           lvl(event_type, rn, level) AS (
-            SELECT event_type, rn, CAST(10000 AS BIGINT) FROM rets WHERE rn = 1
+            SELECT event_type, rn, CAST(10000 AS BIGINT)
+            FROM compound_rets_v WHERE rn = 1
             UNION ALL
             SELECT r.event_type, r.rn, (l.level * (10000 + r.ret)) div 10000
-            FROM lvl l JOIN rets r
+            FROM lvl l JOIN compound_rets_v r
               ON r.event_type = l.event_type AND r.rn = l.rn + 1)
           SELECT l.event_type, date_format(r.d, 'yyyy-MM-dd') AS day,
                  l.level AS index_x1e4
-          FROM lvl l JOIN rets r ON r.event_type = l.event_type AND r.rn = l.rn
+          FROM lvl l JOIN compound_rets_v r
+            ON r.event_type = l.event_type AND r.rn = l.rn
           ORDER BY 1, 2
         """)
       },

@@ -133,7 +133,19 @@ class PlanShapeSpec extends SparkSpec {
     // bucketed co-located SMJ: BOTH exchanges are above the join (agg +
     // ORDER BY); the join itself reads Bucketed: true scans with zero
     // exchange — the graded twin of BucketingSpec's plan assert
-    "bucketed_join_priority_revenue" -> (2, 0))
+    "bucketed_join_priority_revenue" -> (2, 0),
+    // daily sketch agg + window merge + exact side (distinct + grid
+    // range-join + agg) + final join/sort; the raw table is scanned for
+    // sketches ONCE — every window is sketch-merge arithmetic
+    "hll_sliding_distinct" -> (7, 2),
+    // int8 recall: bucketed int8 pipeline + sampled brute + intersect
+    "ann_recall_int8" -> (6, 2),
+    // recursive CTE: the returns relation is localCheckpointed BEFORE the
+    // recursion (UnionLoop re-executes its step subtree every iteration —
+    // without the checkpoint the daily agg re-ran 30×, measured 8.2 s),
+    // so the query plan is just the loop + final join/ORDER BY over a
+    // LogicalRDD; re-pin consciously if the materialization moves
+    "compound_index_daily" -> (1, 1))
 
   private def shape(name: String): (Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
