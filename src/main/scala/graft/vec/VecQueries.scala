@@ -714,6 +714,83 @@ object VecQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- ANN accuracy contract: recall@3 of PQ vs FLOAT ground truth ----
+    // Closes the recall family (lsh / ivf / int8 / pq): what asymmetric-
+    // distance ranking over 4×8-codeword reconstructions costs against
+    // the float brute truth — recall-vs-compression is THE PQ tradeoff
+    // number. Same deterministic 25% query sample; the full PQ pipeline
+    // (codebook, encode, recon, bucket join, rank) replayed in the
+    // oracle, exact hash-match.
+    Reg("ann_recall_pq",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.topK(VecOps.bruteForceScores(emb).filter(keep), 3)
+          .select(col("qid"), col("nid"))
+        val pq = VecOps.pqTopK(emb, planes = 4, k = 3).filter(keep)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(pq, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 8),
+        cb AS (SELECT s.s, cid, ce[s.s * 16 + 1 : s.s * 16 + 16] AS cw
+               FROM seeds, range(4) s(s)),
+        xs AS (SELECT vec_id, s.s, embedding[s.s * 16 + 1 : s.s * 16 + 16] AS x
+               FROM embeddings, range(4) s(s)),
+        assign AS (
+          SELECT x.vec_id, x.s, c.cid,
+                 row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
+                   (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
+                    - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
+                   DESC, c.cid) AS crank
+          FROM xs x JOIN cb c ON x.s = c.s),
+        recon AS (
+          SELECT a.vec_id AS nid, flatten(list(c.cw ORDER BY a.s)) AS recon
+          FROM assign a JOIN cb c ON a.s = c.s AND a.cid = c.cid
+          WHERE a.crank = 1
+          GROUP BY a.vec_id),
+        p AS (SELECT a.vec_id AS qid, r.nid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * r.recon[i]::DOUBLE)) AS d
+              FROM sig a
+              JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              JOIN recon r ON r.nid = b.vec_id
+              WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        pr AS (SELECT qid, nid, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM p),
+        pq AS (SELECT qid, nid FROM pr WHERE rank <= 3),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(p.nid) AS n_hit
+        FROM brute b LEFT JOIN pq p ON b.qid = p.qid AND b.nid = p.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- PQ reconstruction error per subspace -----------------------------
     // Index-quality diagnostic for the PQ codec (the ivf_cell_balance
     // pattern applied to quantization): per subspace, Σ‖x − cw‖² over all
