@@ -108,6 +108,75 @@ object TextQueries {
         FROM comp GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- near-dup survivorship by QUALITY (the production keep rule) ----
+    // neardup_dup_groups keeps min-doc_id; real curation keeps the BEST
+    // doc per cluster. Same pair relation + label propagation, then the
+    // graded quality score picks the survivor (quality DESC, doc_id
+    // tie-break — the 4-decimal qualities are identical doubles on both
+    // engines per quality_score, so the ranking is fully determined).
+    // keep_quality ships as a ×10⁴ BIGINT.
+    Reg("neardup_keep_by_quality",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val pairs = TextOps.nearDupPairs(docs, n = 3,
+          bands = 8, rowsPerBand = 2, minJaccard = 0.5)
+        val comp = TextOps.connectedComponents(pairs)
+        val t = TextOps.tokens(col("text"))
+        val stopArr = array(stopwords.map(lit): _*)
+        val qual = docs.select(col("doc_id"),
+            round(size(array_intersect(array_distinct(t), stopArr)).cast("double")
+              / size(array_distinct(t)), 4).as("stop_ratio"),
+            round(size(array_distinct(t)).cast("double") / size(t), 4).as("ttr"))
+          .withColumn("quality",
+            round(col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.6, 4))
+          .select(col("doc_id"), col("quality"))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("quality").desc, col("node"))
+        comp.join(qual, comp("node") === qual("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(when(col("rk") === 1, col("node"))).as("keep_id"),
+            max(when(col("rk") === 1,
+              round(col("quality") * 10000).cast("long"))).as("keep_quality_x1e4"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sset
+               FROM tok),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sset, b.sset)) AS inter,
+                     len(a.sset) AS na, len(b.sset) AS nb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        pr AS (SELECT doc_a, doc_b FROM p
+               WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        reach(a, b) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1),
+        q AS (SELECT doc_id,
+                     round(round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) * 0.4
+                           + (1.0 - round(CAST(len(list_intersect(list_distinct(ws),
+                                ${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) AS DOUBLE)
+                              / len(list_distinct(ws)), 4)) * 0.6, 4) AS quality
+              FROM tok),
+        r AS (SELECT c.cluster_id, c.doc_id, q.quality,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY q.quality DESC, c.doc_id) AS rk
+              FROM comp c JOIN q ON q.doc_id = c.doc_id)
+        SELECT cluster_id, count(*) AS n_docs,
+               max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+               CAST(max(CASE WHEN rk = 1 THEN round(quality * 10000) END) AS BIGINT)
+                 AS keep_quality_x1e4
+        FROM r GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- deterministic hash sampling (corpus subsampling) ---------------
     // The 100 TB subsampling op: a pure filter on a content-independent
     // doc_id hash — no shuffle, no RNG (Spark's sample() is seed+partition

@@ -1538,34 +1538,42 @@ object TsQueries {
         // materialize the 150-row returns relation ONCE (localCheckpoint —
         // the connectedComponents discipline): UnionLoopExec re-executes
         // the step subtree every iteration, and without this the daily
-        // agg + windows re-ran 30× (measured 8.2 s → ~1 s at sf0.1)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_type")).orderBy(col("d"))
-        Tables(s, dir).events
-          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
-          .agg(round(max_by(col("value"), col("ts")) * 100).cast("long").as("cc"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("pc", lag(col("cc"), 1).over(w))
-          .withColumn("ret", when(col("pc").isNull || col("pc") === 0, 0L)
-            .otherwise(expr("(cc - pc) * 10000 div pc")))
-          .select(col("event_type"), col("rn"), col("d"), col("ret"))
-          .localCheckpoint(true)
-          .createOrReplaceTempView("compound_rets_v")
-        s.sql("""
-          WITH RECURSIVE
-          lvl(event_type, rn, level) AS (
-            SELECT event_type, rn, CAST(10000 AS BIGINT)
-            FROM compound_rets_v WHERE rn = 1
-            UNION ALL
-            SELECT r.event_type, r.rn, (l.level * (10000 + r.ret)) div 10000
+        // agg + windows re-ran 30× (measured 8.2 s → ~1 s at sf0.1).
+        // The whole recursion ALSO materializes under 4 shuffle
+        // partitions (drain()'s SEQUENTIAL CONTRACT — Verify/Bench run
+        // queries sequentially): 30 loop steps over ≤150 rows at the
+        // session's 32 partitions is pure task-scheduling overhead.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("d"))
+          Tables(s, dir).events
+            .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+            .agg(round(max_by(col("value"), col("ts")) * 100).cast("long").as("cc"))
+            .withColumn("rn", row_number().over(w))
+            .withColumn("pc", lag(col("cc"), 1).over(w))
+            .withColumn("ret", when(col("pc").isNull || col("pc") === 0, 0L)
+              .otherwise(expr("(cc - pc) * 10000 div pc")))
+            .select(col("event_type"), col("rn"), col("d"), col("ret"))
+            .localCheckpoint(true)
+            .createOrReplaceTempView("compound_rets_v")
+          s.sql("""
+            WITH RECURSIVE
+            lvl(event_type, rn, level) AS (
+              SELECT event_type, rn, CAST(10000 AS BIGINT)
+              FROM compound_rets_v WHERE rn = 1
+              UNION ALL
+              SELECT r.event_type, r.rn, (l.level * (10000 + r.ret)) div 10000
+              FROM lvl l JOIN compound_rets_v r
+                ON r.event_type = l.event_type AND r.rn = l.rn + 1)
+            SELECT l.event_type, date_format(r.d, 'yyyy-MM-dd') AS day,
+                   l.level AS index_x1e4
             FROM lvl l JOIN compound_rets_v r
-              ON r.event_type = l.event_type AND r.rn = l.rn + 1)
-          SELECT l.event_type, date_format(r.d, 'yyyy-MM-dd') AS day,
-                 l.level AS index_x1e4
-          FROM lvl l JOIN compound_rets_v r
-            ON r.event_type = l.event_type AND r.rn = l.rn
-          ORDER BY 1, 2
-        """)
+              ON r.event_type = l.event_type AND r.rn = l.rn
+          """).localCheckpoint(true)
+            .orderBy("event_type", "day")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       Some("""
         WITH RECURSIVE

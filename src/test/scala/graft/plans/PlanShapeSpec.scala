@@ -143,9 +143,11 @@ class PlanShapeSpec extends SparkSpec {
     // recursive CTE: the returns relation is localCheckpointed BEFORE the
     // recursion (UnionLoop re-executes its step subtree every iteration —
     // without the checkpoint the daily agg re-ran 30×, measured 8.2 s),
-    // so the query plan is just the loop + final join/ORDER BY over a
-    // LogicalRDD; re-pin consciously if the materialization moves
-    "compound_index_daily" -> (1, 1))
+    // and the whole recursion materializes inside the builder under 4
+    // shuffle partitions — the returned plan is just the output ORDER BY
+    // over the checkpointed RDD; re-pin consciously if either
+    // materialization moves
+    "compound_index_daily" -> (1, 0))
 
   private def shape(name: String): (Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
