@@ -54,10 +54,26 @@ object Fixtures {
       val p = Paths.get(dir, s"$t.parquet")
       Files.getLastModifiedTime(p).toMillis + "|" + Files.size(p)
     }.mkString(dir + "|", "|", "")
-    val hex = Integer.toHexString(key.hashCode)
+    // Full md5 of the fixture identity, not String.hashCode: a 32-bit
+    // collision between two sf dirs in one session would silently serve
+    // buckets from the wrong scale factor.
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val (liName, ordName) = (s"li_bkt_$hex", s"ord_bkt_$hex")
     val t = graft.Tables(spark, dir)
-    if (!spark.catalog.tableExists(liName)) {
+    // Gate on BOTH tables: a failure between the two saveAsTable calls
+    // must trigger a rebuild of the pair, not a half-registered state.
+    if (!(spark.catalog.tableExists(liName) && spark.catalog.tableExists(ordName))) {
+      // Drop scratch from other fixture identities (regenerated or other
+      // sf dirs) — mirrors the partitioned-events cache discipline.
+      val root = Paths.get("/dev/shm/graft-bkt")
+      if (Files.isDirectory(root)) {
+        Files.list(root).forEach { p =>
+          val h = p.getFileName.toString
+          if (h != hex && !spark.catalog.tableExists(s"li_bkt_$h") &&
+              !spark.catalog.tableExists(s"ord_bkt_$h")) delete(p)
+        }
+      }
       t.lineitem.write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"/dev/shm/graft-bkt/$hex/lineitem")

@@ -1530,8 +1530,12 @@ object TsQueries {
     // supports UNION ALL recursion — each step joins the previous day,
     // strictly increasing rn terminates at the series end, depth = 30
     // days, under the default recursion limit). All-BIGINT: returns in
-    // truncated permyriad, level scaled ×10000, `div` ↔ `//` on
-    // non-negative operands; a zero previous close contributes r = 0 on
+    // truncated permyriad, level scaled ×10000. `div` ↔ `//` here rides
+    // on BOTH engines truncating integer division toward zero (verified:
+    // -15 div 10 = -1 in Spark AND -15 // 10 = -1 in DuckDB), which is
+    // what makes the SIGNED numerator (cc - pc, negative on down days)
+    // safe — NOT the usual non-negative-operands discipline the other
+    // indicator queries use. A zero previous close contributes r = 0 on
     // both sides. The identical recursion runs in DuckDB.
     Reg("compound_index_daily",
       (s, dir) => {

@@ -290,8 +290,8 @@ object VecQueries {
                       list_transform(embedding, x -> CAST(round(x::DOUBLE * 127) AS INT)) AS q
                FROM sig),
         p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-                     list_sum(list_transform(range(1, 65),
-                       i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS score
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS score
               FROM q8 a JOIN q8 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
         r AS (SELECT qid, nid, score,
                      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
@@ -703,8 +703,8 @@ object VecQueries {
                       list_transform(embedding, x -> CAST(round(x::DOUBLE * 127) AS INT)) AS q
                FROM sig),
         p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-                     list_sum(list_transform(range(1, 65),
-                       i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS score
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS score
               FROM q8 a JOIN q8 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
         ir AS (SELECT qid, nid, score,

@@ -29,15 +29,31 @@ class RegistrySpec extends AnyFunSuite {
 
   test("every oracle is total-ordered or single-row (ORDER BY present)") {
     // single-row global aggregates are exempt (no ordering ambiguity);
-    // everything else must carry an ORDER BY for the hash compare
+    // everything else must carry a TOP-LEVEL ORDER BY for the hash
+    // compare. Parenthesized content is stripped first so an ORDER BY
+    // living inside an aggregate — e.g. list(x ORDER BY rk) — cannot
+    // satisfy the check by substring accident.
+    def stripParens(sql: String): String = {
+      val sb = new StringBuilder
+      var depth = 0
+      sql.foreach {
+        case '(' => depth += 1
+        case ')' => if (depth > 0) depth -= 1
+        case c   => if (depth == 0) sb += c
+      }
+      sb.toString
+    }
     val noOrder = registry.filter { r =>
-      r.oracle.exists(sql => !sql.toUpperCase.contains("ORDER BY"))
+      r.oracle.exists(sql => !stripParens(sql.toUpperCase).contains("ORDER BY"))
     }.map(_.name)
     val exempt = Set(
       // single-row outputs by construction (global aggregates)
       "embedding_norm_check", "approx_quantile_contract",
       "neardup_signal_agreement", "distinct_counts", "curation_funnel",
-      "funnel_ordered_steps", "join_cardinality_estimate")
+      "funnel_ordered_steps", "join_cardinality_estimate",
+      // single global-aggregate row; its only ORDER BYs are inside
+      // list(... ORDER BY rk) aggregates, which the strip removes
+      "zipf_slope_corpus")
     val offenders = noOrder.filterNot(exempt)
     assert(offenders.isEmpty,
       s"oracles without ORDER BY (row order is engine-arbitrary): $offenders")

@@ -48,6 +48,25 @@ def main(out_dir: str, sf_dir: str) -> int:
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
             n_bad += 1
             continue
+        # KIND check first: the driver's hash protocol is value-FORMAT
+        # sensitive (BIGINT 4045 vs DOUBLE 4045.0 hash-differ even though
+        # == says equal — this exact gap let ann_int8_topk slip in r5).
+        # Width may differ (int32 vs int64), but integer-vs-float or
+        # numeric-vs-string kind mismatches are driver failures.
+        KIND = {"i": "int", "u": "int", "b": "int", "f": "float",
+                "O": "obj", "M": "ts", "m": "td", "S": "obj", "U": "obj"}
+        kind_bad = [
+            c for c in spark_df.columns
+            if KIND.get(spark_df[c].dtype.kind) != KIND.get(duck_df[c].dtype.kind)
+            # all-NULL columns surface as object/float64 artifacts — skip
+            and not (spark_df[c].isnull().all() or duck_df[c].isnull().all())]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch (driver hash protocol "
+                  f"is format-sensitive): "
+                  + ", ".join(f"{c}: spark={spark_df[c].dtype} "
+                              f"duck={duck_df[c].dtype}" for c in kind_bad))
+            n_bad += 1
+            continue
         # exact compare; dtypes may differ (int32 vs int64) — compare values
         diff_cols = []
         for c in spark_df.columns:
