@@ -699,6 +699,62 @@ object StreamQueries {
         ORDER BY p_id, c_ts, user_id, c_val
       """)),
 
+    // ---- stream-stream RIGHT OUTER interval join ------------------------
+    // The remaining stream-stream join type: clicks WITH OR WITHOUT a
+    // purchase in the following 5 minutes (the "did this click convert?"
+    // framing — the mirror of streaming_join_outer's attribution). An
+    // unmatched click emits null-extended once no future purchase can
+    // match it: purchases have p_ts in [c_ts, c_ts + 5 min], so eviction
+    // needs W > c_ts + 5 min, i.e. c_ts < W − 5 min with W = min of both
+    // sides' filtered-stream watermarks — the same click-side cutoff as
+    // streaming_join_full_outer, which the oracle mirrors. Null purchase
+    // columns coalesce to sentinels (−1 / '') per the Reg.scala doc.
+    Reg("streaming_join_right_outer",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val p = readEventsStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val c = readEventsStream(s, dir).filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("value").as("c_val"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = p.join(c,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+            col("c_ts") <= col("p_ts"),
+          "right_outer")
+        drainAppend(joined, partitions = 2)
+          .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
+            col("c_user").as("user_id"),
+            coalesce(date_format(col("p_ts"), fmt), lit("")).as("p_ts"),
+            date_format(col("c_ts"), fmt).as("c_ts"), col("c_val"))
+          // unmatched clicks share p_id=-1 — user_id + c_val break the
+          // second-resolution c_ts ties (same total order as full outer)
+          .orderBy("p_id", "c_ts", "user_id", "c_val")
+      },
+      Some("""
+        WITH W AS (SELECT least(max(ts) FILTER (event_type = 'purchase'),
+                          max(ts) FILTER (event_type = 'click'))
+                     - INTERVAL 1 HOUR AS w FROM events),
+        p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+              FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user, ts AS c_ts, value AS c_val
+              FROM events WHERE event_type = 'click')
+        SELECT coalesce(p_id, -1) AS p_id,
+               c_user AS user_id,
+               coalesce(strftime(p_ts, '%Y-%m-%d %H:%M:%S'), '') AS p_ts,
+               strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+               c_val
+        FROM p RIGHT JOIN c
+          ON p.p_user = c.c_user
+         AND c.c_ts >= p.p_ts - INTERVAL 5 MINUTES AND c.c_ts <= p.p_ts
+        WHERE p_id IS NOT NULL
+           OR c_ts < (SELECT w FROM W) - INTERVAL 5 MINUTES
+        ORDER BY p_id, c_ts, user_id, c_val
+      """)),
+
     // ---- streaming PARQUET sink: the production persistence path --------
     // streaming_candles_append's pipeline writing through the
     // checkpointed parquet FILE sink (exactly-once manifest commit)
