@@ -32,6 +32,35 @@ object Incremental {
       .partitionBy("pdate")
       .parquet(storePath)
 
+  /** MERGE-style upsert classification (the batch warehouse surface the
+    * file-overwrite path doesn't expose): given a `base` candle snapshot
+    * and a freshly re-aggregated `delta` covering buckets >=
+    * `coverageStart`, emit the post-merge table with each row tagged
+    * 'unchanged' (history the delta never touches), 'update' (delta key
+    * present in base — the tail-replacement case), or 'insert' (new key).
+    * WHEN MATCHED → update, WHEN NOT MATCHED → insert, rows absent from
+    * the source are kept — standard MERGE semantics on the (bucket,
+    * series) key.
+    *
+    * Scale shape: untouched history takes the `bucket < coverageStart`
+    * branch and is never joined — the classification join only sees the
+    * base TAIL (one partial day of candles) against the delta, so the
+    * shuffled/broadcast side is O(day), not O(history), mirroring
+    * `update`'s dynamic-partition-overwrite cost model. */
+  def merge(base: DataFrame, delta: DataFrame,
+            coverageStart: java.sql.Timestamp): DataFrame = {
+    val keep = base.filter(col("bucket") < lit(coverageStart))
+      .withColumn("action", lit("unchanged"))
+    val tailKeys = base.filter(col("bucket") >= lit(coverageStart))
+      .select(col("bucket"), col("series"), lit(true).as("matched"))
+    val classified = delta
+      .join(broadcast(tailKeys), Seq("bucket", "series"), "left")
+      .withColumn("action",
+        when(col("matched"), lit("update")).otherwise(lit("insert")))
+      .drop("matched")
+    keep.unionByName(classified)
+  }
+
   /** Incremental update: re-aggregate events from the high-water-mark DAY
     * onward (the mark bucket may have been partial at last update, and
     * dynamic overwrite replaces whole day-partitions) and overwrite only

@@ -608,6 +608,64 @@ object TsQueries {
         ORDER BY 1, 2
       """)),
 
+    // ---- batch MERGE upsert: tail-replacement with row-level actions ----
+    // The MERGE INTO surface of the update lifecycle: a partial-day delta
+    // (re-aggregated from the high-water-mark day onward, including
+    // late-arriving tail days) merged into the base candle snapshot, each
+    // output row tagged insert / update / unchanged. Same split fixture
+    // discipline as incremental_candles_store; the oracle recomputes both
+    // sides from full history and classifies by key presence — so MERGE
+    // semantics (matched→update, not-matched→insert, untouched→keep) are
+    // hash-graded, not just asserted. The two .head() calls are the
+    // declared 2-pass incremental pattern (high-water-mark reads), not
+    // hot-path collects.
+    Reg("merge_upsert_candles",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val hi = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val split = new java.sql.Timestamp(hi.getTime - 3L * 86400 * 1000)
+        val base = TimeSeries.candles(ev.filter(col("ts") < lit(split)), "hour")
+        val mark = base.agg(max(col("bucket"))).head().getTimestamp(0)
+        val dayStart = java.sql.Timestamp.from(
+          mark.toInstant.truncatedTo(java.time.temporal.ChronoUnit.DAYS))
+        val delta = TimeSeries.candles(
+          ev.filter(col("ts") >= lit(dayStart)), "hour")
+        Incremental.merge(base, delta, dayStart)
+          .select(date_format(col("bucket"), fmt).as("bucket"),
+            col("series").as("event_type"),
+            col("open"), col("high"), col("low"), col("close"),
+            round(col("volume"), 4).as("volume"), col("trades"), col("action"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        WITH split AS (SELECT max(ts) - INTERVAL 3 DAYS AS s FROM events),
+        d0 AS (SELECT date_trunc('day', max(ts)) AS d FROM events
+               WHERE ts < (SELECT s FROM split)),
+        base AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+                        arg_min(value, ts) AS open, max(value) AS high,
+                        min(value) AS low, arg_max(value, ts) AS close,
+                        sum(value) AS volume, count(*) AS trades
+                 FROM events WHERE ts < (SELECT s FROM split) GROUP BY 1, 2),
+        delta AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+                         arg_min(value, ts) AS open, max(value) AS high,
+                         min(value) AS low, arg_max(value, ts) AS close,
+                         sum(value) AS volume, count(*) AS trades
+                  FROM events WHERE ts >= (SELECT d FROM d0) GROUP BY 1, 2)
+        SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+               open, high, low, close, round(volume, 4) AS volume, trades,
+               'unchanged' AS action
+        FROM base WHERE bucket < (SELECT d FROM d0)
+        UNION ALL
+        SELECT strftime(delta.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               delta.event_type, delta.open, delta.high, delta.low,
+               delta.close, round(delta.volume, 4) AS volume, delta.trades,
+               CASE WHEN base.bucket IS NOT NULL THEN 'update'
+                    ELSE 'insert' END AS action
+        FROM delta LEFT JOIN base
+          ON base.bucket = delta.bucket AND base.event_type = delta.event_type
+        ORDER BY bucket, event_type
+      """)),
+
     // ---- sessionization: 30-min inactivity gap per user -----------------
     Reg("sessionize_30m",
       (s, dir) => TimeSeries.sessionize(Tables(s, dir).events, 1800)
