@@ -171,30 +171,43 @@ object TextOps {
     *
     * Scale notes (100 TB): each round is one equi-join + one hash-agg on
     * the node key — no driver-side data beyond the per-round changed
-    * COUNT; labels are localCheckpointed per round so the plan doesn't
+    * COUNT; labels are checkpointed per round so the plan doesn't
     * grow with iteration count (the classic iterative-DataFrame trap).
+    *
+    * Checkpoint mode: `reliable = false` (default) uses localCheckpoint —
+    * executor-local blocks, zero extra I/O, right for single-node and for
+    * clusters with stable executors. At 100 TB on preemptible executors a
+    * lost executor severs the truncated lineage mid-iteration and kills
+    * the job, so `reliable = true` writes each round's labels to the
+    * SparkContext checkpoint dir (set one on durable storage — HDFS/object
+    * store — first; a /dev/shm default is installed here only for
+    * single-JVM runs). Same labels either way — ConnectedComponentsSpec
+    * runs both modes against the union-find reference.
     * Returns (node, label) with label = min doc_id of the component. */
   def connectedComponents(pairs: DataFrame, a: String = "doc_a",
-                          b: String = "doc_b", maxRounds: Int = 30): DataFrame = {
+                          b: String = "doc_b", maxRounds: Int = 30,
+                          reliable: Boolean = false): DataFrame = {
+    if (reliable && pairs.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      pairs.sparkSession.sparkContext.setCheckpointDir("/dev/shm/graft-ckpt/cc")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // materialize the edge relation ONCE: it is referenced twice per
     // round, and without the checkpoint every round would re-run the
     // whole upstream pipeline that produced the pairs (e.g. the full
     // MinHash→LSH→Jaccard chain) — measured 4× the query cost at sf0.1
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    val edges = ckpt(pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("nlabel")).as("nl"))
-      val updated = labels.join(nbrMin, Seq("node"), "left")
+      val updated = ckpt(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nl"), col("label"))).as("next")))
       changed = updated.filter(col("next") < col("label")).count()
       labels = updated.select(col("node"), col("next").as("label"))
       round += 1

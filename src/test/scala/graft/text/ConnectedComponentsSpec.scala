@@ -64,4 +64,43 @@ class ConnectedComponentsSpec extends SparkSpec {
           s"want ${want.toSeq.sorted.take(8)}")
     }
   }
+
+  test("reliable-checkpoint mode yields identical labels") {
+    // the executor-loss-safe path (checkpoint(eager) to the SparkContext
+    // checkpoint dir) must be semantically invisible — same labels as
+    // localCheckpoint on the same graphs
+    samples(edgesGen, 3).filter(_.nonEmpty).foreach { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val local = TextOps.connectedComponents(df, maxRounds = 100)
+        .as[(Long, Long)].collect().toMap
+      val rel = TextOps.connectedComponents(df, maxRounds = 100, reliable = true)
+        .as[(Long, Long)].collect().toMap
+      assert(rel == local, s"reliable-mode labels diverged on ${edges.take(8)}…")
+    }
+    assert(spark.sparkContext.getCheckpointDir.nonEmpty,
+      "reliable mode must install a checkpoint dir when none is set")
+  }
+
+  test("skewed star: one hub joined to every doc converges without blowup") {
+    // the corpus-dedup nightmare shape — a boilerplate "hub" document
+    // near-dups EVERYTHING, so one node carries the full edge list and
+    // every propagation round hits that hot key. Diameter is 2, so the
+    // round count must stay tiny (maxRounds = 5 would throw otherwise —
+    // non-convergence throws, never returns wrong labels) and all nodes
+    // must collapse to the hub-component min label.
+    val n = 2000L
+    val star = (1L to n).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val labels = TextOps.connectedComponents(star, maxRounds = 5)
+      .as[(Long, Long)].collect()
+    assert(labels.length == n + 1)
+    assert(labels.forall(_._2 == 0L), "every spoke must adopt the hub's label")
+
+    // same shape, hub id NOT the minimum: the min label must still reach
+    // every spoke THROUGH the hub (two hops) within the round cap
+    val star2 = (0L until n).filter(_ != 500L).map(i => (500L, i))
+      .toDF("doc_a", "doc_b")
+    val labels2 = TextOps.connectedComponents(star2, maxRounds = 5)
+      .as[(Long, Long)].collect()
+    assert(labels2.forall(_._2 == 0L), "min label must propagate via the hub")
+  }
 }
