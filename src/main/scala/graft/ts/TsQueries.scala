@@ -462,6 +462,45 @@ object TsQueries {
         ORDER BY p_id
       """)),
 
+    // ---- skewed-KEY as-of: few hot keys through the bucketed form -------
+    // The classic tsdb hot-symbol replay: EVERY event joins the latest
+    // hourly candle snapshot of its own event_type — a key domain of ~5
+    // values, each a hot key carrying ~20% of the table. The native exec's
+    // ClusteredDistribution would put each type's entire history into one
+    // task (parallelism capped at 5 forever); AsofBucketed's equi-join on
+    // (type, hour-bucket) spreads each type over its time range instead —
+    // parallelism = types × hours. AsofSkewSpec pins the plan: every
+    // data-path exchange hash-partitions on (type, bucket), none collapses
+    // to a single partition. Inner ASOF (an event's own hour-candle always
+    // exists at bucket <= ts, so every row matches).
+    Reg("asof_skewed_type_candle",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val left = ev.select(col("event_id"), col("event_type"), col("ts"))
+        val candles = TimeSeries.candles(ev, "hour")
+          .select(col("series").as("event_type"), col("bucket"), col("close"))
+        AsofBucketed.asofJoin(left, candles, leftId = "event_id",
+            keys = Seq("event_type"), leftTs = "ts", rightTs = "bucket",
+            payload = Seq("close"), bucketUs = 3600L * 1000000L)
+          .select(col("event_id"), col("event_type"),
+            date_format(col("ts"), fmt).as("ts"),
+            date_format(col("bucket"), fmt).as("c_bucket"),
+            col("close").as("c_close"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT e.event_id, e.event_type,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               strftime(c.bucket, '%Y-%m-%d %H:%M:%S') AS c_bucket,
+               c.close AS c_close
+        FROM events e ASOF JOIN
+          (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                  arg_max(value, ts) AS close
+           FROM events GROUP BY 1, 2) c
+          ON e.event_type = c.event_type AND e.ts >= c.bucket
+        ORDER BY event_id
+      """)),
+
     // ---- 8-step windowed EMA (batch recurrence surface) -----------------
     // The bounded-window closed form of the EMA recurrence with α = 1/2:
     // weights (64,32,16,8,4,2,1,1)/128 over the last 8 values — the exact

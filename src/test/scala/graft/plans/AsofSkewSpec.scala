@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** The straggler guard for the skewed-key as-of demonstration
+  * (`asof_skewed_type_candle`): ~5 hot keys must NOT serialize into ~5
+  * tasks. The property that makes AsofBucketed skew-proof is visible in
+  * the plan — every data-path shuffle hash-partitions on a compound key
+  * that includes the TIME BUCKET (`_b`/`_rb`), never on the bare series
+  * key alone, and nothing collapses to a single partition. If a refactor
+  * re-introduces a key-only clustering, one hot symbol becomes one task
+  * at 100 TB and this spec fails before the bench can hide it.
+  */
+class AsofSkewSpec extends SparkSpec {
+
+  test("skewed as-of: no single-partition exchange, buckets in every key-bearing shuffle") {
+    val df = SparkEntry.queries("asof_skewed_type_candle")(spark, sf("sf0.001"))
+    val plan: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, "expected a shuffled plan")
+
+    assert(!shuffles.exists(_.outputPartitioning == SinglePartition),
+      "a SinglePartition exchange is the straggler this operator exists to avoid")
+
+    // every hash shuffle that carries the series key must ALSO carry a
+    // bucket column — a key-only HashPartitioning is the native exec's
+    // hot-key serialization sneaking back in. (The final ORDER BY is a
+    // RangePartitioning on event_id; per-left-row aggs partition on the
+    // unique leftId — both skew-free by construction.)
+    val keyBearing = shuffles.flatMap { e =>
+      e.outputPartitioning match {
+        case h: HashPartitioning
+            if h.expressions.exists(_.references.exists(_.name == "event_type")) =>
+          Some(h)
+        case _ => None
+      }
+    }
+    assert(keyBearing.nonEmpty, "expected (event_type, bucket) hash shuffles")
+    keyBearing.foreach { h =>
+      val names = h.expressions.flatMap(_.references.map(_.name)).toSet
+      // the bucket rides as _b/_rb/bucket or, in the candle-build agg, as
+      // the _groupingexpression alias of date_trunc('hour', ts) — what
+      // must never appear is event_type ALONE
+      assert((names - "event_type").nonEmpty,
+        s"shuffle clusters on the bare hot key only: $names — " +
+          "hot-key parallelism lost")
+    }
+  }
+}
