@@ -421,6 +421,131 @@ object RelQueries {
         GROUP BY 1, 2 ORDER BY 1, 2
       """)),
 
+    // ---- KMV (k-minimum-values) sketch: deterministic distinct est -----
+    // The windowed-distinct-approximation family member HLL can't give
+    // us: because the sketch is just "the k smallest md5 hash values",
+    // it is EXACTLY reproducible in DuckDB — so unlike the HLL queries
+    // (tolerance contracts), the estimate itself is hash-graded. Hashes
+    // are truncated to 44 bits so every value converts to DOUBLE exactly
+    // (< 2^53); the estimator is the textbook (k−1)·M / h_k with one
+    // float division per group, textually identical on both engines.
+    // Scale shape: distinct (day, hv) → one window pass per day (rank +
+    // count ride the same sort) → rn <= k keeps the sketch BOUNDED
+    // before the final agg; nothing collects more than k values per day.
+    Reg("kmv_distinct_daily",
+      (s, dir) => {
+        val k = 64
+        val hv = shiftright(
+          graft.text.TextOps.hash60(col("user_id").cast("string")), 16)
+        val dist = Tables(s, dir).events
+          .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            hv.as("hv"))
+          .distinct()
+        val wr = Window.partitionBy(col("day")).orderBy(col("hv"))
+        val wc = Window.partitionBy(col("day"))
+        dist.withColumn("rn", row_number().over(wr))
+          .withColumn("cnt", count(lit(1)).over(wc))
+          .filter(col("rn") <= k)
+          .groupBy(col("day"))
+          .agg(max(col("cnt")).as("n_hashes"),
+            max(when(col("rn") === least(lit(k), col("cnt")), col("hv"))).as("hk"))
+          .select(col("day"), col("n_hashes"),
+            round(when(col("n_hashes") < k, col("n_hashes").cast("double"))
+              .otherwise(lit(1108307720798208.0) / col("hk")), 2).as("est_kmv"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                          (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT >> 16) AS hv
+                   FROM events),
+        r AS (SELECT day, hv,
+                     row_number() OVER (PARTITION BY day ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY day) AS cnt
+              FROM d)
+        SELECT day, CAST(max(cnt) AS BIGINT) AS n_hashes,
+               round(CASE WHEN max(cnt) < 64 THEN CAST(max(cnt) AS DOUBLE)
+                          ELSE 1108307720798208.0 /
+                               max(CASE WHEN rn = least(64, cnt) THEN hv END)
+                     END, 2) AS est_kmv
+        FROM r WHERE rn <= 64
+        GROUP BY day ORDER BY day
+      """)),
+
+    // ---- KMV sketch ALGEBRA: theta-style union / intersection ----------
+    // The set-operation side of the sketch surface: distinct clickers,
+    // distinct purchasers, their union estimated from the merged sketch,
+    // and their intersection from the KMV Jaccard estimator — j matching
+    // members of the union sketch (a value among the union's k smallest
+    // that lives in both sets is necessarily in both per-set sketches, so
+    // j is computable from sketches alone), est∩ = (j/k)·est∪. Exact
+    // inclusion-exclusion BIGINT counts ride along as the accuracy
+    // anchor. One row out; every float op is textually mirrored. */
+    Reg("kmv_set_ops_users",
+      (s, dir) => {
+        val k = 64
+        val hv = shiftright(
+          graft.text.TextOps.hash60(col("user_id").cast("string")), 16)
+        val sides = Tables(s, dir).events
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type").as("side"), hv.as("hv"))
+          .distinct()
+        val tagged = sides.union(
+          sides.select(lit("union").as("side"), col("hv")).distinct())
+        val sk = tagged
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("side")).orderBy(col("hv"))))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("side"))))
+          .filter(col("rn") <= k)
+          .groupBy(col("side"))
+          .agg(sort_array(collect_list(col("hv"))).as("sk"), max(col("cnt")).as("cnt"))
+        val one = sk.groupBy().agg(
+          max(when(col("side") === "click", col("sk"))).as("ska"),
+          max(when(col("side") === "click", col("cnt"))).as("ca"),
+          max(when(col("side") === "purchase", col("sk"))).as("skb"),
+          max(when(col("side") === "purchase", col("cnt"))).as("cb"),
+          max(when(col("side") === "union", col("sk"))).as("sku"),
+          max(when(col("side") === "union", col("cnt"))).as("cu"))
+        val estU = when(col("cu") < k, col("cu").cast("double"))
+          .otherwise(lit(1108307720798208.0) / element_at(col("sku"), k))
+        val j = size(array_intersect(array_intersect(col("sku"), col("ska")),
+          col("skb")))
+        one.select(col("ca").as("n_click"), col("cb").as("n_purchase"),
+          col("cu").as("n_union"),
+          (col("ca") + col("cb") - col("cu")).as("n_inter_exact"),
+          round(estU, 2).as("est_union"),
+          round(j.cast("double") / least(lit(k).cast("long"), col("cu")) * estU, 2)
+            .as("est_inter"))
+      },
+      Some("""
+        WITH s AS (SELECT DISTINCT event_type AS side,
+                          (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT >> 16) AS hv
+                   FROM events WHERE event_type IN ('click', 'purchase')),
+        t AS (SELECT * FROM s UNION SELECT 'union' AS side, hv FROM s),
+        r AS (SELECT side, hv,
+                     row_number() OVER (PARTITION BY side ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY side) AS cnt
+              FROM t),
+        sk AS (SELECT side, list(hv ORDER BY hv) AS sk, CAST(max(cnt) AS BIGINT) AS cnt
+               FROM r WHERE rn <= 64 GROUP BY side),
+        w AS (SELECT
+                (SELECT sk FROM sk WHERE side = 'click') AS ska,
+                (SELECT cnt FROM sk WHERE side = 'click') AS ca,
+                (SELECT sk FROM sk WHERE side = 'purchase') AS skb,
+                (SELECT cnt FROM sk WHERE side = 'purchase') AS cb,
+                (SELECT sk FROM sk WHERE side = 'union') AS sku,
+                (SELECT cnt FROM sk WHERE side = 'union') AS cu),
+        e AS (SELECT ska, ca, skb, cb, sku, cu,
+                     CASE WHEN cu < 64 THEN CAST(cu AS DOUBLE)
+                          ELSE 1108307720798208.0 / sku[64] END AS est_u,
+                     len(list_intersect(list_intersect(sku, ska), skb)) AS j
+              FROM w)
+        SELECT ca AS n_click, cb AS n_purchase, cu AS n_union,
+               ca + cb - cu AS n_inter_exact,
+               round(est_u, 2) AS est_union,
+               round(CAST(j AS DOUBLE) / least(64, cu) * est_u, 2) AS est_inter
+        FROM e
+      """)),
+
     // ---- approx sketches (HLL + t-digest-style percentile) --------------
     // The estimates themselves are engine-specific, but their ACCURACY
     // CONTRACT is oracle-able: emit the exact values (SQL on both
