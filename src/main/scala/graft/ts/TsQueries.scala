@@ -848,6 +848,81 @@ object TsQueries {
         FROM j WHERE rk = 1 ORDER BY p_id
       """)),
 
+    // ---- UNPIVOT: wide candle measures → long (measure, value) ----------
+    // The melt operator (inverse of pivot_status_counts' pivot): OHLC
+    // columns unpivoted to rows via Spark's native Dataset.unpivot ↔
+    // DuckDB UNPIVOT. Long-form is what plotting/metric layers consume;
+    // at scale this is a zero-shuffle map-side expand (4 rows out per
+    // candle) — the only exchanges are the candle agg and the ORDER BY.
+    Reg("unpivot_candle_measures",
+      (s, dir) => TimeSeries.candles(Tables(s, dir).events, "hour")
+        .select(date_format(col("bucket"), fmt).as("bucket"),
+          col("series").as("event_type"),
+          col("open"), col("high"), col("low"), col("close"))
+        .unpivot(Array(col("bucket"), col("event_type")),
+          Array(col("open"), col("high"), col("low"), col("close")),
+          "measure", "value")
+        .orderBy("bucket", "event_type", "measure"),
+      Some("""
+        WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                          event_type,
+                          arg_min(value, ts) AS open, max(value) AS high,
+                          min(value) AS low, arg_max(value, ts) AS close
+                   FROM events GROUP BY 1, 2)
+        SELECT bucket, event_type, measure, value
+        FROM c UNPIVOT (value FOR measure IN (open, high, low, close))
+        ORDER BY bucket, event_type, measure
+      """)),
+
+    // ---- FORWARD as-of: first click AT/AFTER each purchase --------------
+    // Completes the direction family (backward asof_purchase_click,
+    // nearest asof_nearest_click, forward here): post-purchase behavior —
+    // the first click within 5 minutes AFTER the purchase. DuckDB's ASOF
+    // operator only looks backward, so the oracle is the ranged-window
+    // formulation both engines share. The 5-minute bound is what keeps
+    // the join ranged (state-bounded) — the same tolerance discipline as
+    // asof_purchase_click_tolerance, in mirror.
+    Reg("asof_forward_click",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_val"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_id")).orderBy(col("c_ts"), col("c_val"))
+        val first = p.join(c, Seq("user_id"))
+          .filter(col("c_ts") >= col("p_ts") &&
+            col("c_ts") <= col("p_ts") + expr("INTERVAL 5 MINUTES"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("p_id"), col("c_ts"), col("c_val"))
+        p.join(first, Seq("p_id"), "left")
+          .select(col("p_id"), col("user_id"),
+            date_format(col("p_ts"), fmt).as("p_ts"),
+            coalesce(date_format(col("c_ts"), fmt), lit("")).as("c_ts"),
+            coalesce(col("c_val"), lit(-1.0)).as("c_val"))
+          .orderBy("p_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts AS c_ts, value AS c_val
+              FROM events WHERE event_type = 'click'),
+        j AS (SELECT p.p_id, c.c_ts, c.c_val,
+                     row_number() OVER (PARTITION BY p.p_id
+                       ORDER BY c.c_ts, c.c_val) AS rk
+              FROM p JOIN c ON p.user_id = c.user_id
+               AND c.c_ts >= p.p_ts
+               AND c.c_ts <= p.p_ts + INTERVAL 5 MINUTES)
+        SELECT p.p_id, p.user_id,
+               strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+               coalesce(strftime(j.c_ts, '%Y-%m-%d %H:%M:%S'), '') AS c_ts,
+               coalesce(j.c_val, -1.0) AS c_val
+        FROM p LEFT JOIN (SELECT * FROM j WHERE rk = 1) j ON p.p_id = j.p_id
+        ORDER BY p.p_id
+      """)),
+
     // ---- daily user growth: new / active / cumulative -------------------
     // The live-dashboard triple every event store serves: per day, users
     // seen for the first time, distinct active users, and the running
