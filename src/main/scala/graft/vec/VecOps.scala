@@ -226,6 +226,37 @@ object VecOps {
     topK(scores, k)
   }
 
+  /** Binary-quantization ANN top-k — the 1-BIT rung below int8: each
+    * 64-dim vector compacts to ONE BIGINT (bit i = sign of dim i, 256×
+    * smaller than float32), candidates come from the query's LSH bucket,
+    * and ranking is Hamming similarity 64 − popcount(q ⊕ n) — pure
+    * integer ops end to end, so the score is hash-exact by construction
+    * and the whole rerank is a register-width xor+popcount per pair (the
+    * faiss binary-index trick; at 100 TB the candidate scan is memory-
+    * bandwidth-bound, which is exactly why stores ship this mode).
+    * Quantized ties are pervasive at 1 bit — the nid tiebreak carries. */
+  def annBinaryTopK(emb: DataFrame, planes: Int, k: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    // two 32-bit words, not one 64-bit: bit 63 would need 1 << 63, which
+    // overflows signed BIGINT (DuckDB raises; Spark silently wraps)
+    def word(off: Int) =
+      s"aggregate(transform(slice(embedding, ${off + 1}, 32), (x, i) -> " +
+        "IF(CAST(x AS DOUBLE) > 0.0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    val b = lshBucket(emb, planes)
+      .withColumn("bq0", expr(word(0)))
+      .withColumn("bq1", expr(word(32)))
+    val q = b.select(col("vec_id").as("qid"), col("bq0").as("qb0"),
+      col("bq1").as("qb1"), col("bucket"))
+    val n = b.select(col("vec_id").as("nid"), col("bq0").as("nb0"),
+      col("bq1").as("nb1"), col("bucket"))
+    val scores = q.join(n, "bucket").filter(col("qid") =!= col("nid"))
+      .withColumn("score",
+        lit(64) - expr("bit_count(qb0 ^ nb0) + bit_count(qb1 ^ nb1)"))
+      .select("qid", "nid", "score")
+    topK(scores, k)
+  }
+
   /** Product-quantization ANN top-k — the last rung of the compression
     * ladder (float LSH → int8 → PQ): the 64-dim vector is split into
     * `m` = 4 subspaces of 16 dims; each subspace gets an 8-codeword

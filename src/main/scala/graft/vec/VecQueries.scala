@@ -301,6 +301,46 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
+    // ---- binary-quantized ANN: the 1-bit compression rung ---------------
+    // LSH bucket candidates reranked by Hamming similarity over sign-bit
+    // fingerprints (one BIGINT per vector, 256× smaller than float32).
+    // Integer end to end — score hash-exact by construction; the nid
+    // tiebreak is load-bearing (1-bit ties are pervasive).
+    Reg("ann_binary_topk",
+      (s, dir) => VecOps.annBinaryTopK(Tables(s, dir).embeddings, planes = 4, k = 3)
+        .select(col("qid"), col("rank"), col("nid"), col("score"))
+        .orderBy("qid", "rank"),
+      Some("""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        bq AS (SELECT s.vec_id, s.bucket,
+                      CAST(sum(CASE WHEN s.embedding[i.i + 1]::DOUBLE > 0.0
+                                    THEN (CAST(1 AS BIGINT) << i.i) ELSE 0 END) AS BIGINT) AS bq0,
+                      CAST(sum(CASE WHEN s.embedding[i.i + 33]::DOUBLE > 0.0
+                                    THEN (CAST(1 AS BIGINT) << i.i) ELSE 0 END) AS BIGINT) AS bq1
+               FROM sig s, range(32) i(i) GROUP BY 1, 2),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     CAST(64 - bit_count(xor(a.bq0, b.bq0))
+                             - bit_count(xor(a.bq1, b.bq1)) AS INT) AS score
+              FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        r AS (SELECT qid, nid, score,
+                     row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+              FROM p)
+        SELECT qid, rank, nid, score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """)),
+
     // ---- product-quantization ANN: asymmetric-distance ranking ----------
     // The last rung of the compression ladder (LSH float → int8 → PQ):
     // 4 subspaces × 8 codewords (codebook = slices of the md5-seeded
@@ -720,6 +760,64 @@ object VecQueries {
         brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
         SELECT b.qid, count(i.nid) AS n_hit
         FROM brute b LEFT JOIN i8 i ON b.qid = i.qid AND b.nid = i.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- ANN accuracy contract: recall@3 of 1-BIT fingerprints ----------
+    // The bottom of the compression-recall ladder (lsh / ivf / int8 / pq
+    // / binary): what Hamming ranking over sign bits costs against the
+    // float brute truth — the recall number that decides whether 256×
+    // compression is shippable. Same deterministic 25% query sample.
+    Reg("ann_recall_binary",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.topK(VecOps.bruteForceScores(emb).filter(keep), 3)
+          .select(col("qid"), col("nid"))
+        val bin = VecOps.annBinaryTopK(emb, planes = 4, k = 3).filter(keep)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(bin, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        bq AS (SELECT s.vec_id, s.bucket,
+                      CAST(sum(CASE WHEN s.embedding[i.i + 1]::DOUBLE > 0.0
+                                    THEN (CAST(1 AS BIGINT) << i.i) ELSE 0 END) AS BIGINT) AS bq0,
+                      CAST(sum(CASE WHEN s.embedding[i.i + 33]::DOUBLE > 0.0
+                                    THEN (CAST(1 AS BIGINT) << i.i) ELSE 0 END) AS BIGINT) AS bq1
+               FROM sig s, range(32) i(i) GROUP BY 1, 2),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     CAST(64 - bit_count(xor(a.bq0, b.bq0))
+                             - bit_count(xor(a.bq1, b.bq1)) AS INT) AS score
+              FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        ir AS (SELECT qid, nid, score,
+                      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+               FROM p),
+        bin AS (SELECT qid, nid FROM ir WHERE rank <= 3),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(i.nid) AS n_hit
+        FROM brute b LEFT JOIN bin i ON b.qid = i.qid AND b.nid = i.nid
         GROUP BY 1 ORDER BY 1
       """)),
 
