@@ -848,6 +848,56 @@ object TsQueries {
         FROM j WHERE rk = 1 ORDER BY p_id
       """)),
 
+    // ---- candlestick pattern classification (integer-exact) -------------
+    // The chart-pattern screen every OHLC store serves: doji (body ≤ 10%
+    // of range), hammer (lower shadow ≥ 2×body, upper ≤ body), bullish
+    // engulfing (bearish prev body swallowed by a bullish current one).
+    // All comparisons are cents-integer (the vwap_daily discipline), the
+    // engulfing lag rides the same one (event_type) window exchange as
+    // the indicator family — zero float-divergence risk by construction.
+    Reg("candle_patterns_1h",
+      (s, dir) => {
+        val cents = (c: String) => round(col(c) * 100).cast("long")
+        val base = TimeSeries.candles(Tables(s, dir).events, "hour")
+          .select(col("bucket"), col("series").as("event_type"),
+            cents("open").as("oc"), cents("high").as("hc"),
+            cents("low").as("lc"), cents("close").as("cc"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("bucket"))
+        val body = abs(col("cc") - col("oc"))
+        val range = col("hc") - col("lc")
+        val upper = col("hc") - greatest(col("oc"), col("cc"))
+        val lower = least(col("oc"), col("cc")) - col("lc")
+        base
+          .withColumn("poc", lag(col("oc"), 1).over(w))
+          .withColumn("pcc", lag(col("cc"), 1).over(w))
+          .select(date_format(col("bucket"), fmt).as("bucket"),
+            col("event_type"),
+            (body * 10 <= range).as("is_doji"),
+            (lower >= body * 2 && upper <= body).as("is_hammer"),
+            coalesce(col("pcc") < col("poc") && col("cc") > col("oc") &&
+              col("oc") <= col("pcc") && col("cc") >= col("poc"),
+              lit(false)).as("is_bull_engulf"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        WITH c AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+                          CAST(round(arg_min(value, ts) * 100) AS BIGINT) AS oc,
+                          CAST(round(max(value) * 100) AS BIGINT) AS hc,
+                          CAST(round(min(value) * 100) AS BIGINT) AS lc,
+                          CAST(round(arg_max(value, ts) * 100) AS BIGINT) AS cc
+                   FROM events GROUP BY 1, 2),
+        l AS (SELECT *, lag(oc) OVER w AS poc, lag(cc) OVER w AS pcc
+              FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+               abs(cc - oc) * 10 <= hc - lc AS is_doji,
+               least(oc, cc) - lc >= abs(cc - oc) * 2
+                 AND hc - greatest(oc, cc) <= abs(cc - oc) AS is_hammer,
+               coalesce(pcc < poc AND cc > oc AND oc <= pcc AND cc >= poc,
+                        false) AS is_bull_engulf
+        FROM l ORDER BY bucket, event_type
+      """)),
+
     // ---- UNPIVOT: wide candle measures → long (measure, value) ----------
     // The melt operator (inverse of pivot_status_counts' pivot): OHLC
     // columns unpivoted to rows via Spark's native Dataset.unpivot ↔
