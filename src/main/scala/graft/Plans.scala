@@ -62,7 +62,7 @@ object Plans {
       // below the SMJ), sliding sketch-merge distinct, int8 recall, and
       // the recursive-CTE compounding index
       "bucketed_join_priority_revenue", "hll_sliding_distinct",
-      "ann_recall_int8", "compound_index_daily",
+      "ann_recall_int8", "compound_index_weekly",
       "ann_recall_pq", "neardup_keep_by_quality")
     val spark = SparkSession.builder()
       .master("local[4]")

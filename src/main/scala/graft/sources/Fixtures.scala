@@ -68,7 +68,10 @@ object Fixtures {
       // sf dirs) — mirrors the partitioned-events cache discipline.
       val root = Paths.get("/dev/shm/graft-bkt")
       if (Files.isDirectory(root)) {
-        Files.list(root).forEach { p =>
+        // snapshot the listing before deleting (mutating a directory
+        // under an open Files.list stream is filesystem-dependent), and
+        // close the stream — each leaked handle is a lost fd
+        listChildren(root).foreach { p =>
           val h = p.getFileName.toString
           if (h != hex && !spark.catalog.tableExists(s"li_bkt_$h") &&
               !spark.catalog.tableExists(s"ord_bkt_$h")) delete(p)
@@ -87,8 +90,19 @@ object Fixtures {
     (liName, ordName)
   }
 
+  /** Directory children as a materialized list, stream closed. */
+  private def listChildren(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      val buf = Seq.newBuilder[Path]
+      while (it.hasNext) buf += it.next()
+      buf.result()
+    } finally s.close()
+  }
+
   private[graft] def delete(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).forEach(delete)
+    if (Files.isDirectory(p)) listChildren(p).foreach(delete)
     Files.deleteIfExists(p)
   }
 }

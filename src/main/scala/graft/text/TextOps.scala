@@ -178,27 +178,48 @@ object TextOps {
     * executor-local blocks, zero extra I/O, right for single-node and for
     * clusters with stable executors. At 100 TB on preemptible executors a
     * lost executor severs the truncated lineage mid-iteration and kills
-    * the job, so `reliable = true` writes each round's labels to the
-    * SparkContext checkpoint dir (set one on durable storage — HDFS/object
-    * store — first; a /dev/shm default is installed here only for
-    * single-JVM runs). Same labels either way — ConnectedComponentsSpec
-    * runs both modes against the union-find reference.
-    * Returns (node, label) with label = min doc_id of the component. */
+    * the job, so `reliable = true` snapshots each round's labels to
+    * parquet under `graft.cc.checkpointDir` (session conf; point it at
+    * durable storage — HDFS/object store — on a real cluster: the
+    * /dev/shm default is for single-JVM runs only and does NOT survive
+    * executor loss). Round N−1's snapshot is deleted as soon as round N
+    * is written (round-7 ADVICE fix: checkpoints previously accumulated
+    * one labels snapshot per round, unbounded across rounds and calls),
+    * so at most two round snapshots plus the edge relation exist at any
+    * instant. The FINAL snapshot backs the returned DataFrame and is
+    * reclaimed at the next reliable call in this JVM — persist the
+    * result downstream if it must outlive that. Same labels either way —
+    * ConnectedComponentsSpec runs both modes against the union-find
+    * reference. Returns (node, label), label = min doc_id of component. */
   def connectedComponents(pairs: DataFrame, a: String = "doc_a",
                           b: String = "doc_b", maxRounds: Int = 30,
                           reliable: Boolean = false): DataFrame = {
-    if (reliable && pairs.sparkSession.sparkContext.getCheckpointDir.isEmpty)
-      pairs.sparkSession.sparkContext.setCheckpointDir("/dev/shm/graft-ckpt/cc")
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val spark = pairs.sparkSession
+    val runDir: Option[String] = if (reliable) {
+      val base = spark.conf.getOption("graft.cc.checkpointDir")
+        .getOrElse("/dev/shm/graft-ckpt/cc")
+      // reclaim the previous reliable run's final snapshot
+      Option(lastReliableRun.getAndSet(null)).foreach(p =>
+        graft.sources.Fixtures.delete(java.nio.file.Paths.get(p)))
+      Some(s"$base/run-${java.util.UUID.randomUUID().toString.take(8)}")
+    } else None
+    def ckpt(df: DataFrame, tag: String): DataFrame = runDir match {
+      case Some(d) =>
+        val p = s"$d/$tag"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => df.localCheckpoint()
+    }
+    def drop(tag: String): Unit = runDir.foreach(d =>
+      graft.sources.Fixtures.delete(java.nio.file.Paths.get(s"$d/$tag")))
     // materialize the edge relation ONCE: it is referenced twice per
     // round, and without the checkpoint every round would re-run the
     // whole upstream pipeline that produced the pairs (e.g. the full
     // MinHash→LSH→Jaccard chain) — measured 4× the query cost at sf0.1
     val edges = ckpt(pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst"))))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst"))), "edges")
     var labels = ckpt(edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")))
+      .withColumn("label", col("node")), "labels-0")
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -207,14 +228,22 @@ object TextOps {
         .groupBy(col("src").as("node")).agg(min(col("nlabel")).as("nl"))
       val updated = ckpt(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("next")))
+          least(col("label"), coalesce(col("nl"), col("label"))).as("next")),
+        s"labels-${round + 1}")
+      drop(s"labels-$round") // round N written+read from its own files now
       changed = updated.filter(col("next") < col("label")).count()
       labels = updated.select(col("node"), col("next").as("label"))
       round += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+    drop("edges")
+    runDir.foreach(lastReliableRun.set)
     labels
   }
+
+  // last reliable connectedComponents run dir, reclaimed on the next call
+  private val lastReliableRun =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** 60-bit SimHash over distinct tokens: bit i of the fingerprint is set
     * iff the sum of ±1 contributions (per-token hash bit i) is positive.

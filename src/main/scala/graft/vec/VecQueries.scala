@@ -33,6 +33,39 @@ object VecQueries {
                  FROM sig sa JOIN sig sb
                    ON sa.t = sb.t AND sa.bucket = sb.bucket AND sa.vec_id $cmp sb.vec_id)"""
 
+  /** DuckDB CTEs mirroring [[VecOps.lloyd2CentroidsShared]] exactly:
+    * md5-ordered seed sample, two snapped (1e-4 grid) Lloyd iterations.
+    * Ends with `c2(cid, ce)` — the centroid table both ivf_lloyd2_topk
+    * and semdedup_keep consume. */
+  private val lloyd2Ctes = """
+        seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 16),
+        a1 AS (
+          SELECT a.vec_id, a.embedding, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN seeds b ON true),
+        m1 AS (
+          SELECT cid, i.i AS i,
+                 CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
+          FROM a1, range(64) i(i) WHERE crank = 1 GROUP BY cid, i.i),
+        c1 AS (SELECT cid, list(mf ORDER BY i) AS ce FROM m1 GROUP BY cid),
+        a2 AS (
+          SELECT a.vec_id, a.embedding, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN c1 b ON true),
+        m2 AS (
+          SELECT cid, i.i AS i,
+                 CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
+          FROM a2, range(64) i(i) WHERE crank = 1 GROUP BY cid, i.i),
+        c2 AS (SELECT cid, list(mf ORDER BY i) AS ce FROM m2 GROUP BY cid)"""
+
   /** The PQ-ANN oracle pipeline (mirrors [[VecOps.pqTopK]] exactly),
     * parameterized on the source relation so the OPQ variant can prepend
     * rotation CTEs and run the identical pipeline over `emb2`. */
@@ -120,15 +153,14 @@ object VecQueries {
     // Round-5: measured on the deterministic 25% md5 query sample (the
     // recall family's move) — per-query semantics are unchanged (each
     // sampled query still scores the FULL corpus); |sample|·n is the only
-    // quadratic anyone runs at 100 TB. The filter pushes to the
-    // query-side scan below the cross join.
+    // quadratic anyone runs at 100 TB. Round-7: the sampled brute pass is
+    // now derived ONCE per session via bruteTop5Shared and reused by the
+    // five ann_recall_* queries — one quadratic job instead of six.
     Reg("cosine_topk_brute",
-      (s, dir) => {
-        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        VecOps.topK(VecOps.bruteForceScores(Tables(s, dir).embeddings).filter(keep), 5)
+      (s, dir) =>
+        VecOps.bruteTop5Shared(Tables(s, dir).embeddings, dir)
           .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
-          .orderBy("qid", "rank")
-      },
+          .orderBy("qid", "rank"),
       Some(s"""
         WITH p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
                    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
@@ -387,38 +419,15 @@ object VecQueries {
     // probe-2 search as ivf_ann_topk. The oracle replays both iterations
     // exactly, so the hash-match is independent of k-means quality.
     Reg("ivf_lloyd2_topk",
-      (s, dir) => VecOps.lloydIvfTopK(Tables(s, dir).embeddings,
-          lists = 16, iters = 2, probes = 2, k = 3)
-        .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
-        .orderBy("qid", "rank"),
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        VecOps.ivfSearch(emb, VecOps.lloyd2CentroidsShared(emb, dir),
+            probes = 2, k = 3)
+          .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+          .orderBy("qid", "rank")
+      },
       Some(s"""
-        WITH seeds AS (
-          SELECT vec_id AS cid, embedding AS ce
-          FROM embeddings
-          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
-          LIMIT 16),
-        a1 AS (
-          SELECT a.vec_id, a.embedding, b.cid,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                   list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN seeds b ON true),
-        m1 AS (
-          SELECT cid, i.i AS i,
-                 CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
-          FROM a1, range(64) i(i) WHERE crank = 1 GROUP BY cid, i.i),
-        c1 AS (SELECT cid, list(mf ORDER BY i) AS ce FROM m1 GROUP BY cid),
-        a2 AS (
-          SELECT a.vec_id, a.embedding, b.cid,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                   list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN c1 b ON true),
-        m2 AS (
-          SELECT cid, i.i AS i,
-                 CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
-          FROM a2, range(64) i(i) WHERE crank = 1 GROUP BY cid, i.i),
-        c2 AS (SELECT cid, list(mf ORDER BY i) AS ce FROM m2 GROUP BY cid),
+        WITH $lloyd2Ctes,
         ranked AS (
           SELECT a.vec_id, a.embedding, b.cid,
                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -451,7 +460,7 @@ object VecQueries {
     Reg("cosine_neardup_pairs",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        VecOps.lshScoredPairs(emb, planes = 4, tables = 6, directed = false)
+        VecOps.lshScoredP4T6Shared(emb, dir, directed = false)
           .filter(col("score") >= 0.45)
           .select(col("qid").as("vec_a"), col("nid").as("vec_b"),
             round(col("score"), 4).as("score"))
@@ -476,7 +485,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val nn1 = VecOps.topK(
-          VecOps.lshScoredPairs(emb, planes = 4, tables = 6, directed = true), 1)
+          VecOps.lshScoredP4T6Shared(emb, dir, directed = true), 1)
         nn1
           .join(emb.select(col("vec_id").as("qid"), col("label").as("q_label")), "qid")
           .join(emb.select(col("vec_id").as("nid"), col("label").as("n_label")), "nid")
@@ -545,8 +554,8 @@ object VecQueries {
     // which the fixture's irrational-ish floats never are). Shows where
     // to put the near-dup cutoff before committing to one.
     Reg("cosine_score_histogram",
-      (s, dir) => VecOps.lshScoredPairs(Tables(s, dir).embeddings,
-          planes = 4, tables = 6, directed = false)
+      (s, dir) => VecOps.lshScoredP4T6Shared(Tables(s, dir).embeddings, dir,
+          directed = false)
         .withColumn("band", floor(col("score") * 10).cast("long"))
         .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
         .orderBy("band"),
@@ -574,7 +583,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        val brute = VecOps.topK(VecOps.bruteForceScores(emb).filter(keep), 3)
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
         val lsh = VecOps.annLshTopK(emb, planes = 4, k = 3).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
@@ -627,7 +636,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        val brute = VecOps.topK(VecOps.bruteForceScores(emb).filter(keep), 3)
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
         val ivf = VecOps.ivfTopK(emb, lists = 16, probes = 2, k = 3).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
@@ -717,7 +726,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        val brute = VecOps.topK(VecOps.bruteForceScores(emb).filter(keep), 3)
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
         val i8 = VecOps.annInt8TopK(emb, planes = 4, k = 3).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
@@ -772,7 +781,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        val brute = VecOps.topK(VecOps.bruteForceScores(emb).filter(keep), 3)
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
         val bin = VecOps.annBinaryTopK(emb, planes = 4, k = 3).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
@@ -832,7 +841,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        val brute = VecOps.topK(VecOps.bruteForceScores(emb).filter(keep), 3)
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
         val pq = VecOps.pqTopK(emb, planes = 4, k = 3).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
@@ -946,6 +955,49 @@ object VecQueries {
                CAST(sum(err_x1e6) AS BIGINT) AS sum_err_x1e6,
                max(err_x1e6) AS max_err_x1e6
         FROM e GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- SemDeDup: embedding-level semantic dedup (round-7) -------------
+    // The third dedup rung after exact + lexical near-dup (VERDICT r6
+    // "what's missing" #3): k-means-cluster the embeddings (the shared
+    // 2-iteration snapped Lloyd build, same centroids as ivf_lloyd2_topk),
+    // pairwise cosine ONLY within each cluster, drop every vector with a
+    // >= 0.45 neighbor of smaller id. kept is BIGINT 1/0 (never BOOLEAN —
+    // the driver's hash is format-sensitive, true != 1); dup_of grades
+    // the survivorship witness, not just the count. Threshold 0.45 sits
+    // in the score distribution's sparse tail (cosine_score_histogram),
+    // so the cross-engine 1e-14 double divergence cannot flip membership;
+    // assignment ranks are identical because the snapped centroids are
+    // bit-equal floats on both engines (the ivf_lloyd2 argument).
+    Reg("semdedup_keep",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        VecOps.semDedupKeep(emb, VecOps.lloyd2CentroidsShared(emb, dir),
+            tau = 0.45)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH $lloyd2Ctes,
+        ranked AS (
+          SELECT a.vec_id, a.embedding, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN c2 b ON true),
+        assigned AS (SELECT vec_id, embedding, cid FROM ranked WHERE crank = 1),
+        p AS (
+          SELECT x.vec_id AS aid, y.vec_id AS bid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) AS sim
+          FROM assigned x JOIN assigned y
+            ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        d AS (SELECT bid AS vec_id, min(aid) AS dup_of
+              FROM p WHERE sim >= 0.45 GROUP BY 1)
+        SELECT a.vec_id, a.cid,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+               d.dup_of
+        FROM assigned a LEFT JOIN d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id
       """))
   )
 }

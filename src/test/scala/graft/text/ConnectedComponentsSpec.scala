@@ -65,20 +65,40 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
-  test("reliable-checkpoint mode yields identical labels") {
-    // the executor-loss-safe path (checkpoint(eager) to the SparkContext
-    // checkpoint dir) must be semantically invisible — same labels as
-    // localCheckpoint on the same graphs
-    samples(edgesGen, 3).filter(_.nonEmpty).foreach { edges =>
-      val df = edges.toDF("doc_a", "doc_b")
-      val local = TextOps.connectedComponents(df, maxRounds = 100)
-        .as[(Long, Long)].collect().toMap
-      val rel = TextOps.connectedComponents(df, maxRounds = 100, reliable = true)
-        .as[(Long, Long)].collect().toMap
-      assert(rel == local, s"reliable-mode labels diverged on ${edges.take(8)}…")
-    }
-    assert(spark.sparkContext.getCheckpointDir.nonEmpty,
-      "reliable mode must install a checkpoint dir when none is set")
+  test("reliable-checkpoint mode yields identical labels and bounded snapshots") {
+    // the executor-loss-safe path (per-round parquet snapshots under
+    // graft.cc.checkpointDir) must be semantically invisible — same
+    // labels as localCheckpoint on the same graphs
+    val ckptBase = java.nio.file.Files
+      .createTempDirectory("cc-reliable-spec").toString
+    spark.conf.set("graft.cc.checkpointDir", ckptBase)
+    try {
+      samples(edgesGen, 3).filter(_.nonEmpty).foreach { edges =>
+        val df = edges.toDF("doc_a", "doc_b")
+        val local = TextOps.connectedComponents(df, maxRounds = 100)
+          .as[(Long, Long)].collect().toMap
+        val rel = TextOps.connectedComponents(df, maxRounds = 100, reliable = true)
+          .as[(Long, Long)].collect().toMap
+        assert(rel == local, s"reliable-mode labels diverged on ${edges.take(8)}…")
+      }
+      // intermediate rounds + edges are reclaimed as the iteration
+      // advances (the round-7 ADVICE fix): after a run, exactly ONE run
+      // dir with ONE final labels snapshot remains — not one per round
+      val runs = java.nio.file.Files.list(java.nio.file.Paths.get(ckptBase))
+      val runDirs = try {
+        val it = runs.iterator(); val b = Seq.newBuilder[java.nio.file.Path]
+        while (it.hasNext) b += it.next(); b.result()
+      } finally runs.close()
+      assert(runDirs.size == 1,
+        s"expected one surviving run dir (prior runs reclaimed), got $runDirs")
+      val inner = java.nio.file.Files.list(runDirs.head)
+      val snaps = try {
+        val it = inner.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().getFileName.toString; b.result()
+      } finally inner.close()
+      assert(snaps.size == 1 && snaps.head.startsWith("labels-"),
+        s"expected only the final labels snapshot, got $snaps")
+    } finally spark.conf.unset("graft.cc.checkpointDir")
   }
 
   test("skewed star: one hub joined to every doc converges without blowup") {

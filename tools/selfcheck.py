@@ -53,7 +53,10 @@ def main(out_dir: str, sf_dir: str) -> int:
         # == says equal — this exact gap let ann_int8_topk slip in r5).
         # Width may differ (int32 vs int64), but integer-vs-float or
         # numeric-vs-string kind mismatches are driver failures.
-        KIND = {"i": "int", "u": "int", "b": "int", "f": "float",
+        # booleans are their own bucket: the driver hashes `true` vs `1`
+        # differently, so a Spark BOOLEAN vs DuckDB BIGINT 0/1 drift must
+        # fail HERE even though True == 1 value-compares equal
+        KIND = {"i": "int", "u": "int", "b": "bool", "f": "float",
                 "O": "obj", "M": "ts", "m": "td", "S": "obj", "U": "obj"}
         kind_bad = [
             c for c in spark_df.columns
