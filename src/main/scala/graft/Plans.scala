@@ -63,7 +63,17 @@ object Plans {
       // the recursive-CTE compounding index
       "bucketed_join_priority_revenue", "hll_sliding_distinct",
       "ann_recall_int8", "compound_index_weekly",
-      "ann_recall_pq", "neardup_keep_by_quality")
+      "ann_recall_pq", "neardup_keep_by_quality",
+      // round-6: binary ANN + its recall, forward/skewed as-of, candle
+      // patterns, KMV sketches, candle MERGE, UNPIVOT (streaming drains
+      // stay out of the dump — their registry builders execute eagerly)
+      "ann_binary_topk", "ann_recall_binary", "asof_forward_click",
+      "asof_skewed_type_candle", "candle_patterns_1h",
+      "kmv_distinct_daily", "kmv_set_ops_users", "merge_upsert_candles",
+      "unpivot_candle_measures",
+      // round-7: embedding-level semantic dedup over the shared Lloyd
+      // centroids
+      "semdedup_keep")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
