@@ -546,6 +546,174 @@ object RelQueries {
         FROM e
       """)),
 
+    // ---- sliding-window distinct via KMV sketch MERGE -------------------
+    // The deterministic twin of hll_sliding_distinct: per-day KMV
+    // sketches (k smallest distinct 44-bit hashes — the kmv_distinct_daily
+    // build) union-merged over a 7-day calendar window. Raw data is
+    // touched ONCE (one distinct + one bounded rank pass); every window
+    // after that is sketch algebra over <= 7k rows per window end. The
+    // merge rule is exact KMV semantics: merged sketch = k smallest of
+    // the union'd per-day sketches, and a union smaller than k can only
+    // happen when every contributing day was untruncated, so `cnt < k ⇒
+    // est = cnt` is exact there too. Spark side expands each sketch day
+    // to its 7 window ends with explode(sequence) — an EQUI-join to the
+    // day grid, never a range join (KmvPlanSpec pins no-BNL) — which is
+    // the shape that scales: contribution fan-out is a map-side 7×, the
+    // per-end state is capped at 7k hashes before the rank prune.
+    Reg("kmv_sliding_distinct_7d",
+      (s, dir) => {
+        val k = 64
+        val hv = shiftright(
+          graft.text.TextOps.hash60(col("user_id").cast("string")), 16)
+        val dist = Tables(s, dir).events
+          .select(date_trunc("day", col("ts")).cast("date").as("d"), hv.as("hv"))
+          .distinct()
+        val sk = dist
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("d")).orderBy(col("hv"))))
+          .filter(col("rn") <= k)
+          .select(col("d"), col("hv"))
+        val grid = sk.select(col("d").as("de")).distinct()
+        val contrib = sk
+          .withColumn("de", explode(sequence(col("d"), date_add(col("d"), 6),
+            expr("interval 1 day"))))
+          .join(grid, "de")
+          .select(col("de"), col("hv")).distinct()
+        val wr = Window.partitionBy(col("de")).orderBy(col("hv"))
+        val wc = Window.partitionBy(col("de"))
+        contrib.withColumn("rn", row_number().over(wr))
+          .withColumn("cnt", count(lit(1)).over(wc))
+          .filter(col("rn") <= k)
+          .groupBy(col("de"))
+          .agg(max(col("cnt")).as("n_union"),
+            max(when(col("rn") === least(lit(k), col("cnt")), col("hv"))).as("hk"))
+          .select(date_format(col("de"), "yyyy-MM-dd").as("day"),
+            col("n_union"),
+            round(when(col("n_union") < k, col("n_union").cast("double"))
+              .otherwise(lit(1108307720798208.0) / col("hk")), 2).as("est_kmv_7d"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS d,
+                          (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT >> 16) AS hv
+                   FROM events),
+        sk AS (SELECT d, hv FROM (
+                 SELECT d, hv, row_number() OVER (PARTITION BY d ORDER BY hv) AS rn
+                 FROM d) WHERE rn <= 64),
+        grid AS (SELECT DISTINCT d AS de FROM sk),
+        u AS (SELECT DISTINCT g.de, s.hv
+              FROM grid g JOIN sk s ON s.d BETWEEN g.de - 6 AND g.de),
+        r AS (SELECT de, hv,
+                     row_number() OVER (PARTITION BY de ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY de) AS cnt
+              FROM u)
+        SELECT strftime(de, '%Y-%m-%d') AS day,
+               CAST(max(cnt) AS BIGINT) AS n_union,
+               round(CASE WHEN max(cnt) < 64 THEN CAST(max(cnt) AS DOUBLE)
+                          ELSE 1108307720798208.0 /
+                               max(CASE WHEN rn = least(64, cnt) THEN hv END)
+                     END, 2) AS est_kmv_7d
+        FROM r WHERE rn <= 64
+        GROUP BY de ORDER BY day
+      """)),
+
+    // ---- KMV intersection with theta-style ERROR BOUNDS -----------------
+    // The sketch-algebra answer to "how wrong can the estimate be":
+    // alongside the kmv_set_ops point estimate, the standard-error
+    // bounds a theta sketch reports. j of the union sketch's kp = min(k,
+    // |union sketch|) members land in both per-set sketches; jhat = j/kp
+    // is a hypergeometric (≈ binomial) sample of the true Jaccard, so
+    // se = sqrt(jhat(1-jhat)/kp) and the 2σ band is estU·(jhat ∓ 2se),
+    // clamped at 0. The exact intersection (inclusion-exclusion over the
+    // exact per-side distinct counts that ride the sketch build) grades
+    // coverage as BIGINT 1/0 — every float op (+,−,×,÷,sqrt) is IEEE
+    // correctly-rounded and textually mirrored, so the comparison is
+    // engine-exact. Scale: sketch rows only after one distinct pass;
+    // the view/click sides make it disjoint from kmv_set_ops_users'
+    // click/purchase pair.
+    Reg("kmv_intersection_bounds",
+      (s, dir) => {
+        val k = 64
+        val hv = shiftright(
+          graft.text.TextOps.hash60(col("user_id").cast("string")), 16)
+        val sides = Tables(s, dir).events
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("event_type").as("side"), hv.as("hv"))
+          .distinct()
+        val tagged = sides.union(
+          sides.select(lit("union").as("side"), col("hv")).distinct())
+        val sk = tagged
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("side")).orderBy(col("hv"))))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("side"))))
+          .filter(col("rn") <= k)
+          .groupBy(col("side"))
+          .agg(sort_array(collect_list(col("hv"))).as("sk"), max(col("cnt")).as("cnt"))
+        val one = sk.groupBy().agg(
+          max(when(col("side") === "view", col("sk"))).as("ska"),
+          max(when(col("side") === "view", col("cnt"))).as("ca"),
+          max(when(col("side") === "click", col("sk"))).as("skb"),
+          max(when(col("side") === "click", col("cnt"))).as("cb"),
+          max(when(col("side") === "union", col("sk"))).as("sku"),
+          max(when(col("side") === "union", col("cnt"))).as("cu"))
+        val estU = when(col("cu") < k, col("cu").cast("double"))
+          .otherwise(lit(1108307720798208.0) / element_at(col("sku"), k))
+        val kp = least(lit(k).cast("long"), col("cu"))
+        val j = size(array_intersect(array_intersect(col("sku"), col("ska")),
+          col("skb"))).cast("double")
+        val jhat = j / kp
+        val se = sqrt(jhat * (lit(1.0) - jhat) / kp)
+        val exact = col("ca") + col("cb") - col("cu")
+        val lo = estU * greatest(lit(0.0), jhat - lit(2.0) * se)
+        val hi = estU * (jhat + lit(2.0) * se)
+        one.select(
+          exact.as("n_inter_exact"),
+          round(estU * jhat, 2).as("est_inter"),
+          round(lo, 2).as("inter_lo"),
+          round(hi, 2).as("inter_hi"),
+          when(exact.cast("double") >= lo && exact.cast("double") <= hi, 1L)
+            .otherwise(0L).as("covered_2se"))
+      },
+      Some("""
+        WITH s AS (SELECT DISTINCT event_type AS side,
+                          (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT >> 16) AS hv
+                   FROM events WHERE event_type IN ('view', 'click')),
+        t AS (SELECT * FROM s UNION SELECT 'union' AS side, hv FROM s),
+        r AS (SELECT side, hv,
+                     row_number() OVER (PARTITION BY side ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY side) AS cnt
+              FROM t),
+        sk AS (SELECT side, list(hv ORDER BY hv) AS sk, CAST(max(cnt) AS BIGINT) AS cnt
+               FROM r WHERE rn <= 64 GROUP BY side),
+        w AS (SELECT
+                (SELECT sk FROM sk WHERE side = 'view') AS ska,
+                (SELECT cnt FROM sk WHERE side = 'view') AS ca,
+                (SELECT sk FROM sk WHERE side = 'click') AS skb,
+                (SELECT cnt FROM sk WHERE side = 'click') AS cb,
+                (SELECT sk FROM sk WHERE side = 'union') AS sku,
+                (SELECT cnt FROM sk WHERE side = 'union') AS cu),
+        e AS (SELECT ca, cb, cu,
+                     CASE WHEN cu < 64 THEN CAST(cu AS DOUBLE)
+                          ELSE 1108307720798208.0 / sku[64] END AS est_u,
+                     CAST(len(list_intersect(list_intersect(sku, ska), skb)) AS DOUBLE)
+                       / least(64, cu) AS jhat,
+                     least(64, cu) AS kp
+              FROM w),
+        b AS (SELECT ca + cb - cu AS n_inter_exact, est_u, jhat,
+                     sqrt(jhat * (1.0 - jhat) / kp) AS se
+              FROM e)
+        SELECT n_inter_exact,
+               round(est_u * jhat, 2) AS est_inter,
+               round(est_u * greatest(0.0, jhat - 2.0 * se), 2) AS inter_lo,
+               round(est_u * (jhat + 2.0 * se), 2) AS inter_hi,
+               CAST(CASE WHEN CAST(n_inter_exact AS DOUBLE)
+                              >= est_u * greatest(0.0, jhat - 2.0 * se)
+                          AND CAST(n_inter_exact AS DOUBLE)
+                              <= est_u * (jhat + 2.0 * se)
+                         THEN 1 ELSE 0 END AS BIGINT) AS covered_2se
+        FROM b
+      """)),
+
     // ---- approx sketches (HLL + t-digest-style percentile) --------------
     // The estimates themselves are engine-specific, but their ACCURACY
     // CONTRACT is oracle-able: emit the exact values (SQL on both

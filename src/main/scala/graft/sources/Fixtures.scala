@@ -90,6 +90,35 @@ object Fixtures {
     (liName, ordName)
   }
 
+  /** Multi-file copy of the embeddings fixture for FileStreamSource
+    * micro-batching: `n` range-partitioned parquet files (deterministic
+    * vec_id ranges) so `maxFilesPerTrigger=1` yields n real incremental
+    * batches from a single-file fixture. Same cache discipline as the
+    * partitioned-events copy: keyed on the source file's identity,
+    * built to a temp dir, atomically renamed. */
+  def ensureEmbeddingStreamFiles(spark: SparkSession, dir: String,
+                                 n: Int = 4): String = synchronized {
+    val src = Paths.get(dir, "embeddings.parquet")
+    val key = Integer.toHexString(
+      (dir + "|emb|" + n + "|" + Files.getLastModifiedTime(src).toMillis +
+        "|" + Files.size(src)).hashCode)
+    val path: Path = Paths.get(s"/dev/shm/graft-embstream/$key")
+    if (!Files.exists(path)) {
+      val tmp = Paths.get(path.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      graft.Tables(spark, dir).embeddings
+        .repartitionByRange(n, col("vec_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.createDirectories(path.getParent)
+      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            | _: java.nio.file.AccessDeniedException =>
+          delete(tmp)
+      }
+    }
+    path.toString
+  }
+
   /** Directory children as a materialized list, stream closed. */
   private def listChildren(dir: Path): Seq[Path] = {
     val s = Files.list(dir)

@@ -1010,6 +1010,93 @@ object StreamQueries {
         SELECT event_type, count(DISTINCT event_id) AS n, count(DISTINCT event_id) AS n_ids
         FROM events
         GROUP BY 1 ORDER BY 1
-      """))
+      """)),
+
+    // ---- streaming SemDeDup: incremental semantic dedup (foreachBatch) --
+    // The corpus-ingest shape of semdedup_keep: embeddings arrive in
+    // micro-batches (4 range-partitioned files, one per trigger) and each
+    // batch is compared ONLY against itself + the accumulated store — an
+    // incremental cid-keyed equi-join, never a recompute over history.
+    // Dup evidence (greater-id, lesser-id) pairs append to a pairs log;
+    // the final keep-list is min(dup_of) per vector over that log. The
+    // rule "dropped iff ANY same-cluster smaller-id neighbor >= tau"
+    // is ORDER-INDEPENDENT (every pair is examined exactly when its
+    // later member arrives, whatever the file order — see
+    // StreamingSemDedupSpec's reversed-order assertion), so the result
+    // equals the batch query bit-for-bit and the SAME oracle grades both
+    // (VecQueries.semdedupKeepOracle, shared verbatim). Centroids come
+    // from the session-shared Lloyd build — in production the clustering
+    // model is trained on a prior corpus snapshot and broadcast to the
+    // ingest stream, exactly this dataflow. Scratch is per-sfdir and
+    // wiped per invocation (the foreachbatch_upsert discipline).
+    Reg("streaming_semdedup_keep",
+      (s, dir) => semdedupIncrementalRun(s, dir,
+        graft.sources.Fixtures.ensureEmbeddingStreamFiles(s, dir),
+        Integer.toHexString(dir.hashCode)),
+      Some(graft.vec.VecQueries.semdedupKeepOracle))
   )
+
+  /** Incremental-semdedup core behind `streaming_semdedup_keep`, srcDir
+    * and scratch tag injected so StreamingSemDedupSpec can feed it
+    * hash-INTERLEAVED files (smaller ids arriving in later batches) and
+    * assert the result still equals the batch [[graft.vec.VecOps
+    * .semDedupKeep]] — the order-independence proof for the pair-coverage
+    * argument above. */
+  private[graft] def semdedupIncrementalRun(s: SparkSession, dir: String,
+      srcDir: String, tag: String): DataFrame = {
+    graft.functions.DotF32.register(s)
+    val store = s"/dev/shm/graft-semdedup/store_$tag"
+    val pairsOut = s"/dev/shm/graft-semdedup/pairs_$tag"
+    val ckpt = s"/dev/shm/graft-ckpt/semdedup_$tag"
+    rmrf(new java.io.File(store)); rmrf(new java.io.File(pairsOut))
+    rmrf(new java.io.File(ckpt))
+    val cent = broadcast(graft.vec.VecOps.lloyd2CentroidsShared(
+      graft.Tables(s, dir).embeddings, dir))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = s.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val wAssign = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
+          val assigned = batch.select(col("vec_id"), col("embedding"))
+            .crossJoin(cent)
+            .withColumn("cd", expr("dot_f32(embedding, ce)"))
+            .withColumn("crank", row_number().over(wAssign))
+            .filter(col("crank") === 1)
+            .select(col("vec_id"), col("embedding"), col("cid"))
+          assigned.write.mode("append").parquet(store)
+          val all = sp.read.parquet(store)
+          val pairs = assigned.select(col("cid"), col("vec_id").as("nid"),
+              col("embedding").as("ne"))
+            .join(all.select(col("cid"), col("vec_id").as("oid"),
+              col("embedding").as("oe")), "cid")
+            .filter(col("nid") =!= col("oid"))
+            .withColumn("sim", expr("dot_f32(ne, oe)"))
+            .filter(col("sim") >= 0.45)
+            .select(greatest(col("nid"), col("oid")).as("vec_id"),
+              least(col("nid"), col("oid")).as("dup_cand"))
+          pairs.write.mode("append").parquet(pairsOut)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val st = s.read.parquet(store).select(col("vec_id"), col("cid"))
+    val d = s.read.parquet(pairsOut)
+      .groupBy(col("vec_id")).agg(min(col("dup_cand")).as("dup_of"))
+    st.join(d, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+        col("dup_of"))
+      .orderBy("vec_id")
+  }
 }

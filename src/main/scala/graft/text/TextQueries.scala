@@ -284,6 +284,185 @@ object TextQueries {
         SELECT n_total, n_lang_en, n_quality, n_after_dedup FROM c, d
       """)),
 
+    // ---- per-source curation quotas (quality-ordered cap sampling) ------
+    // The production data-mixing rule: each source gets a quota and
+    // contributes its top-quality documents up to that cap — "N best
+    // examples per domain", the step after stratified sampling when the
+    // mix is quality-aware. Quotas here derive deterministically from the
+    // source name (10/20/30 via the md5 hash, mirrored in the oracle) so
+    // the query needs no side table; in production the quota map is a
+    // broadcast dim. One shuffle on the stratum key; the rank pass caps
+    // per-source state at the quota, so skewed sources can't flood the
+    // output. Quality is the 4-dp hash-exact score of quality_score.
+    Reg("curation_quota_mix",
+      (s, dir) => {
+        val t = TextOps.tokens(col("text"))
+        val stopArr = array(stopwords.map(lit): _*)
+        val scored = Tables(s, dir).documents.select(
+          col("doc_id"), col("source"),
+          round(
+            round(size(array_distinct(t)).cast("double") / size(t), 4) * 0.4 +
+              (lit(1.0) - round(size(array_intersect(array_distinct(t), stopArr)).cast("double")
+                / size(array_distinct(t)), 4)) * 0.6, 4).as("quality"))
+        val quota = (TextOps.hash60(col("source")) % 3) * 10 + 10
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        scored
+          .withColumn("quota", quota)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= col("quota"))
+          .select(col("source"), col("rn"), col("doc_id"), col("quota"),
+            round(col("quality") * 10000).cast("long").as("quality_x1e4"))
+          .orderBy("source", "rn")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws FROM documents),
+        f AS (SELECT doc_id, source,
+                     round(round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) * 0.4 +
+                           (1.0 - round(CAST(len(list_intersect(list_distinct(ws),
+                              ${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) AS DOUBLE)
+                              / len(list_distinct(ws)), 4)) * 0.6, 4) AS quality,
+                     ('0x' || substr(md5(source), 1, 15))::BIGINT % 3 * 10 + 10 AS quota
+              FROM tok),
+        r AS (SELECT source, doc_id, quality, quota,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY quality DESC, doc_id) AS rn
+              FROM f)
+        SELECT source, rn, doc_id, quota,
+               CAST(round(quality * 10000) AS BIGINT) AS quality_x1e4
+        FROM r WHERE rn <= quota
+        ORDER BY source, rn
+      """)),
+
+    // ---- token-budget fill (greedy quality-ordered selection) -----------
+    // The "fill an N-token training budget" op: per source, take documents
+    // in quality order until the cumulative token count reaches the
+    // budget — a document is admitted iff the budget wasn't already
+    // exhausted when it came up (the last one may overflow). Running sum
+    // over integer token counts ⇒ exact on both engines; ties broken by
+    // doc_id so the prefix is fully determined. Scale shape: one window
+    // pass per source partition, no join — the 100 TB corpus version is
+    // identical with the budget per (source, epoch).
+    Reg("token_budget_fill",
+      (s, dir) => {
+        val t = TextOps.tokens(col("text"))
+        val stopArr = array(stopwords.map(lit): _*)
+        val scored = Tables(s, dir).documents.select(
+          col("doc_id"), col("source"), size(t).as("n_tokens"),
+          round(
+            round(size(array_distinct(t)).cast("double") / size(t), 4) * 0.4 +
+              (lit(1.0) - round(size(array_intersect(array_distinct(t), stopArr)).cast("double")
+                / size(array_distinct(t)), 4)) * 0.6, 4).as("quality"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .filter(col("cum") - col("n_tokens") < 1500)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_kept"),
+            sum(col("n_tokens")).as("n_tokens_used"),
+            min(round(col("quality") * 10000).cast("long")).as("cutoff_quality_x1e4"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws FROM documents),
+        f AS (SELECT doc_id, source, len(ws) AS n_tokens,
+                     round(round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) * 0.4 +
+                           (1.0 - round(CAST(len(list_intersect(list_distinct(ws),
+                              ${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) AS DOUBLE)
+                              / len(list_distinct(ws)), 4)) * 0.6, 4) AS quality
+              FROM tok),
+        c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                ORDER BY quality DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM f)
+        SELECT source, count(*) AS n_docs_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens_used,
+               CAST(min(round(quality * 10000)) AS BIGINT) AS cutoff_quality_x1e4
+        FROM c WHERE cum - n_tokens < 1500
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- data-mixing upsampling (integer epoch replication) -------------
+    // Epoch-count mixing, the way production pretraining mixes actually
+    // ship (wiki ×3, web ×1): an INTEGER weight per source, applied by
+    // replicating each document w times with an epoch tag. Replication is
+    // a map-side explode — no shuffle until the audit aggregation — and
+    // integer weights keep the mixed corpus exactly countable (the
+    // audit: n_rows_mixed = n_docs × w, token sums exact BIGINTs), unlike
+    // fractional sampling whose realized mix is only approximate.
+    // Weights derive from the source hash (1–3, oracle-mirrored); in
+    // production they come from a broadcast mixing config.
+    Reg("mixing_upsample_sources",
+      (s, dir) => {
+        val t = TextOps.tokens(col("text"))
+        val wgt = TextOps.hash60(col("source")) % 3 + 1
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("source"), size(t).as("n_tokens"),
+            wgt.as("mix_weight"))
+          .withColumn("epoch", explode(sequence(lit(1L), col("mix_weight"))))
+          .groupBy(col("source"), col("mix_weight"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_rows_mixed"),
+            sum(col("n_tokens")).as("n_tokens_mixed"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source,
+                          len(string_split(trim(text), ' ')) AS n_tokens,
+                          ('0x' || substr(md5(source), 1, 15))::BIGINT % 3 + 1 AS mix_weight
+                   FROM documents),
+        e AS (SELECT * FROM t, range(1, 4) r(i) WHERE r.i <= t.mix_weight)
+        SELECT source, mix_weight,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_rows_mixed,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens_mixed
+        FROM e GROUP BY 1, 2 ORDER BY 1
+      """)),
+
+    // ---- quality-proportional Bernoulli sampling ------------------------
+    // CCNet-style weighted downsampling: each document survives with
+    // probability equal to its quality score, decided by a deterministic
+    // content-independent hash bucket (hash % 10⁴ < quality×10⁴) — the
+    // same reproducibility argument as sample_hash_10pct, but weighted.
+    // A pure filter: no shuffle, no RNG, stable under repartitioning,
+    // identical sample every run and every engine. The per-source audit
+    // grades it: sum_quality_x1e4 / 10⁴ is the expected keep count, and
+    // n_kept is its realization — both exact integers.
+    Reg("sample_weighted_quality",
+      (s, dir) => {
+        val t = TextOps.tokens(col("text"))
+        val stopArr = array(stopwords.map(lit): _*)
+        val scored = Tables(s, dir).documents.select(
+          col("doc_id"), col("source"),
+          round(
+            round(size(array_distinct(t)).cast("double") / size(t), 4) * 0.4 +
+              (lit(1.0) - round(size(array_intersect(array_distinct(t), stopArr)).cast("double")
+                / size(array_distinct(t)), 4)) * 0.6, 4).as("quality"))
+        val kept = TextOps.hash60(col("doc_id").cast("string")) % 10000 <
+          round(col("quality") * 10000)
+        scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(kept, 1)).as("n_kept"),
+            sum(round(col("quality") * 10000).cast("long")).as("sum_quality_x1e4"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws FROM documents),
+        f AS (SELECT doc_id, source,
+                     round(round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) * 0.4 +
+                           (1.0 - round(CAST(len(list_intersect(list_distinct(ws),
+                              ${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) AS DOUBLE)
+                              / len(list_distinct(ws)), 4)) * 0.6, 4) AS quality
+              FROM tok)
+        SELECT source, count(*) AS n_docs,
+               count(*) FILTER (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+                                < round(quality * 10000)) AS n_kept,
+               CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_x1e4
+        FROM f GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- SimHash fingerprints (md5-derived, engine-portable) ------------
     Reg("simhash_fingerprint",
       (s, dir) => TextOps.simhash(Tables(s, dir).documents)

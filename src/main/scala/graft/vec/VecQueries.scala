@@ -66,6 +66,36 @@ object VecQueries {
           FROM a2, range(64) i(i) WHERE crank = 1 GROUP BY cid, i.i),
         c2 AS (SELECT cid, list(mf ORDER BY i) AS ce FROM m2 GROUP BY cid)"""
 
+  /** The semdedup oracle, shared verbatim with the streaming twin
+    * (`streaming_semdedup_keep`): the incremental foreachBatch pipeline
+    * is order-independent by construction, so it grades against the
+    * exact batch SQL. Edits apply to both consumers or neither.
+    * (Defined before `all` — a forward reference from the Reg seq would
+    * read null at object init.) */
+  private[graft] val semdedupKeepOracle: String = s"""
+        WITH $lloyd2Ctes,
+        ranked AS (
+          SELECT a.vec_id, a.embedding, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN c2 b ON true),
+        assigned AS (SELECT vec_id, embedding, cid FROM ranked WHERE crank = 1),
+        p AS (
+          SELECT x.vec_id AS aid, y.vec_id AS bid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) AS sim
+          FROM assigned x JOIN assigned y
+            ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        d AS (SELECT bid AS vec_id, min(aid) AS dup_of
+              FROM p WHERE sim >= 0.45 GROUP BY 1)
+        SELECT a.vec_id, a.cid,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+               d.dup_of
+        FROM assigned a LEFT JOIN d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id
+      """
+
   /** The PQ-ANN oracle pipeline (mirrors [[VecOps.pqTopK]] exactly),
     * parameterized on the source relation so the OPQ variant can prepend
     * rotation CTEs and run the identical pipeline over `emb2`. */
@@ -976,28 +1006,6 @@ object VecQueries {
             tau = 0.45)
           .orderBy("vec_id")
       },
-      Some(s"""
-        WITH $lloyd2Ctes,
-        ranked AS (
-          SELECT a.vec_id, a.embedding, b.cid,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                   list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN c2 b ON true),
-        assigned AS (SELECT vec_id, embedding, cid FROM ranked WHERE crank = 1),
-        p AS (
-          SELECT x.vec_id AS aid, y.vec_id AS bid,
-                 list_sum(list_transform(range(1, 65),
-                   i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) AS sim
-          FROM assigned x JOIN assigned y
-            ON x.cid = y.cid AND x.vec_id < y.vec_id),
-        d AS (SELECT bid AS vec_id, min(aid) AS dup_of
-              FROM p WHERE sim >= 0.45 GROUP BY 1)
-        SELECT a.vec_id, a.cid,
-               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
-               d.dup_of
-        FROM assigned a LEFT JOIN d ON a.vec_id = d.vec_id
-        ORDER BY a.vec_id
-      """))
+      Some(semdedupKeepOracle))
   )
 }

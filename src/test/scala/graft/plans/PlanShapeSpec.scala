@@ -154,7 +154,12 @@ class PlanShapeSpec extends SparkSpec {
     // inside the builder under 4 shuffle partitions — the returned plan
     // is just the output ORDER BY over the checkpointed RDD; re-pin
     // consciously if either materialization moves
-    "compound_index_weekly" -> (1, 0))
+    "compound_index_weekly" -> (1, 0),
+    // round-7b: sliding KMV merge — (day,hv) distinct + per-day rank
+    // window + grid distinct + explode/equi-join + post-join (end,hv)
+    // distinct partial/final + per-end window + output sort; the one
+    // broadcast is the tiny day grid
+    "kmv_sliding_distinct_7d" -> (7, 1))
 
   private def shape(name: String): (Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
@@ -173,4 +178,22 @@ class PlanShapeSpec extends SparkSpec {
         s"$name exchange counts moved: got $got, pinned $want — " +
           "diff the .explain against the pinned note")
     }
+
+  // The sliding-KMV merge expands sketch days to window ends with
+  // explode(sequence) + an equi-join to the day grid — the shape that
+  // scales. The naive formulation (d BETWEEN de-6 AND de) planifies as a
+  // broadcast nested-loop range join, which is quadratic in grid size;
+  // this tripwire keeps it from sneaking back in a refactor.
+  test("kmv_sliding_distinct_7d: sketch merge is equi-join, never BNL") {
+    val df = SparkEntry.queries("kmv_sliding_distinct_7d")(spark, sf("sf0.001"))
+    val plan: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bnl = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.isEmpty,
+      s"sliding-KMV window merge degraded to a nested-loop range join:\n$plan")
+  }
 }
