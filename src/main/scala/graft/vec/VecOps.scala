@@ -113,11 +113,14 @@ object VecOps {
     emb.withColumn("embedding", expr("array(" + terms.mkString(",") + ")"))
   }
 
-  /** Hyperplane j as a constant ARRAY<FLOAT> SQL literal (constant-folded
-    * once by Catalyst); the projection is then one codegen dot_f32. */
-  private def planeVecSql(j: Int): String =
-    "CAST(array(" + (0 until 64).map(i =>
+  /** Hyperplane j restricted to the first `n` dims, as a constant
+    * ARRAY<FLOAT> SQL literal (constant-folded once by Catalyst); the
+    * projection is then one codegen dot_f32. */
+  private def planeVecSqlN(j: Int, n: Int): String =
+    "CAST(array(" + (0 until n).map(i =>
       if (planeSign(j, i) > 0) "1.0" else "-1.0").mkString(",") + ") AS ARRAY<FLOAT>)"
+
+  private def planeVecSql(j: Int): String = planeVecSqlN(j, 64)
 
   /** Bucket id of hash table `table`: `planes` sign bits, bit p from
     * global plane index table·planes+p. Fully codegen — a chain of
@@ -215,6 +218,46 @@ object VecOps {
       .withColumn("score", expr("dot_f32(qe, ne)"))
       .select("qid", "nid", "score")
     topK(scores, k)
+  }
+
+  /** Matryoshka (truncated-dimension) two-stage ANN: candidate generation
+    * and shortlist ranking use only the first `mDims` dims (Kusupati et
+    * al., "Matryoshka Representation Learning", 2022 — MRL-trained
+    * embeddings keep most of their signal in the prefix), then the
+    * shortlist is re-ranked with the FULL vector. The dimension axis of
+    * the compression ladder, orthogonal to the quantization rungs
+    * (int8/PQ/binary): stage 1 reads mDims/64 of the vector bytes; only
+    * `shortlist` candidates per query ever touch full vectors. Buckets
+    * come from `planes` hyperplanes over the truncated prefix (same
+    * md5-derived ±1 constants as [[lshBucket]], plane j dims 0..mDims-1),
+    * so candidate generation stays a bucket-keyed equi-join — at 100 TB
+    * the full-vector column never shuffles; only (bucket, prefix) pairs
+    * do, an mDims/64 shuffle-volume cut on the heavy stage. */
+  def matryoshkaTopK(emb: DataFrame, planes: Int, mDims: Int,
+                     shortlist: Int, k: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val bucketExpr = "CAST(" + (0 until planes).map { p =>
+      s"CASE WHEN dot_f32(head, ${planeVecSqlN(p, mDims)}) > CAST(0.0 AS DOUBLE) THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ") + " AS BIGINT)"
+    val b = emb
+      .withColumn("head", expr(s"slice(embedding, 1, $mDims)"))
+      .withColumn("bucket", expr(bucketExpr))
+    val q = b.select(col("vec_id").as("qid"), col("head").as("qh"),
+      col("embedding").as("qe"), col("bucket"))
+    val n = b.select(col("vec_id").as("nid"), col("head").as("nh"),
+      col("embedding").as("ne"), col("bucket"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d16").desc, col("nid"))
+    val wFull = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    q.join(n, "bucket").filter(col("qid") =!= col("nid"))
+      .withColumn("d16", expr("dot_f32(qh, nh)"))
+      .withColumn("r16", row_number().over(wShort))
+      .filter(col("r16") <= shortlist)
+      .withColumn("score", expr("dot_f32(qe, ne)"))
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("score"))
   }
 
   /** Multi-probe LSH ANN: each query probes its own bucket PLUS every
