@@ -1638,6 +1638,102 @@ object RelQueries {
                count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null_k
         FROM events
         GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- column profiling: per-column stats in ONE scan (round-8) -------
+    // The warehouse data-quality primitive: null count, exact distinct
+    // count, min/max and a rounded sum for every numeric lineitem column,
+    // computed as a single 40-expression aggregate over one pass (never
+    // one scan per column — at 100 TB the scan IS the cost), then melted
+    // to a row per column with stack(). min/max are raw doubles (bit-exact
+    // cross-engine); the sum is the only rounded float, per the
+    // determinism contract. countDistinct is Catalyst's exact two-phase
+    // distinct rewrite — one extra shuffle keyed by (column is folded
+    // into the expression id), no sketch error.
+    Reg("profile_columns",
+      (s, dir) => {
+        val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = numCols.flatMap { c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("double").as(s"${c}__mn"),
+          max(col(c)).cast("double").as(s"${c}__mx"),
+          round(sum(col(c).cast("double")), 2).as(s"${c}__sm")) }
+        val stackArgs = numCols.map { c =>
+          s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx, ${c}__sm" }.mkString(", ")
+        Tables(s, dir).lineitem
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${numCols.length}, $stackArgs) " +
+            "AS (col_name, n_null, n_distinct, min_v, max_v, sum_r)"))
+          .orderBy("col_name")
+      },
+      Some(Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name,
+               CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               count(DISTINCT $c) AS n_distinct,
+               CAST(min($c) AS DOUBLE) AS min_v,
+               CAST(max($c) AS DOUBLE) AS max_v,
+               round(sum(CAST($c AS DOUBLE)), 2) AS sum_r
+        FROM lineitem"""
+      }.mkString("", " UNION ALL ", " ORDER BY col_name"))),
+
+    // ---- PageRank, 3 unrolled iterations (round-8) ----------------------
+    // Graph centrality over the high-volume trade graph: undirected
+    // customer↔supplier edges from lineitem⋈orders with l_quantity ≥ 45
+    // (the volume filter bounds the edge set; the plan shape — distinct
+    // edge build, degree agg, per-iteration contribution join + hash agg —
+    // is the full-graph shape). Scores are BIGINT millionths with integer
+    // contribution division: sums of integers are order-independent, so
+    // the result is hash-exact cross-engine with NO rounding tolerance —
+    // the connectedComponents determinism discipline applied to PageRank.
+    // Every node has degree ≥ 1 by construction (edges define the node
+    // set), so there is no dangling-mass term. At 100× the edges shuffle
+    // on src once per iteration and the degree/score sides co-partition —
+    // the standard distributed PageRank join plan.
+    Reg("pagerank_3iter",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val li = t.lineitem.filter(col("l_quantity") >= 45)
+        val ord = t.orders
+        val e0 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        var score = deg.select(col("src").as("node"), lit(1000000L).as("score"))
+        for (_ <- 1 to 3) {
+          score = edges.join(deg, "src")
+            .join(score, edges("src") === score("node"))
+            .select(col("dst"), expr("score div outdeg").as("c"))
+            .groupBy(col("dst"))
+            .agg(expr("CAST(150000 + (850 * sum(c)) div 1000 AS BIGINT)").as("score"))
+            .select(col("dst").as("node"), col("score"))
+        }
+        score.orderBy("node")
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE l_quantity >= 45),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM d),
+        i1 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum(s.score // d.outdeg)) // 1000 AS BIGINT) AS score
+               FROM e JOIN d ON e.src = d.src JOIN s0 s ON e.src = s.node
+               GROUP BY e.dst),
+        i2 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum(s.score // d.outdeg)) // 1000 AS BIGINT) AS score
+               FROM e JOIN d ON e.src = d.src JOIN i1 s ON e.src = s.node
+               GROUP BY e.dst),
+        i3 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum(s.score // d.outdeg)) // 1000 AS BIGINT) AS score
+               FROM e JOIN d ON e.src = d.src JOIN i2 s ON e.src = s.node
+               GROUP BY e.dst)
+        SELECT node, score FROM i3 ORDER BY node
       """))
   )
 }

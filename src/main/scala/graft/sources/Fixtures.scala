@@ -15,13 +15,21 @@ import org.apache.spark.sql.functions.col
   * renamed, so a concurrent reader never sees a half-written dataset. */
 object Fixtures {
 
+  /** Full md5 of a fixture-identity string, not String.hashCode: a
+    * 32-bit collision between two sf dirs in one session would silently
+    * serve a layout from the wrong scale factor (ADVICE r7). Every
+    * persistent scratch key below goes through this. */
+  private[graft] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Idempotent; cheap when the layout already exists. Returns the
     * partitioned dataset path. Call from fixture-prep (e.g. Bench
     * warmup) so the one-off write never lands inside a timed body. */
   def ensurePartitionedEvents(spark: SparkSession, dir: String): String = synchronized {
     val src = Paths.get(dir, "events.parquet")
-    val key = Integer.toHexString(
-      (dir + "|" + Files.getLastModifiedTime(src).toMillis + "|" + Files.size(src)).hashCode)
+    val key = md5Hex(
+      dir + "|" + Files.getLastModifiedTime(src).toMillis + "|" + Files.size(src))
     val path: Path = Paths.get(s"/dev/shm/graft-part/$key/events")
     if (!Files.exists(path)) {
       val tmp = Paths.get(path.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -54,11 +62,7 @@ object Fixtures {
       val p = Paths.get(dir, s"$t.parquet")
       Files.getLastModifiedTime(p).toMillis + "|" + Files.size(p)
     }.mkString(dir + "|", "|", "")
-    // Full md5 of the fixture identity, not String.hashCode: a 32-bit
-    // collision between two sf dirs in one session would silently serve
-    // buckets from the wrong scale factor.
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hex = md5Hex(key)
     val (liName, ordName) = (s"li_bkt_$hex", s"ord_bkt_$hex")
     val t = graft.Tables(spark, dir)
     // Gate on BOTH tables: a failure between the two saveAsTable calls
@@ -99,9 +103,9 @@ object Fixtures {
   def ensureEmbeddingStreamFiles(spark: SparkSession, dir: String,
                                  n: Int = 4): String = synchronized {
     val src = Paths.get(dir, "embeddings.parquet")
-    val key = Integer.toHexString(
-      (dir + "|emb|" + n + "|" + Files.getLastModifiedTime(src).toMillis +
-        "|" + Files.size(src)).hashCode)
+    val key = md5Hex(
+      dir + "|emb|" + n + "|" + Files.getLastModifiedTime(src).toMillis +
+        "|" + Files.size(src))
     val path: Path = Paths.get(s"/dev/shm/graft-embstream/$key")
     if (!Files.exists(path)) {
       val tmp = Paths.get(path.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))

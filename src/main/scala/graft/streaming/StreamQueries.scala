@@ -23,10 +23,12 @@ object StreamQueries {
 
   private val sinkId = new AtomicInteger(0)
 
-  /** events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark
-    * reads as long with the legacy conf (see Tables.withNanosTs). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events.parquet physical schema, parameterized on the fixture
+    * generation's ts type (see Tables.withNanosTs): TIMESTAMP(NANOS)
+    * fixtures read ts as long under the legacy conf; round-8 fixtures
+    * store timestamp[us] → TIMESTAMP_NTZ. */
+  private def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -37,16 +39,25 @@ object StreamQueries {
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val linkDir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+      s"graft_stream_${graft.sources.Fixtures.md5Hex(dir)}")
     Files.createDirectories(linkDir)
     val link = linkDir.resolve("events.parquet")
     if (!Files.exists(link))
       Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // probe the fixture generation's physical ts type via a batch read
+    // (footer-only; see Tables.withNanosTs for the two generations)
+    val tsType = spark.read.parquet(linkDir.toString).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsRawSchema(tsType))
       .parquet(linkDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run a streaming query to a memory sink and return the final table.
@@ -766,7 +777,7 @@ object StreamQueries {
         val fmt = "yyyy-MM-dd HH:mm:ss"
         // fixed per-sfdir scratch, wiped per invocation (checkpoint too —
         // the file sink's manifest only matches a checkpoint it wrote)
-        val key = Integer.toHexString(dir.hashCode)
+        val key = graft.sources.Fixtures.md5Hex(dir)
         val out = s"/dev/shm/graft-sink/candles_$key"
         val ckpt = s"/dev/shm/graft-ckpt/sink_$key"
         rmrf(new java.io.File(out)); rmrf(new java.io.File(ckpt))
@@ -863,7 +874,7 @@ object StreamQueries {
     Reg("streaming_foreachbatch_upsert",
       (s, dir) => {
         val fmt = "yyyy-MM-dd HH:mm:ss"
-        val key = Integer.toHexString(dir.hashCode)
+        val key = graft.sources.Fixtures.md5Hex(dir)
         val out = s"/dev/shm/graft-upsert/candles_$key"
         val ckpt = s"/dev/shm/graft-ckpt/upsert_$key"
         rmrf(new java.io.File(out)); rmrf(new java.io.File(ckpt))
@@ -1032,7 +1043,7 @@ object StreamQueries {
     Reg("streaming_semdedup_keep",
       (s, dir) => semdedupIncrementalRun(s, dir,
         graft.sources.Fixtures.ensureEmbeddingStreamFiles(s, dir),
-        Integer.toHexString(dir.hashCode)),
+        graft.sources.Fixtures.md5Hex(dir)),
       Some(graft.vec.VecQueries.semdedupKeepOracle))
   )
 

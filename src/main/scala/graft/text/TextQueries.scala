@@ -788,7 +788,7 @@ object TextQueries {
       (s, dir) => {
         // per-sfdir path, SaveMode.Overwrite: bounded scratch across reps
         // (a UUID per call would leak a copy per bench rep)
-        val out = s"/dev/shm/graft-jsonl/docs_${Integer.toHexString(dir.hashCode)}"
+        val out = s"/dev/shm/graft-jsonl/docs_${graft.sources.Fixtures.md5Hex(dir)}"
         graft.sources.Sinks.writeJsonl(
           Tables(s, dir).documents.select("doc_id", "text", "lang", "source", "n_chars"), out)
         s.read
@@ -1290,6 +1290,93 @@ object TextQueries {
                round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
                  AS intercept
         FROM sums
+      """)),
+
+    // ---- count-min sketch: heavy hitters from a 4×64 sketch (round-8) ---
+    // The CMS rung of the sketch family (HLL/KMV/bloom so far): d=4
+    // md5-derived hash rows × w=64 counters. est(tok) = min over rows of
+    // the counter its hash lands in — ≥ the true count by construction
+    // (collisions only ADD). The graded output carries est, exact count
+    // and the overcount so the one-sided error contract is hash-checked,
+    // not asserted. At 100 TB the sketch is 256 integers built with one
+    // map-side-combinable agg over (row, bucket) — no distinct-token
+    // shuffle needed to answer "est(x) ≥ threshold"; the exact column here
+    // is metrology, same pattern as the ann_recall_* anchors. Hash-exact:
+    // integer counters, md5-only hashing mirrored verbatim in the oracle.
+    Reg("cms_heavy_hitters",
+      (s, dir) => {
+        val tok = Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        def bucket(tokCol: org.apache.spark.sql.Column, rCol: org.apache.spark.sql.Column) =
+          TextOps.hash60(concat(lit("cm"), rCol, lit("_"), tokCol)) % 64
+        val cells = tok
+          .select(col("tok"), explode(expr("array(0, 1, 2, 3)")).as("r"))
+          .withColumn("bucket", bucket(col("tok"), col("r")))
+          .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell"))
+        val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        exact
+          .select(col("tok"), col("cnt"), explode(expr("array(0, 1, 2, 3)")).as("r"))
+          .withColumn("bucket", bucket(col("tok"), col("r")))
+          .join(cells, Seq("r", "bucket"))
+          .groupBy(col("tok"), col("cnt")).agg(min(col("cell")).as("est"))
+          .select(col("tok"), col("cnt"), col("est"),
+            (col("est") - col("cnt")).as("overcount"))
+          .orderBy("tok")
+      },
+      Some("""
+        WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+                     FROM documents),
+        rows_ AS (SELECT tok, r.r,
+                         ('0x' || substr(md5('cm' || r.r || '_' || tok), 1, 15))::BIGINT % 64 AS bucket
+                  FROM tok, range(4) r(r)),
+        cells AS (SELECT r, bucket, count(*) AS cell FROM rows_ GROUP BY 1, 2),
+        exact AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        est AS (SELECT e.tok, e.cnt, min(c.cell) AS est
+                FROM exact e
+                JOIN range(4) r(r) ON true
+                JOIN cells c ON c.r = r.r
+                 AND c.bucket = ('0x' || substr(md5('cm' || r.r || '_' || e.tok), 1, 15))::BIGINT % 64
+                GROUP BY 1, 2)
+        SELECT tok, cnt, est, est - cnt AS overcount
+        FROM est ORDER BY tok
+      """)),
+
+    // ---- edit-distance-1 near-dup join via deletion neighborhoods -------
+    // The SymSpell banding (round-8): two strings are within Levenshtein
+    // distance 1 iff their deletion neighborhoods ({s} ∪ every
+    // one-char-deleted variant) intersect — so candidate generation is an
+    // equi-join keyed on the variant string, O(len) keys per token,
+    // NEVER all-pairs; the exact levenshtein ≤ 1 post-filter runs only on
+    // bucket collisions. The oracle is the brute-force formulation over
+    // the same distinct tokens — identical result set, which is exactly
+    // the banding-correctness contract (the neardup_minhash_lsh pattern).
+    // Token domain: part-name words with their part counts (typo-style
+    // neighbors exist in the fixture: cold/old, red/rod).
+    Reg("editdist1_pairs",
+      (s, dir) => {
+        val toks = Tables(s, dir).part
+          .select(explode(split(col("p_name"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val vars = toks.select(col("tok"), col("cnt"), explode(expr(
+          """array_union(array(tok),
+             transform(sequence(1, length(tok)),
+               i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1, length(tok)))))"""))
+          .as("v"))
+        vars.as("a").join(vars.as("b"), Seq("v"))
+          .filter(col("a.tok") < col("b.tok"))
+          .select(col("a.tok").as("tok_a"), col("a.cnt").as("cnt_a"),
+            col("b.tok").as("tok_b"), col("b.cnt").as("cnt_b"))
+          .distinct()
+          .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
+          .orderBy("tok_a", "tok_b")
+      },
+      Some("""
+        WITH t AS (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part),
+        c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
+        SELECT a.tok AS tok_a, a.cnt AS cnt_a, b.tok AS tok_b, b.cnt AS cnt_b
+        FROM c a, c b
+        WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+        ORDER BY tok_a, tok_b
       """))
   )
 }

@@ -88,9 +88,9 @@ object TsQueries {
             round(col("volume"), 4).as("volume"),
             col("trades"))
         val src = java.nio.file.Paths.get(dir, "events.parquet")
-        val key = Integer.toHexString((dir + "|csv|" +
+        val key = graft.sources.Fixtures.md5Hex(dir + "|csv|" +
           java.nio.file.Files.getLastModifiedTime(src).toMillis + "|" +
-          java.nio.file.Files.size(src)).hashCode)
+          java.nio.file.Files.size(src))
         val out = java.nio.file.Paths.get(s"/dev/shm/graft-csv/$key")
         graft.sources.Fixtures.delete(out)
         graft.sources.Sinks.writeCsv(candles, out.toString)
@@ -131,9 +131,9 @@ object TsQueries {
             round(col("volume"), 4).as("volume"),
             col("trades"))
         val src = java.nio.file.Paths.get(dir, "events.parquet")
-        val key = Integer.toHexString((dir + "|orc|" +
+        val key = graft.sources.Fixtures.md5Hex(dir + "|orc|" +
           java.nio.file.Files.getLastModifiedTime(src).toMillis + "|" +
-          java.nio.file.Files.size(src)).hashCode)
+          java.nio.file.Files.size(src))
         val out = java.nio.file.Paths.get(s"/dev/shm/graft-orc/$key")
         graft.sources.Fixtures.delete(out)
         graft.sources.Sinks.writeOrc(candles, out.toString)
@@ -625,9 +625,9 @@ object TsQueries {
       (s, dir) => {
         val ev = Tables(s, dir).events
         val src = java.nio.file.Paths.get(dir, "events.parquet")
-        val key = Integer.toHexString((dir + "|" +
+        val key = graft.sources.Fixtures.md5Hex(dir + "|" +
           java.nio.file.Files.getLastModifiedTime(src).toMillis + "|" +
-          java.nio.file.Files.size(src)).hashCode)
+          java.nio.file.Files.size(src))
         val store = java.nio.file.Paths.get(s"/dev/shm/graft-incr/$key")
         graft.sources.Fixtures.delete(store)
         // split 3 days before the end: the first build's high-water mark
@@ -1883,6 +1883,80 @@ object TsQueries {
          AND a.event_type < b.event_type
         GROUP BY 1, 2
         ORDER BY 1, 2
+      """)),
+
+    // ---- TWAP: time-weighted average price per type per day (round-8) ---
+    // vwap_daily's duration-weighted twin: each observation is weighted by
+    // the µs interval until the NEXT observation of the same series that
+    // day (the last one carries no interval and is excluded — the standard
+    // right-open TWAP). Integer arithmetic end to end: cents × µs sums
+    // and one BIGINT division, hash-exact cross-engine (value ≥ 0 in the
+    // fixture, so trunc-vs-floor division semantics never diverge; at
+    // sf ≥ 10 the cents·µs products approach int64 range — move to
+    // DECIMAL(38) there). One window + one hash agg, both keyed by
+    // (event_type, day): partition-local at any scale.
+    Reg("twap_daily",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, dir).events
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .withColumn("dur_us",
+            unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+          .filter(col("dur_us").isNotNull)
+          .groupBy(col("event_type"), col("day"))
+          .agg(expr("sum(vc * dur_us) div sum(dur_us)").as("twap_cents"),
+            count(lit(1)).as("n_seg"))
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts, event_id,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                   FROM events),
+        d AS (SELECT event_type, day, vc,
+                     epoch_us(lead(ts) OVER (PARTITION BY event_type, day
+                                             ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+              FROM e)
+        SELECT event_type, day,
+               CAST(sum(vc * dur_us) // sum(dur_us) AS BIGINT) AS twap_cents,
+               count(*) AS n_seg
+        FROM d WHERE dur_us IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
+    // ---- CEP: regex pattern matching over per-user event sequences ------
+    // MATCH_RECOGNIZE-lite (round-8): materialize each user's event-type
+    // sequence as a code string in strict (ts, event_id) order, then count
+    // non-overlapping 'v[ce]*p' runs — "view, any clicks/errors, then
+    // purchase", the funnel-with-noise pattern funnel_ordered_steps can't
+    // express. collect_list + array_sort keeps the sort PER GROUP (no
+    // global sort); the string is bounded by a user's event count. Java
+    // regex and RE2 agree on greedy non-overlapping scans of this
+    // alternation-free pattern, and first letters of the five fixture
+    // event types are distinct (c/e/p/s/v), so codes are unambiguous.
+    Reg("event_seq_regex",
+      (s, dir) => Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("substring(event_type, 1, 1)").as("code"))
+        .groupBy(col("user_id"))
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(ts, event_id, code))), x -> x.code), '')")
+          .as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("long").as("n_events"),
+          expr("CAST(regexp_count(seq, 'v[ce]*p') AS BIGINT)").as("n_conv"),
+          col("seq"))
+        .orderBy("user_id"),
+      Some("""
+        WITH s AS (SELECT user_id,
+                          string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+                   FROM events GROUP BY 1)
+        SELECT user_id, length(seq) AS n_events,
+               CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_conv,
+               seq
+        FROM s ORDER BY user_id
       """))
   )
 }

@@ -1006,6 +1006,52 @@ object VecQueries {
             tau = 0.45)
           .orderBy("vec_id")
       },
-      Some(semdedupKeepOracle))
+      Some(semdedupKeepOracle)),
+
+    // ---- Matryoshka (truncated-dimension) two-stage ANN (round-8) -------
+    // The DIMENSION axis of the compression ladder (ADVICE r7 asked this
+    // helper be graded or dropped): buckets and shortlist ranking read
+    // only the first 16 dims (4 hyperplanes restricted to the prefix),
+    // the 8-candidate shortlist is re-ranked with the full 64-dim dot.
+    // The oracle mirrors every stage — prefix hyperplanes, prefix-dot
+    // shortlist rank, full-dot final rank — so the hash-match is
+    // independent of Matryoshka recall, like every bucketed ANN query.
+    Reg("matryoshka_topk",
+      (s, dir) => VecOps.matryoshkaTopK(Tables(s, dir).embeddings,
+          planes = 4, mDims = 16, shortlist = 8, k = 3)
+        .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank"),
+      Some("""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(16) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        cand AS (SELECT a.vec_id AS qid, a.embedding AS qe,
+                        b.vec_id AS nid, b.embedding AS ne,
+                        list_sum(list_transform(range(1, 17),
+                          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS d16
+                 FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        short AS (SELECT qid, nid, qe, ne,
+                         row_number() OVER (PARTITION BY qid ORDER BY d16 DESC, nid) AS r16
+                  FROM cand),
+        scored AS (SELECT qid, nid,
+                          list_sum(list_transform(range(1, 65),
+                            i -> qe[i]::DOUBLE * ne[i]::DOUBLE)) AS d
+                   FROM short WHERE r16 <= 8),
+        r AS (SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM scored)
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """))
   )
 }

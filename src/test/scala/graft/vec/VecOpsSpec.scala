@@ -39,6 +39,31 @@ class VecOpsSpec extends SparkSpec {
     assert(hits * 2 >= annPairs.length, s"hits=$hits of ${annPairs.length}")
   }
 
+  test("matryoshka two-stage: k rows max per query, scores descending, full-dot ranked") {
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    val top = VecOps.matryoshkaTopK(emb, planes = 4, mDims = 16, shortlist = 8, k = 3)
+    val rows = top.select($"qid", $"rank", $"nid", $"score")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.length <= 3, s"qid=$qid returned ${rs.length} rows")
+      val byRank = rs.sortBy(_._2)
+      val scores = byRank.map(_._4)
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b },
+        s"qid=$qid scores not descending")
+    }
+    // the final score must be the FULL 64-dim dot (re-rank stage), not the
+    // truncated prefix dot: recompute one returned pair's dot exactly
+    val (qid, _, nid, score) = rows.head
+    val full = emb.filter($"vec_id" === qid).crossJoin(
+        emb.filter($"vec_id" === nid).select($"embedding".as("ne")))
+      .select(VecOps.dot($"embedding", $"ne").as("d")).as[Double].head()
+    assert(math.abs(full - score) < 1e-4, s"score $score != full dot $full")
+    // and the plan stays a bucket-keyed equi-join
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("bucketed pair plans contain no cartesian or nested-loop join") {
     val emb = graft.Tables(spark, sf("sf0.001")).embeddings
     for (directed <- Seq(false, true)) {
