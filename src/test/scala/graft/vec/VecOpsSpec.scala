@@ -12,6 +12,22 @@ class VecOpsSpec extends SparkSpec {
     assert(d == 32.0)
   }
 
+  test("dot_i64: codegen integer dot matches the HOF form incl. null semantics") {
+    graft.functions.DotI64.register(spark)
+    val df = Seq(
+      (Array(1, 2, 3), Array(4, 5, 6)),          // 32
+      (Array(-127, 127), Array(127, 127)),       // 0
+      (Array(1, 2), Array(1, 2, 3))              // length mismatch -> null
+    ).toDF("a", "b")
+    val out = df.select(
+      expr("dot_i64(a, b)").as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), (s, x) -> s + x)").as("hof"))
+      .collect()
+    out.foreach { r => assert(r.isNullAt(0) == r.isNullAt(1) &&
+      (r.isNullAt(0) || r.getLong(0) == r.getLong(1)), s"mismatch: $r") }
+    assert(out(0).getLong(0) == 32L && out(1).getLong(0) == 0L && out(2).isNullAt(0))
+  }
+
   test("brute-force top-k: ranks by score desc, ties by nid") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
