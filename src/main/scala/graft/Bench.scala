@@ -21,6 +21,13 @@ object Bench {
       // tmpfs scratch: shuffle/broadcast spill to the block-device /tmp
       // showed multi-second I/O stalls on this host; fixtures are tiny
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // single-JVM + tmpfs scratch: shuffle/broadcast bytes never cross a
+      // network or touch a disk, so lz4 on them is pure CPU overhead at
+      // this deployment shape (a multi-node cluster would keep the
+      // defaults — compression trades CPU for network there)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.broadcast.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (FS client, codegen compiler, shuffle infra) so the

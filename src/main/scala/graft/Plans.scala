@@ -73,7 +73,15 @@ object Plans {
       "unpivot_candle_measures",
       // round-7: embedding-level semantic dedup over the shared Lloyd
       // centroids
-      "semdedup_keep")
+      "semdedup_keep",
+      // round-7b: sliding KMV, intersection bounds, curation/mixing
+      "kmv_sliding_distinct_7d", "kmv_intersection_bounds",
+      "curation_quota_mix", "token_budget_fill",
+      // round-8: matryoshka two-stage ANN, CMS, SymSpell banding, CEP
+      // sequence regex, TWAP, single-scan profiling, integer PageRank
+      "matryoshka_topk", "cms_heavy_hitters", "editdist1_pairs",
+      "event_seq_regex", "twap_daily", "profile_columns",
+      "pagerank_3iter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

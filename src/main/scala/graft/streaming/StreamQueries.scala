@@ -23,6 +23,11 @@ object StreamQueries {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** Physical ts type per stream link dir (fixture identity is already in
+    * the dir name via md5). */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
+
   /** events.parquet physical schema, parameterized on the fixture
     * generation's ts type (see Tables.withNanosTs): TIMESTAMP(NANOS)
     * fixtures read ts as long under the legacy conf; round-8 fixtures
@@ -47,8 +52,11 @@ object StreamQueries {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // probe the fixture generation's physical ts type via a batch read
-    // (footer-only; see Tables.withNanosTs for the two generations)
-    val tsType = spark.read.parquet(linkDir.toString).schema("ts").dataType
+    // (footer-only; see Tables.withNanosTs for the two generations),
+    // cached per link dir — every drain rep re-enters here and the
+    // listing+footer probe is ~50 ms × 2 sources × reps otherwise
+    val tsType = tsTypeCache.computeIfAbsent(linkDir.toString,
+      d => spark.read.parquet(d).schema("ts").dataType)
     val raw = spark.readStream
       .schema(eventsRawSchema(tsType))
       .parquet(linkDir.toString)

@@ -1309,11 +1309,17 @@ object TextQueries {
           .select(explode(TextOps.tokens(col("text"))).as("tok"))
         def bucket(tokCol: org.apache.spark.sql.Column, rCol: org.apache.spark.sql.Column) =
           TextOps.hash60(concat(lit("cm"), rCol, lit("_"), tokCol)) % 64
-        val cells = tok
-          .select(col("tok"), explode(expr("array(0, 1, 2, 3)")).as("r"))
-          .withColumn("bucket", bucket(col("tok"), col("r")))
-          .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell"))
+        // one explode pass; cells derive from the (tok, cnt) partials —
+        // identical to hashing every occurrence (a CMS cell is the SUM of
+        // the counts that land in it), without re-exploding the corpus ×4.
+        // localCheckpoint: exact feeds both the sketch build and the
+        // estimate join; without it the token explode replays twice.
         val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val cells = exact
+          .select(col("tok"), col("cnt"), explode(expr("array(0, 1, 2, 3)")).as("r"))
+          .withColumn("bucket", bucket(col("tok"), col("r")))
+          .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cell"))
         exact
           .select(col("tok"), col("cnt"), explode(expr("array(0, 1, 2, 3)")).as("r"))
           .withColumn("bucket", bucket(col("tok"), col("r")))
