@@ -48,7 +48,9 @@ object DrainFloor {
 
     for ((label, parts, stateful) <- Seq(
         ("stateless passthrough, 4 partitions", 4, false),
-        ("stateful windowed agg, 4 partitions (graded setting)", 4, true),
+        ("stateful windowed agg, 1 partition (join setting)", 1, true),
+        ("stateful windowed agg, 2 partitions (graded default)", 2, true),
+        ("stateful windowed agg, 4 partitions (session family)", 4, true),
         ("stateful windowed agg, 32 partitions", 32, true))) {
       val runs = (1 to 4).map(_ => drainOnce(parts, stateful)).sorted
       println(f"[floor] $label%-52s median ${runs(runs.length / 2)}%5.2f s")
