@@ -81,7 +81,8 @@ object Plans {
       // sequence regex, TWAP, single-scan profiling, integer PageRank
       "matryoshka_topk", "cms_heavy_hitters", "editdist1_pairs",
       "event_seq_regex", "twap_daily", "profile_columns",
-      "pagerank_3iter")
+      "pagerank_3iter", "pagerank_personalized", "profile_histogram",
+      "event_seq_error_runs")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

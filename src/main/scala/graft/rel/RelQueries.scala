@@ -23,6 +23,31 @@ object RelQueries {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Undirected high-volume trade graph (cust↔supp edges from
+    * lineitem⋈orders with l_quantity ≥ 45) + out-degrees, both
+    * localCheckpointed: they are loop-invariant across PageRank
+    * iterations, and lazy evaluation would otherwise replay the edge
+    * build inside every iteration's plan (~7 scans for 3 iterations) —
+    * the connectedComponents/compound_index iterative discipline.
+    * Shared by `pagerank_3iter` and `pagerank_personalized` (each
+    * invocation derives its own copy; the relations are per-query
+    * scratch, not session state). */
+  private def tradeGraph(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val t = Tables(s, dir)
+    val li = t.lineitem.filter(col("l_quantity") >= 45)
+    val ord = t.orders
+    val e0 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    (edges, deg)
+  }
+
   val all: Seq[Reg] = Seq(
 
     // ---- hash aggregate, multiple measures (TPC-H Q1 shape) -------------
@@ -1699,22 +1724,7 @@ object RelQueries {
     // the standard distributed PageRank join plan.
     Reg("pagerank_3iter",
       (s, dir) => {
-        val t = Tables(s, dir)
-        val li = t.lineitem.filter(col("l_quantity") >= 45)
-        val ord = t.orders
-        val e0 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-          .distinct()
-        // checkpoint the loop-invariant edge/degree relations once and
-        // each iteration's (small) score vector: without this, lazy
-        // evaluation replays the lineitem⋈orders edge build inside every
-        // iteration's plan (~7 scans for 3 iterations) — the
-        // connectedComponents/compound_index iterative discipline.
-        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint()
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-          .localCheckpoint()
+        val (edges, deg) = tradeGraph(s, dir)
         var score = deg.select(col("src").as("node"), lit(1000000L).as("score"))
         for (_ <- 1 to 3) {
           score = edges.join(deg, "src")
@@ -1746,6 +1756,93 @@ object RelQueries {
                FROM e JOIN d ON e.src = d.src JOIN i2 s ON e.src = s.node
                GROUP BY e.dst)
         SELECT node, score FROM i3 ORDER BY node
+      """)),
+
+    // ---- personalized PageRank: teleport mass on customers only ---------
+    // The recommendation-engine variant of pagerank_3iter: the (1−d)
+    // restart term goes ONLY to customer nodes ((1−0.85)·10⁶ = 150000
+    // millionths for 'c…', 0 for 's…'), so supplier scores measure pure
+    // proximity to the customer set. Same integer discipline, same
+    // checkpointed trade graph, same 3 unrolled iterations — and the
+    // supplier ranking DIFFERS from the uniform-teleport one, which is
+    // the point of personalization.
+    Reg("pagerank_personalized",
+      (s, dir) => {
+        val (edges, deg) = tradeGraph(s, dir)
+        def teleport(node: org.apache.spark.sql.Column) =
+          when(node.startsWith("c"), lit(150000L)).otherwise(lit(0L))
+        // init: customers 10⁶, suppliers 0 — the personalized prior
+        var score = deg.select(col("src").as("node"),
+          when(col("src").startsWith("c"), lit(1000000L)).otherwise(lit(0L)).as("score"))
+        for (_ <- 1 to 3) {
+          score = edges.join(deg, "src")
+            .join(score, edges("src") === score("node"))
+            .select(col("dst"), expr("score div outdeg").as("c"))
+            .groupBy(col("dst"))
+            .agg(sum(col("c")).as("in_mass"))
+            .select(col("dst").as("node"),
+              (teleport(col("dst")) + expr("(850 * in_mass) div 1000")).cast("long").as("score"))
+        }
+        score.orderBy("node")
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE l_quantity >= 45),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        s0 AS (SELECT src AS node,
+                      CAST(CASE WHEN src LIKE 'c%' THEN 1000000 ELSE 0 END AS BIGINT) AS score
+               FROM d),
+        i1 AS (SELECT e.dst AS node,
+                      CAST(CASE WHEN e.dst LIKE 'c%' THEN 150000 ELSE 0 END
+                           + (850 * sum(s.score // d.outdeg)) // 1000 AS BIGINT) AS score
+               FROM e JOIN d ON e.src = d.src JOIN s0 s ON e.src = s.node
+               GROUP BY e.dst),
+        i2 AS (SELECT e.dst AS node,
+                      CAST(CASE WHEN e.dst LIKE 'c%' THEN 150000 ELSE 0 END
+                           + (850 * sum(s.score // d.outdeg)) // 1000 AS BIGINT) AS score
+               FROM e JOIN d ON e.src = d.src JOIN i1 s ON e.src = s.node
+               GROUP BY e.dst),
+        i3 AS (SELECT e.dst AS node,
+                      CAST(CASE WHEN e.dst LIKE 'c%' THEN 150000 ELSE 0 END
+                           + (850 * sum(s.score // d.outdeg)) // 1000 AS BIGINT) AS score
+               FROM e JOIN d ON e.src = d.src JOIN i2 s ON e.src = s.node
+               GROUP BY e.dst)
+        SELECT node, score FROM i3 ORDER BY node
+      """)),
+
+    // ---- equi-width histogram profiling (round-8) -----------------------
+    // profile_columns' distribution companion: 10 equal-width bins over
+    // integer-cents l_extendedprice. Bin assignment is pure BIGINT
+    // arithmetic against the broadcast (min, max) row — (xc−mn)·10 div
+    // (mx−mn+1) — so bin membership is hash-exact cross-engine (no float
+    // division at bin boundaries, the zscore broadcast-stats join shape).
+    // Output carries each bin's exact integer bounds so the contract is
+    // self-describing.
+    Reg("profile_histogram",
+      (s, dir) => {
+        val xc = Tables(s, dir).lineitem
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("xc"))
+        val stats = xc.agg(min(col("xc")).as("mn"), max(col("xc")).as("mx"))
+        xc.crossJoin(broadcast(stats))
+          .select(expr("least(9, ((xc - mn) * 10) div (mx - mn + 1))").as("bin"),
+            col("mn"), col("mx"))
+          .groupBy(col("bin"), col("mn"), col("mx"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("bin"),
+            expr("CAST(mn + bin * ((mx - mn + 1) div 10) AS BIGINT)").as("lo_cents_approx"),
+            col("n"))
+          .orderBy("bin")
+      },
+      Some("""
+        WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc FROM lineitem),
+        st AS (SELECT min(xc) AS mn, max(xc) AS mx FROM c),
+        b AS (SELECT least(9, ((xc - mn) * 10) // (mx - mn + 1)) AS bin, mn, mx
+              FROM c, st)
+        SELECT bin, CAST(mn + bin * ((mx - mn + 1) // 10) AS BIGINT) AS lo_cents_approx,
+               count(*) AS n
+        FROM b GROUP BY bin, mn, mx ORDER BY bin
       """))
   )
 }

@@ -1037,7 +1037,10 @@ object StreamQueries {
 
     // ---- streaming SemDeDup: incremental semantic dedup (foreachBatch) --
     // The corpus-ingest shape of semdedup_keep: embeddings arrive in
-    // micro-batches (4 range-partitioned files, one per trigger) and each
+    // micro-batches (3 range-partitioned files, one per trigger — enough
+    // to exercise batch-vs-store incrementality twice; the drain floor ×
+    // batch count dominates at toy scale, so the fixture stays minimal
+    // while StreamingSemDedupSpec drives its own interleaved files) and each
     // batch is compared ONLY against itself + the accumulated store — an
     // incremental cid-keyed equi-join, never a recompute over history.
     // Dup evidence (greater-id, lesser-id) pairs append to a pairs log;
@@ -1054,7 +1057,7 @@ object StreamQueries {
     // wiped per invocation (the foreachbatch_upsert discipline).
     Reg("streaming_semdedup_keep",
       (s, dir) => semdedupIncrementalRun(s, dir,
-        graft.sources.Fixtures.ensureEmbeddingStreamFiles(s, dir),
+        graft.sources.Fixtures.ensureEmbeddingStreamFiles(s, dir, n = 3),
         graft.sources.Fixtures.md5Hex(dir)),
       Some(graft.vec.VecQueries.semdedupKeepOracle))
   )

@@ -1957,6 +1957,39 @@ object TsQueries {
                CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_conv,
                seq
         FROM s ORDER BY user_id
+      """)),
+
+    // ---- CEP #2: alternation + longest-run measures (round-8) -----------
+    // event_seq_regex's richer patterns over the same per-user sequence:
+    // an ALTERNATION funnel '(s|v)c*p' (signup-or-view, clicks, purchase)
+    // and the longest consecutive-error run (max match length of 'e+') —
+    // the streak statistic regex quantifiers express and window frames
+    // don't. Greedy non-overlapping scans of alternation/quantifier
+    // patterns agree between Java regex and RE2; lengths cast to BIGINT
+    // on both sides.
+    Reg("event_seq_error_runs",
+      (s, dir) => Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("substring(event_type, 1, 1)").as("code"))
+        .groupBy(col("user_id"))
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(ts, event_id, code))), x -> x.code), '')")
+          .as("seq"))
+        .select(col("user_id"),
+          expr("CAST(regexp_count(seq, '(s|v)c*p') AS BIGINT)").as("n_alt_conv"),
+          expr("CAST(coalesce(array_max(transform(regexp_extract_all(seq, 'e+', 0), x -> length(x))), 0) AS BIGINT)")
+            .as("max_error_run"),
+          expr("CAST(regexp_count(seq, 'ee') AS BIGINT)").as("n_error_pairs"))
+        .orderBy("user_id"),
+      Some("""
+        WITH s AS (SELECT user_id,
+                          string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+                   FROM events GROUP BY 1)
+        SELECT user_id,
+               CAST(len(regexp_extract_all(seq, '(s|v)c*p')) AS BIGINT) AS n_alt_conv,
+               CAST(coalesce(list_max(list_transform(regexp_extract_all(seq, 'e+'), x -> length(x))), 0) AS BIGINT) AS max_error_run,
+               CAST(len(regexp_extract_all(seq, 'ee')) AS BIGINT) AS n_error_pairs
+        FROM s ORDER BY user_id
       """))
   )
 }

@@ -426,7 +426,11 @@ object VecQueries {
     // replays the whole rotated pipeline — same hash-exact grading as
     // ann_pq_topk, zero tolerance.
     Reg("ann_opq_topk",
-      (s, dir) => VecOps.pqTopK(VecOps.opqRotate(Tables(s, dir).embeddings),
+      // localCheckpoint the rotated relation: the 64-term rotation
+      // projection otherwise re-evaluates in every pipeline branch the
+      // PQ plan references it from — measured 3.1 → 1.5 s at sf0.1
+      // (values are bit-identical; the checkpoint only materializes)
+      (s, dir) => VecOps.pqTopK(VecOps.opqRotate(Tables(s, dir).embeddings).localCheckpoint(),
           planes = 4, k = 3)
         .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
         .orderBy("qid", "rank"),
