@@ -159,7 +159,23 @@ class PlanShapeSpec extends SparkSpec {
     // window + grid distinct + explode/equi-join + post-join (end,hv)
     // distinct partial/final + per-end window + output sort; the one
     // broadcast is the tiny day grid
-    "kmv_sliding_distinct_7d" -> (7, 1))
+    "kmv_sliding_distinct_7d" -> (7, 1),
+    // round-8 additions (pagerank_* and cms_heavy_hitters localCheckpoint
+    // eagerly and are deliberately not listed, per the header note)
+    // matryoshka: prefix-bucket join + shortlist window + rerank window
+    "matryoshka_topk" -> (2, 1),
+    // deletion-neighborhood equi-join + pair distinct + sort; both
+    // variant sides derive from one token-counts agg
+    "editdist1_pairs" -> (3, 1),
+    // one (event_type, day) window + hash agg + sort — the vwap shape
+    "twap_daily" -> (2, 0),
+    // per-user collect_list agg + sort; map-side regex measures
+    "event_seq_regex" -> (2, 0),
+    "event_seq_error_runs" -> (2, 0),
+    // cents projection + broadcast (min,max) row + bin agg + sort
+    "profile_histogram" -> (3, 1),
+    // 8 unioned single-column aggs, each with its distinct rewrite
+    "profile_columns" -> (16, 0))
 
   private def shape(name: String): (Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
