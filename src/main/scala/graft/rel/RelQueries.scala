@@ -1843,6 +1843,73 @@ object RelQueries {
         SELECT bin, CAST(mn + bin * ((mx - mn + 1) // 10) AS BIGINT) AS lo_cents_approx,
                count(*) AS n
         FROM b GROUP BY bin, mn, mx ORDER BY bin
+      """)),
+
+    // ---- null-safe equality join: <=> ↔ IS NOT DISTINCT FROM ------------
+    // The one join predicate the equi-join family didn't cover: NULL keys
+    // MATCH each other under <=> (Spark eqNullSafe), instead of dropping
+    // out as in plain =. Keys are made deterministically nullable with
+    // nullif(k % 10, 0); both sides pre-aggregate so the join is
+    // key-per-row. Catalyst plans <=> as a hash-join key (null-safe
+    // equality is still an equi-join — no nested loop), which is exactly
+    // why this operator scales and theta-join tricks don't.
+    Reg("join_null_safe_props",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        def side(t: String, n: String) = ev.filter(col("event_type") === t)
+          .select(expr("nullif(k % 10, 0)").as(s"key_$n"))
+          .groupBy(col(s"key_$n")).agg(count(lit(1)).as(s"n_$n"))
+        side("click", "a").join(side("view", "b"),
+            col("key_a") <=> col("key_b"))
+          .select(col("key_a").as("key"), col("n_a"), col("n_b"))
+          .orderBy(col("key").asc_nulls_first)
+      },
+      Some("""
+        WITH e AS (SELECT event_type,
+                          nullif(CAST(json_extract_string(props, '$.k') AS INT) % 10, 0) AS key
+                   FROM events),
+        a AS (SELECT key, count(*) AS n_a FROM e WHERE event_type = 'click' GROUP BY 1),
+        b AS (SELECT key, count(*) AS n_b FROM e WHERE event_type = 'view' GROUP BY 1)
+        SELECT a.key AS key, a.n_a, b.n_b
+        FROM a JOIN b ON a.key IS NOT DISTINCT FROM b.key
+        ORDER BY key NULLS FIRST
+      """)),
+
+    // ---- data-skew report: the pre-salting diagnostic (round-8) ---------
+    // profile_columns' join-planning companion: for each candidate join
+    // key, the key count, the hottest key's share and the max/mean ratio
+    // (permille, integer-exact) — the numbers that decide broadcast vs
+    // shuffle vs salting (SkewJoin) BEFORE running the join. Two-level
+    // agg per column (per-key counts → one summary row), union of the
+    // three key columns; everything BIGINT.
+    Reg("data_skew_report",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        def report(df: org.apache.spark.sql.DataFrame, c: String, label: String) =
+          df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+            .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+              max(col("cnt")).as("max_key_cnt"))
+            .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+              col("max_key_cnt"),
+              expr("max_key_cnt * 1000 * n_keys div n_rows").as("skew_permille"))
+        report(t.lineitem, "l_partkey", "lineitem.l_partkey")
+          .unionAll(report(t.lineitem, "l_suppkey", "lineitem.l_suppkey"))
+          .unionAll(report(t.orders, "o_custkey", "orders.o_custkey"))
+          .orderBy("key_col")
+      },
+      Some("""
+        WITH r AS (
+          SELECT 'lineitem.l_partkey' AS key_col, count(*) AS cnt
+          FROM lineitem GROUP BY l_partkey
+          UNION ALL
+          SELECT 'lineitem.l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey
+          UNION ALL
+          SELECT 'orders.o_custkey', count(*) FROM orders GROUP BY o_custkey)
+        SELECT key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+               count(*) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_key_cnt,
+               CAST((max(cnt) * 1000 * count(*)) // sum(cnt) AS BIGINT) AS skew_permille
+        FROM r GROUP BY key_col ORDER BY key_col
       """))
   )
 }

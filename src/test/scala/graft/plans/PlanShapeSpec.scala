@@ -175,7 +175,19 @@ class PlanShapeSpec extends SparkSpec {
     // cents projection + broadcast (min,max) row + bin agg + sort
     "profile_histogram" -> (3, 1),
     // 8 unioned single-column aggs, each with its distinct rewrite
-    "profile_columns" -> (16, 0))
+    "profile_columns" -> (16, 0),
+    // null-safe equality still plans as an EQUI hash join (the point);
+    // two pre-agg sides + small side broadcast + sort
+    "join_null_safe_props" -> (3, 1),
+    // three unioned two-level key-count aggs
+    "data_skew_report" -> (6, 0))
+
+  test("join_null_safe_props: <=> is a hash join, never a nested loop") {
+    val df = SparkEntry.queries("join_null_safe_props")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      "null-safe equality degraded to a non-equi join")
+  }
 
   private def shape(name: String): (Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
