@@ -81,6 +81,45 @@ object ScaleDemo {
       emb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       println(s"[scale] fixture built at $out")
     }
+    // round-8 extension: 10× star-schema shards for the graph / banded /
+    // profiling operators. Keys offset per copy → ten DISJOINT subgraphs
+    // (the shard model again: per-shard structure identical, row count
+    // decade-ed). Part-name tokens get a single-char copy suffix — note
+    // the copies are deliberately NOT edit-disjoint ("red3"/"red4" are
+    // distance 1), so the 10× editdist run also exercises cross-copy
+    // candidate generation; the pair count grows ~linearly in copies
+    // (bounded per base token), never quadratically in corpus size.
+    if (!java.nio.file.Files.exists(outPath.resolve("lineitem.parquet"))) {
+      val t = Tables(spark, base)
+      val off = 100000000L
+      (0 until copies).map { k =>
+        t.lineitem.select(
+          (col("l_orderkey") + k * off).as("l_orderkey"),
+          (col("l_partkey") + k * off).as("l_partkey"),
+          (col("l_suppkey") + k * off).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      (0 until copies).map { k =>
+        t.orders.select(
+          (col("o_orderkey") + k * off).as("o_orderkey"),
+          (col("o_custkey") + k * off).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      (0 until copies).map { k =>
+        val nm = if (k == 0) col("p_name")
+          else regexp_replace(col("p_name"), "(\\S+)", s"$$1$k")
+        t.part.select((col("p_partkey") + k * off).as("p_partkey"),
+          nm.as("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+      println(s"[scale] star shards built at $out")
+    }
 
     def time(tag: String, f: => Long): Unit = {
       // rep 1 warms, reps 2-3 measure; report the median-like mid value
@@ -103,6 +142,19 @@ object ScaleDemo {
       time(s"annLshTopK planes=8 @ $tag",
         graft.vec.VecOps.annLshTopK(Tables(spark, dir).embeddings,
           planes = 8, k = 3).count())
+    // round-8 operators: graph (pagerank — 10 disjoint subgraphs, joins
+    // linear), banded editdist (disjoint neighborhoods, linear), and the
+    // Matryoshka prefix-LSH with the same fixed-vs-scaled-planes story
+    for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
+         q <- Seq("pagerank_3iter", "editdist1_pairs", "cms_heavy_hitters"))
+      time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
+    for ((dir, tag) <- Seq((base, "1x"), (out, "10x")))
+      time(s"matryoshka planes=4 @ $tag",
+        graft.vec.VecOps.matryoshkaTopK(Tables(spark, dir).embeddings,
+          planes = 4, mDims = 16, shortlist = 8, k = 3).count())
+    time("matryoshka planes=7 @ 10x",
+      graft.vec.VecOps.matryoshkaTopK(Tables(spark, out).embeddings,
+        planes = 7, mDims = 16, shortlist = 8, k = 3).count())
     spark.stop()
   }
 }
