@@ -1957,6 +1957,57 @@ object RelQueries {
                (SELECT count(*) FROM orders),
                (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
         ORDER BY fk_edge
+      """)),
+
+    // ---- bitmap-aggregate exact distinct (Spark 3.5+ family) ------------
+    // The roaring-bitmap-style exact distinct: user ids bucket into
+    // 32768-bit bitmaps (bitmap_bucket_number), each bucket aggregates to
+    // one bitmap (bitmap_construct_agg of bit positions), and the distinct
+    // count is the SUM of per-bucket popcounts — the same partial/merge
+    // algebra a segment-local bitmap index uses, with compact fixed-size
+    // partials instead of the (key, value) pair explosion of the standard
+    // distinct rewrite. Result is EXACT, so the plain count(DISTINCT)
+    // oracle grades it with zero tolerance.
+    Reg("bitmap_distinct_users",
+      (s, dir) => Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))").as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n_users"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- error-safe arithmetic: the try_* family ------------------------
+    // ANSI-adjacent surface: try_divide / try_add return NULL instead of
+    // raising on division-by-zero — the ELT-robustness contract a
+    // pipeline needs when a denominator column can legitimately be zero.
+    // Zero denominators are derived deterministically (k % 3); counts of
+    // NULL results + the guarded sum are graded (integer-exact), so the
+    // null-on-error semantics themselves are what hash-matches against
+    // DuckDB's CASE-guarded twin.
+    Reg("try_arithmetic_audit",
+      (s, dir) => Tables(s, dir).events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("den", expr("k % 3"))
+        .withColumn("q", expr("try_divide(CAST(round(value * 100) AS BIGINT), den)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("q").isNull, 1L).otherwise(0L)).as("n_div_zero"),
+          expr("CAST(sum(CAST(floor(q) AS BIGINT)) AS BIGINT)").as("sum_floor_q"))
+        .orderBy("event_type"),
+      Some("""
+        WITH e AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc,
+                          CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 AS den
+                   FROM events)
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CASE WHEN den = 0 OR den IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
+               CAST(sum(CASE WHEN den <> 0 THEN CAST(floor(vc / den) AS BIGINT) END) AS BIGINT) AS sum_floor_q
+        FROM e GROUP BY 1 ORDER BY 1
       """))
   )
 }
