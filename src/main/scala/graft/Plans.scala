@@ -83,7 +83,8 @@ object Plans {
       "event_seq_regex", "twap_daily", "profile_columns",
       "pagerank_3iter", "pagerank_personalized", "profile_histogram",
       "event_seq_error_runs", "join_null_safe_props", "data_skew_report",
-      "fk_integrity_check", "bitmap_distinct_users", "try_arithmetic_audit")
+      "fk_integrity_check", "bitmap_distinct_users", "try_arithmetic_audit",
+      "dedup_keep_latest")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

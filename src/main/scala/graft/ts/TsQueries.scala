@@ -1990,6 +1990,42 @@ object TsQueries {
                CAST(coalesce(list_max(list_transform(regexp_extract_all(seq, 'e+'), x -> length(x))), 0) AS BIGINT) AS max_error_run,
                CAST(len(regexp_extract_all(seq, 'ee')) AS BIGINT) AS n_error_pairs
         FROM s ORDER BY user_id
+      """)),
+
+    // ---- CDC compaction: keep-latest per business key (round-8) ---------
+    // The changelog-to-snapshot primitive every incremental warehouse
+    // runs: per (user_id, event_type) keep ONLY the latest event —
+    // row_number() over (key ORDER BY ts DESC, event_id DESC) = 1, the
+    // dedup-by-recency twin of dedup_exact's dedup-by-content. One window
+    // shuffle keyed by the business key; at 100 TB this is the standard
+    // MERGE-free compaction pass over a day's changelog partition.
+    // (event_id tie-break: ts alone is unique per type in the fixture,
+    // but compaction must not DEPEND on that.)
+    Reg("dedup_keep_latest",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables(s, dir).events
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            date_format(col("ts"), fmt).as("last_ts"),
+            col("event_id").as("last_event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("last_value_cents"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""
+        WITH r AS (SELECT user_id, event_type, ts, event_id, value,
+                          row_number() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                   FROM events)
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               event_id AS last_event_id,
+               CAST(round(value * 100) AS BIGINT) AS last_value_cents
+        FROM r WHERE rn = 1
+        ORDER BY user_id, event_type
       """))
   )
 }
