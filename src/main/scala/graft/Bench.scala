@@ -37,6 +37,27 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     graft.sources.Fixtures.ensurePartitionedEvents(spark, sfDir)
 
+    // ---- host-speed self-calibration (VERDICT r8 §What's missing #1) ----
+    // This host has documented ±25-50% speed phases plus transient
+    // multi-second stalls; a one-shot total is uninterpretable without a
+    // same-run speedometer. The fixed CONTROL query runs once here
+    // (post-warmup, pre-loop) and once after the loop; both raw readings
+    // plus their ratio to the recorded quiet-phase reference (sf0.1,
+    // local[32], BASELINE.md round-8 control notes) are emitted in the
+    // JSON line, so any reader can normalize the total without
+    // cross-round forensics. cal_ratio ≈ 1 → quiet host; ≈ 1.3+ → slow
+    // phase, divide the total by it before comparing across rounds.
+    // (The reference is only meaningful at the driver shape — sf0.1 —
+    // but the fields are emitted unconditionally; readers key on "sf".)
+    val calName = "boilerplate_ngram_ratio"
+    val calQuietRefS = 1.75
+    def calRun(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(calName)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calFirst = calRun()
+
     // wall-clock budget + rep-major (interleaved) schedule: rep 1 of
     // EVERY query runs first, then rep 2 of every query, … — so a
     // host-noise burst is spread across many queries instead of poisoning
@@ -92,12 +113,17 @@ object Bench {
          .mkString("{", ",", "}")) +
         (if (singleRep.isEmpty) ""
          else ",\"reps1\":" + singleRep.map(jstr).mkString("[", ",", "]"))
+    val calLast = calRun()
+    val calMid = math.min(calFirst, calLast)
+    val calRatio = calMid / calQuietRefS
+    val calJson = f""","cal_q":${jstr(calName)},"cal_first":$calFirst%.3f,"cal_last":$calLast%.3f,"cal_quiet_ref":$calQuietRefS,"cal_ratio":$calRatio%.3f"""
     val total = results.map(_._2).filter(_ >= 0).sum
     // Field order is deliberate: the driver archives only the LAST ~2 KB
     // of stdout (BENCH_r05.json's "tail"), so the headline "value" goes at
     // the END of the line — anything before the per-query map is what gets
-    // truncated away. errs/reps1 sit before "queries" for the same reason.
-    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir"$errJson,"queries":$qs,"value":$total}""")
+    // truncated away. errs/reps1 sit before "queries" for the same reason;
+    // the calibration fields sit AFTER it so they survive the truncation.
+    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir"$errJson,"queries":$qs$calJson,"value":$total}""")
     spark.stop()
   }
 }

@@ -47,7 +47,10 @@ object ScaleDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val outPath = java.nio.file.Paths.get(out)
-    if (!java.nio.file.Files.exists(outPath.resolve("events.parquet"))) {
+    // gate on ALL outputs of this block (same ADVICE-r8 fix as the star
+    // shards below): an interrupted run must be repaired by the next one
+    if (Seq("events.parquet", "documents.parquet", "embeddings.parquet")
+          .exists(p => !java.nio.file.Files.exists(outPath.resolve(p)))) {
       val t = Tables(spark, base)
       val off = 100000000L
       // ts goes back out as INT64 nanos — Tables.events applies the
@@ -89,7 +92,12 @@ object ScaleDemo {
     // distance 1), so the 10× editdist run also exercises cross-copy
     // candidate generation; the pair count grows ~linearly in copies
     // (bounded per base token), never quadratically in corpus size.
-    if (!java.nio.file.Files.exists(outPath.resolve("lineitem.parquet"))) {
+    // gate on ALL of the shard's outputs, not just the first: an
+    // interrupted run that wrote lineitem but not orders/part would
+    // otherwise leave a permanently half-built fixture that later runs
+    // never repair (ADVICE r8); overwrite mode makes the re-run safe
+    if (Seq("lineitem.parquet", "orders.parquet", "part.parquet")
+          .exists(p => !java.nio.file.Files.exists(outPath.resolve(p)))) {
       val t = Tables(spark, base)
       val off = 100000000L
       (0 until copies).map { k =>

@@ -1686,6 +1686,11 @@ object RelQueries {
         // 8-way EXPAND (rows × 9 through the shuffle): measured 3.8 s vs
         // ~0.7 s for this shape at sf0.1. Branches are independent jobs;
         // on a cluster they run concurrently.
+        // the column sum is integer CENTS (values are ≤ 2-decimal by the
+        // fixture contract): a rounded double sum is partial-agg-order
+        // sensitive and at warehouse magnitudes (1e10+) the accumulated
+        // float error can cross the 2-decimal rounding guard (ADVICE r8)
+        // — the twap/pagerank integer-exact discipline applies here too
         val li = Tables(s, dir).lineitem
         numCols.map { c =>
           li.agg(
@@ -1693,9 +1698,9 @@ object RelQueries {
             countDistinct(col(c)).as("n_distinct"),
             min(col(c)).cast("double").as("min_v"),
             max(col(c)).cast("double").as("max_v"),
-            round(sum(col(c).cast("double")), 2).as("sum_r"))
+            sum(expr(s"CAST(round($c * 100) AS BIGINT)")).as("sum_cents"))
             .select(lit(c).as("col_name"), col("n_null"), col("n_distinct"),
-              col("min_v"), col("max_v"), col("sum_r"))
+              col("min_v"), col("max_v"), col("sum_cents"))
         }.reduce(_.unionAll(_)).orderBy("col_name")
       },
       Some(Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -1705,7 +1710,7 @@ object RelQueries {
                count(DISTINCT $c) AS n_distinct,
                CAST(min($c) AS DOUBLE) AS min_v,
                CAST(max($c) AS DOUBLE) AS max_v,
-               round(sum(CAST($c AS DOUBLE)), 2) AS sum_r
+               CAST(sum(CAST(round($c * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM lineitem"""
       }.mkString("", " UNION ALL ", " ORDER BY col_name"))),
 
@@ -1940,22 +1945,31 @@ object RelQueries {
           .unionAll(audit(t.customer, "c_nationkey", t.nation, "n_nationkey", "customer.c_nationkey->nation"))
           .orderBy("fk_edge")
       },
+      // NOT EXISTS (not NOT IN): equality inside EXISTS has exactly the
+      // LEFT JOIN's null semantics — a NULL fk never matches and counts
+      // as an orphan on both engines, where NOT IN would yield NULL and
+      // silently uncount it (ADVICE r8). TPC-H FKs happen to be
+      // non-null; the shapes are now equivalent on any corpus.
       Some("""
         SELECT 'customer.c_nationkey->nation' AS fk_edge,
                (SELECT count(*) FROM customer) AS n_checked,
-               (SELECT count(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+               (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
         UNION ALL
         SELECT 'lineitem.l_partkey->part',
                (SELECT count(*) FROM lineitem),
-               (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
         UNION ALL
         SELECT 'lineitem.l_suppkey->supplier',
                (SELECT count(*) FROM lineitem),
-               (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
         UNION ALL
         SELECT 'orders.o_custkey->customer',
                (SELECT count(*) FROM orders),
-               (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         ORDER BY fk_edge
       """)),
 

@@ -54,9 +54,15 @@ object StreamQueries {
     // probe the fixture generation's physical ts type via a batch read
     // (footer-only; see Tables.withNanosTs for the two generations),
     // cached per link dir — every drain rep re-enters here and the
-    // listing+footer probe is ~50 ms × 2 sources × reps otherwise
-    val tsType = tsTypeCache.computeIfAbsent(linkDir.toString,
-      d => spark.read.parquet(d).schema("ts").dataType)
+    // listing+footer probe is ~50 ms × 2 sources × reps otherwise.
+    // Key includes the source file's mtime+size (the Fixtures identity
+    // pattern, ADVICE r8): a mid-JVM fixture regeneration with a
+    // different ts type must invalidate the cached schema.
+    val srcFile = Paths.get(dir, "events.parquet")
+    val tsKey = linkDir.toString + "|" +
+      Files.getLastModifiedTime(srcFile).toMillis + "|" + Files.size(srcFile)
+    val tsType = tsTypeCache.computeIfAbsent(tsKey,
+      _ => spark.read.parquet(linkDir.toString).schema("ts").dataType)
     val raw = spark.readStream
       .schema(eventsRawSchema(tsType))
       .parquet(linkDir.toString)

@@ -15,6 +15,18 @@ object TextQueries {
   // 5 of the 31 vocabulary words serve as the "stopword" list
   private val stopwords = Seq("the", "a", "data", "value", "key")
 
+  /** jaccard_bigram_pairs docfreq CEILING (part of the oracle contract —
+    * change BOTH sides or neither): grams appearing in more than this
+    * many docs of a (lang, source) block are dropped as non-
+    * discriminative boilerplate BEFORE the self-join. An ABSOLUTE
+    * constant on purpose — it bounds join fan-out per (block, gram) key
+    * at C² rows regardless of corpus size, which is what keeps the
+    * operator linear at 100× (a relative ceiling f·|block| would still
+    * admit O((f·B)²) per gram). 64 is binding at sf0.1 (blocks reach
+    * ~112 docs) yet leaves the pair set non-trivial at every fixture
+    * scale. */
+  private[graft] val JaccardDfCeiling = 64
+
   /** The two near-dup pair relations, derived ONCE per session via the
     * bounded [[graft.Shared]] registry (round-6 verdict lever (d)): the
     * MinHash-LSH Jaccard >= 0.5 set feeds 4 graded queries
@@ -850,17 +862,29 @@ object TextQueries {
         val sh = Tables(s, dir).documents
           .select(col("lang"), col("source"), col("doc_id"),
             explode(TextOps.shingles(col("text"), 2)).as("shingle"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        // docfreq pre-filter (round-4b, 1.7× at sf0.1): a gram in only ONE
-        // block doc cannot appear in any pair's intersection, yet the
-        // self-join would still replicate and shuffle it. One count window
-        // over the same key the join shuffles on removes the tail before
-        // the join; doc SIZES above deliberately stay unfiltered.
-        val shj = sh
+        // docfreq band-pass on the join key (one count window over the
+        // same key the join shuffles on):
+        //  - FLOOR df >= 2 (round-4b, 1.7× at sf0.1): a gram in only ONE
+        //    block doc cannot appear in any pair's intersection — pure
+        //    optimization, removed from the join side only.
+        //  - CEILING df <= JaccardDfCeiling (round-9, VERDICT r8): a gram
+        //    shared by most of a block is boilerplate, not evidence of
+        //    duplication — and it is THE scale-killer: join fan-out per
+        //    (block, gram) key is df², so without a ceiling the self-join
+        //    goes quadratic as blocks grow. With the ceiling the fan-out
+        //    per key is ≤ C² = const, total cost linear in corpus grams.
+        //    The ceiling CHANGES the contract (similarity is Jaccard over
+        //    discriminative grams only), so — unlike the floor — it also
+        //    applies to doc sizes and is mirrored verbatim in the oracle.
+        //    High-df grams aren't lost to dedup overall: MinHash-LSH
+        //    (neardup_minhash_lsh) covers whole-doc similarity sketches.
+        val withDf = sh
           .withColumn("df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("lang"), col("source"), col("shingle"))))
-          .filter(col("df") >= 2).drop("df")
+          .filter(col("df") <= JaccardDfCeiling)
+        val sizes = withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val shj = withDf.filter(col("df") >= 2).drop("df")
         val a = shj.select(col("lang"), col("source"), col("shingle"),
           col("doc_id").as("a_id"))
         val b = shj.select(col("lang"), col("source"), col("shingle"),
@@ -877,19 +901,28 @@ object TextQueries {
             col("inter").as("n_common"), col("uni").as("n_union"))
           .orderBy("a_id", "b_id")
       },
-      Some("""
+      Some(s"""
         WITH t AS (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS ws
                    FROM documents),
-        sh AS (SELECT doc_id, lang, source,
-                      list_distinct([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS s
+        g0 AS (SELECT doc_id, lang, source,
+                      unnest(list_distinct([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])) AS shingle
                FROM t WHERE len(ws) >= 2),
-        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                     len(list_intersect(a.s, b.s)) AS inter,
-                     len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-              FROM sh a JOIN sh b
-                ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-        SELECT a_id, b_id, CAST(inter AS BIGINT) AS n_common, CAST(uni AS BIGINT) AS n_union
-        FROM p WHERE inter * 10 >= uni * 3
+        df AS (SELECT lang, source, shingle, count(*) AS df
+               FROM g0 GROUP BY 1, 2, 3),
+        g AS (SELECT g0.doc_id, g0.lang, g0.source, g0.shingle
+              FROM g0 JOIN df USING (lang, source, shingle)
+              WHERE df.df <= $JaccardDfCeiling),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+              FROM g a JOIN g b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT a_id, b_id, CAST(inter AS BIGINT) AS n_common,
+               CAST(sa.n + sb.n - inter AS BIGINT) AS n_union
+        FROM p JOIN sizes sa ON sa.doc_id = a_id
+               JOIN sizes sb ON sb.doc_id = b_id
+        WHERE inter * 10 >= (sa.n + sb.n - inter) * 3
         ORDER BY a_id, b_id
       """)),
 

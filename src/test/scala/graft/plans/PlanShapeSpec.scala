@@ -67,14 +67,17 @@ class PlanShapeSpec extends SparkSpec {
     "token_subword_regex" -> (1, 0),
     // map-side explode + slice; output sort only
     "chunk_documents" -> (1, 0),
-    // exploded-shingle intersection counting: docfreq pre-filter window
-    // (×2 — the filtered subtree feeds both self-join sides) + self-join
-    // + pair hash-agg + ORDER BY, with both size lookups broadcast (the
-    // third broadcast is the shingle-side reuse). The twin windows are
-    // bit-identical → ReusedExchange at runtime; must never degrade to a
-    // per-pair array_intersect nested loop (re-pinned round-4b with the
-    // 1.7× docfreq pre-filter)
-    "jaccard_bigram_pairs" -> (6, 3),
+    // exploded-shingle intersection counting: docfreq band-pass window
+    // (feeds both self-join sides AND, since the round-9 df ceiling, the
+    // doc-size branch — sizes must count only df<=C grams now that the
+    // ceiling is part of the similarity contract) + self-join + pair
+    // hash-agg + ORDER BY, with both size lookups broadcast. The twin
+    // window subtrees are bit-identical → ReusedExchange at runtime;
+    // must never degrade to a per-pair array_intersect nested loop.
+    // Re-pinned round-9 (6,3)→(8,3): the ceiling moved the size branch
+    // behind the window (+1 window exchange + 1 doc_id re-key) — the
+    // conscious price of bounding join fan-out at C² per (block, gram)
+    "jaccard_bigram_pairs" -> (8, 3),
     // int8 path keeps ann_lsh_topk's shape: bucket join + window + sort
     "ann_int8_topk" -> (2, 1),
     // explode + (doc,gram) agg + doc agg + ORDER BY; no joins
