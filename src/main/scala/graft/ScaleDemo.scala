@@ -163,6 +163,23 @@ object ScaleDemo {
     time("matryoshka planes=7 @ 10x",
       graft.vec.VecOps.matryoshkaTopK(Tables(spark, out).embeddings,
         planes = 7, mDims = 16, shortlist = 8, k = 3).count())
+    // round-9: the two de-weakened dedup operators (VERDICT r8). The df
+    // CEILING bounds jaccard's self-join fan-out at C² per (block, gram);
+    // semdedup's k now scales with the corpus (k = ceil(n/128): 16 @ 1x,
+    // 157 @ 10x here), holding E[cell] ≈ constant so the within-cluster
+    // pair join stays linear. The fixed-k contrast row replays the r8
+    // defect — k pinned at 16 while the corpus decades, Σ cell² → n²/16
+    // — the same fixed-vs-scaled-knob story as the 4-vs-8-plane LSH rows.
+    for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
+         q <- Seq("jaccard_bigram_pairs", "semdedup_keep"))
+      time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
+    time("semdedup fixed k=16 @ 10x", {
+      val emb = Tables(spark, out).embeddings
+      var cent = graft.vec.VecOps.seedCentroids(emb, 16)
+      for (_ <- 0 until 2)
+        cent = graft.vec.VecOps.lloydStep(emb, cent, snap = true)
+      graft.vec.VecOps.semDedupKeep(emb, cent, tau = 0.45).count()
+    })
     spark.stop()
   }
 }

@@ -1416,6 +1416,61 @@ object TextQueries {
         FROM c a, c b
         WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
         ORDER BY tok_a, tok_b
+      """)),
+
+    // ---- substring-level exact dedup: repeated-span finder (round-9) ----
+    // The Lee et al. ("Deduplicating Training Data Makes Language Models
+    // Better", 2022) EXACTSUBSTR rung, completing the dedup ladder between
+    // whole-doc exact (dedup_exact) and lexical near-dup (MinHash): find
+    // every maximal token SPAN of length >= 8 whose every 8-gram occurs
+    // at least twice in the corpus (within- or cross-document — self-
+    // repetition is duplication too, per the paper). Spark-first
+    // formulation of the paper's suffix-array pass: positional 8-grams
+    // keyed by md5 (fixed-width key, so shuffles never carry span text),
+    // one hash-agg for corpus gram frequency, an equi-join back (each
+    // gram row matches exactly ONE count row — no fan-out), then per-doc
+    // gaps-and-islands run-merging (pos - row_number) to fuse overlapping
+    // duplicated grams into maximal spans. Shape at 100 TB: two linear
+    // shuffles (gram agg + join-back) + a per-doc window — no self-join
+    // anywhere, so no quadratic corner; a doc is its own partition key in
+    // the window and spans never cross docs. The consumer cuts the
+    // reported [span_start, span_end] token ranges out of the corpus.
+    Reg("substring_dup_spans",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val grams = Tables(s, dir).documents
+          .select(col("doc_id"), posexplode(
+            when(size(toks) >= 8,
+              transform(sequence(lit(0), size(toks) - 8),
+                i => md5(concat_ws(" ", slice(toks, i + 1, lit(8))))))
+              .otherwise(typedLit(Seq.empty[String]))).as(Seq("pos", "gh")))
+        val freq = grams.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+        val dup = grams.join(freq.filter(col("cnt") >= 2), "gh")
+          .select(col("doc_id"), col("pos"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        dup.withColumn("grp", col("pos") - row_number().over(w))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("pos")).cast("long").as("span_start"),
+            (max(col("pos")) + lit(7)).cast("long").as("span_end"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1L).as("span_len"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS gh
+              FROM t, unnest(generate_series(1, len(ws) - 7)) u(i)
+              WHERE len(ws) >= 8),
+        c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY 1),
+        d AS (SELECT doc_id, pos FROM g JOIN c USING (gh) WHERE cnt >= 2),
+        r AS (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM d)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len
+        FROM r GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start
       """))
   )
 }

@@ -239,6 +239,70 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
+    // ---- persisted ANN index lifecycle (round-9, VERDICT r8 #3) ---------
+    // A 100 TB pipeline builds the ANN index ONCE to storage and serves
+    // many query batches from it — this query grades that lifecycle, not
+    // a new algorithm: the LSH signature pass runs once, the index
+    // (vec_id, embedding, bucket) is WRITTEN as a bucket-partitioned
+    // parquet dataset, and top-k is answered exclusively from the
+    // RE-READ index — the bucket equi-join runs over the reloaded store,
+    // where the partition layout means a single-bucket probe is a
+    // partition-pruned scan (the partitioned_scan_agg argument applied
+    // to vectors). Results deliberately equal ann_lsh_topk (persistence
+    // is semantically identity), so the oracle is that query's SQL — the
+    // graded delta is that the answer survived the write/reload
+    // round-trip with schema, bucket keys, and scores intact. Store
+    // discipline: scratch keyed on fixture identity, wiped per
+    // invocation (incremental_candles_store pattern) — the graded result
+    // never depends on a previous run's store.
+    Reg("ann_persisted_index_topk",
+      (s, dir) => {
+        graft.functions.DotF32.register(s)
+        val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+        val key = graft.sources.Fixtures.md5Hex(dir + "|" +
+          java.nio.file.Files.getLastModifiedTime(src).toMillis + "|" +
+          java.nio.file.Files.size(src))
+        val store = java.nio.file.Paths.get(s"/dev/shm/graft-annidx/$key")
+        graft.sources.Fixtures.delete(store)
+        VecOps.lshBucket(Tables(s, dir).embeddings, planes = 4)
+          .select(col("vec_id"), col("embedding"), col("bucket"))
+          .write.partitionBy("bucket").parquet(store.toString)
+        val idx = s.read.parquet(store.toString)
+        val q = idx.select(col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("bucket"))
+        val n = idx.select(col("vec_id").as("nid"),
+          col("embedding").as("ne"), col("bucket"))
+        val scores = q.join(n, "bucket").filter(col("qid") =!= col("nid"))
+          .withColumn("score", expr("dot_f32(qe, ne)"))
+          .select("qid", "nid", "score")
+        VecOps.topK(scores, 3)
+          .select(col("qid"), col("rank"), col("nid"),
+            round(col("score"), 4).as("score"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+              FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        r AS (SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM p)
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """)),
+
     // ---- array-function surface over embeddings (§2.8): sort/slice/fold -
     // Raw doubles are exact cross-engine here: abs(float32→double) and
     // sorting are bit-exact, and the l2 fold is index-ordered on both
