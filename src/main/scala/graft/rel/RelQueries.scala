@@ -1817,6 +1817,168 @@ object RelQueries {
         SELECT node, score FROM i3 ORDER BY node
       """)),
 
+    // ---- label propagation: community detection (round-9) ---------------
+    // Synchronous LPA over the same undirected trade graph as
+    // pagerank_3iter: each node starts labeled with its own id; every
+    // iteration it adopts the most frequent label among its neighbors,
+    // ties broken by MIN label — the determinism knob that makes sync
+    // LPA oracle-expressible (vanilla LPA's random tie-break is not).
+    // Per iteration: one join on the localCheckpointed edge list, one
+    // (dst, label) count agg, one row_number window keyed by dst —
+    // all shuffles keyed by node id, linear in |E|, the exact scale
+    // shape of the PageRank loop. 3 unrolled iterations (fixed-depth
+    // like pagerank; LPA converges in a handful on social-ish graphs).
+    Reg("label_prop_3iter",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (edges, deg) = tradeGraph(s, dir)
+        var lab = deg.select(col("src").as("node"), col("src").as("label"))
+        for (_ <- 1 to 3) {
+          val cnt = edges.join(lab, edges("src") === lab("node"))
+            .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+          val w = Window.partitionBy(col("dst"))
+            .orderBy(col("c").desc, col("label"))
+          lab = cnt.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("dst").as("node"), col("label"))
+        }
+        lab.orderBy("node")
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE l_quantity >= 45),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        c1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+               FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+        l1 AS (SELECT node, label FROM (
+                 SELECT node, label,
+                        row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+                 FROM c1) WHERE rn = 1),
+        c2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+               FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+        l2 AS (SELECT node, label FROM (
+                 SELECT node, label,
+                        row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+                 FROM c2) WHERE rn = 1),
+        c3 AS (SELECT e.dst AS node, l.label, count(*) AS c
+               FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+        l3 AS (SELECT node, label FROM (
+                 SELECT node, label,
+                        row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+                 FROM c3) WHERE rn = 1)
+        SELECT node, label FROM l3 ORDER BY node
+      """)),
+
+    // ---- multi-source BFS: hop distance from a seed set (round-9) -------
+    // The third graph primitive beside PageRank and LPA: shortest hop
+    // distance from all nation-1 customers to every graph node, bounded
+    // at 3 hops (the unrolled-frontier formulation — dist_{i+1}(v) =
+    // min(dist_i(v), 1 + min over in-neighbors)). Each iteration is one
+    // equi-join on the checkpointed edges plus a min agg keyed by node:
+    // linear in |E| per hop, no frontier materialized driver-side. At
+    // 100 TB this is the standard iterative BFS; unreachable-within-3
+    // nodes simply don't appear (no sentinel infinities to hash).
+    Reg("bfs_hops_3",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val (edges, deg) = tradeGraph(s, dir)
+        val nodes = deg.select(col("src").as("node"))
+        var dist = t.customer.filter(col("c_nationkey") === 1)
+          .select(concat(lit("c"), col("c_custkey")).as("node"), lit(0L).as("dist"))
+          .join(nodes, "node")
+        for (_ <- 1 to 3) {
+          val next = edges.join(dist, edges("src") === dist("node"))
+            .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
+          dist = dist.union(next).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        }
+        dist.orderBy("node")
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE l_quantity >= 45),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        d0 AS (SELECT 'c' || c_custkey AS node, CAST(0 AS BIGINT) AS dist
+               FROM customer
+               WHERE c_nationkey = 1
+                 AND 'c' || c_custkey IN (SELECT src FROM e)),
+        d1 AS (SELECT node, min(dist) AS dist FROM (
+                 SELECT node, dist FROM d0
+                 UNION ALL
+                 SELECT e.dst, d.dist + 1 FROM e JOIN d0 d ON e.src = d.node)
+               GROUP BY 1),
+        d2 AS (SELECT node, min(dist) AS dist FROM (
+                 SELECT node, dist FROM d1
+                 UNION ALL
+                 SELECT e.dst, d.dist + 1 FROM e JOIN d1 d ON e.src = d.node)
+               GROUP BY 1),
+        d3 AS (SELECT node, min(dist) AS dist FROM (
+                 SELECT node, dist FROM d2
+                 UNION ALL
+                 SELECT e.dst, d.dist + 1 FROM e JOIN d2 d ON e.src = d.node)
+               GROUP BY 1)
+        SELECT node, dist FROM d3 ORDER BY node
+      """)),
+
+    // ---- weighted PageRank (round-9) ------------------------------------
+    // pagerank_3iter with EDGE WEIGHTS: each (customer, supplier) edge
+    // carries the number of qualifying trades between them, and a node
+    // distributes score proportionally to edge weight — (score · w) div
+    // totw in integer millionths, the same order-independent integer
+    // discipline (sum of per-edge BIGINT terms; max score ~10^6 ×
+    // max w ~10^3 keeps products far from BIGINT range). The weighted
+    // graph is built once and localCheckpointed like tradeGraph: the
+    // loop-invariant edges+weights must not be replayed per iteration.
+    Reg("pagerank_weighted",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e0 = t.lineitem.filter(col("l_quantity") >= 45)
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val edges = e0.select(col("src"), col("dst"), col("w"))
+          .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .localCheckpoint()
+        val totw = edges.groupBy(col("src")).agg(sum(col("w")).as("totw"))
+          .localCheckpoint()
+        var score = totw.select(col("src").as("node"), lit(1000000L).as("score"))
+        for (_ <- 1 to 3) {
+          score = edges.join(totw, "src")
+            .join(score, edges("src") === score("node"))
+            .select(col("dst"), expr("(score * w) div totw").as("c"))
+            .groupBy(col("dst"))
+            .agg(expr("CAST(150000 + (850 * sum(c)) div 1000 AS BIGINT)").as("score"))
+            .select(col("dst").as("node"), col("score"))
+        }
+        score.orderBy("node")
+      },
+      Some("""
+        WITH e0 AS (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+                           count(*) AS w
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE l_quantity >= 45
+                    GROUP BY 1, 2),
+        e AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+        tw AS (SELECT src, CAST(sum(w) AS BIGINT) AS totw FROM e GROUP BY 1),
+        s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM tw),
+        i1 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum((s.score * e.w) // t.totw)) // 1000 AS BIGINT) AS score
+               FROM e JOIN tw t ON e.src = t.src JOIN s0 s ON e.src = s.node
+               GROUP BY e.dst),
+        i2 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum((s.score * e.w) // t.totw)) // 1000 AS BIGINT) AS score
+               FROM e JOIN tw t ON e.src = t.src JOIN i1 s ON e.src = s.node
+               GROUP BY e.dst),
+        i3 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum((s.score * e.w) // t.totw)) // 1000 AS BIGINT) AS score
+               FROM e JOIN tw t ON e.src = t.src JOIN i2 s ON e.src = s.node
+               GROUP BY e.dst)
+        SELECT node, score FROM i3 ORDER BY node
+      """)),
+
     // ---- equi-width histogram profiling (round-8) -----------------------
     // profile_columns' distribution companion: 10 equal-width bins over
     // integer-cents l_extendedprice. Bin assignment is pure BIGINT

@@ -1992,6 +1992,41 @@ object TsQueries {
         FROM s ORDER BY user_id
       """)),
 
+    // ---- CEP #3: BOUNDED QUANTIFIERS (round-9) --------------------------
+    // MATCH_RECOGNIZE-style quantified groups over the same per-user code
+    // sequence: 'vc{2,}p' (view, AT LEAST two clicks, purchase — the
+    // engaged-conversion funnel) and 'vc{0,2}p' (an IMPULSE conversion:
+    // at most two clicks between view and purchase). Greedy
+    // non-overlapping scans of counted quantifiers agree between Java
+    // regex and RE2; together with event_seq_regex (Kleene star) and
+    // event_seq_error_runs (alternation, plus-runs) this covers the
+    // quantifier surface a MATCH_RECOGNIZE user writes. Same plan shape:
+    // one per-user collect_list (bounded by per-user event count), no
+    // global sort, no join.
+    Reg("event_seq_quantified",
+      (s, dir) => Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("substring(event_type, 1, 1)").as("code"))
+        .groupBy(col("user_id"))
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(ts, event_id, code))), x -> x.code), '')")
+          .as("seq"))
+        .select(col("user_id"),
+          expr("CAST(regexp_count(seq, 'vc{2,}p') AS BIGINT)").as("n_engaged"),
+          expr("CAST(regexp_count(seq, 'vc{0,2}p') AS BIGINT)").as("n_impulse"),
+          expr("CAST(regexp_count(seq, '(vc)+p') AS BIGINT)").as("n_strict_alt"))
+        .orderBy("user_id"),
+      Some("""
+        WITH s AS (SELECT user_id,
+                          string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+                   FROM events GROUP BY 1)
+        SELECT user_id,
+               CAST(len(regexp_extract_all(seq, 'vc{2,}p')) AS BIGINT) AS n_engaged,
+               CAST(len(regexp_extract_all(seq, 'vc{0,2}p')) AS BIGINT) AS n_impulse,
+               CAST(len(regexp_extract_all(seq, '(vc)+p')) AS BIGINT) AS n_strict_alt
+        FROM s ORDER BY user_id
+      """)),
+
     // ---- CDC compaction: keep-latest per business key (round-8) ---------
     // The changelog-to-snapshot primitive every incremental warehouse
     // runs: per (user_id, event_type) keep ONLY the latest event —

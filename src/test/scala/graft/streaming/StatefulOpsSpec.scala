@@ -160,4 +160,97 @@ class StatefulOpsSpec extends SparkSpec {
       }
     }
   }
+
+  /** Regex-engine ground truth for the CEP automaton measures. */
+  private def regexTruth(seq: String): (Long, Long, Long, Long) = {
+    def count(p: String): Long = {
+      val m = java.util.regex.Pattern.compile(p).matcher(seq)
+      var n = 0L; while (m.find()) n += 1; n
+    }
+    val runs = {
+      val m = java.util.regex.Pattern.compile("e+").matcher(seq)
+      val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (m.find()) b += m.group().length
+      b.toSeq
+    }
+    (count("v\\[ce\\]*p".replace("\\[", "[").replace("\\]", "]")),
+      count("(s|v)c*p"),
+      if (runs.isEmpty) 0L else runs.max.toLong,
+      count("ee"))
+  }
+
+  /** Drives seqPatternCounts over `epochs` (already time-ordered splits
+    * of one code string per user) and returns the final per-user
+    * (n_conv, n_alt_conv, max_error_run, n_error_pairs). */
+  private def runCep(epochs: Seq[Seq[(Long, String)]]): Map[Long, (Long, Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long, Long, String)] // (user, us, event_id, code)
+      val cep = StatefulOps.seqPatternCounts(
+        input.toDF().toDF("user_id", "us", "event_id", "event_type")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"))
+      val name = s"tws_cep_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = cep.toDF("user_id", "n_events", "n_conv", "n_alt_conv", "max_err", "n_pairs")
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .option("checkpointLocation", s"/dev/shm/graft-ckpt/$name")
+        .start()
+      try {
+        var us = 0L
+        epochs.foreach { epoch =>
+          val rows = epoch.map { case (user, code) => us += 1; (user, us, us, code) }
+          if (rows.nonEmpty) { input.addData(rows: _*); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      spark.table(name)
+        .groupBy("user_id")
+        .agg(max("n_conv").as("c"), max("n_alt_conv").as("a"),
+          max("max_err").as("m"), max("n_pairs").as("p"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("CEP automaton: state crosses micro-batches (match spanning an epoch boundary)") {
+    // user 1: "vce" + "vp" = "vcevp" → v[ce]*p matches once ("vp" — the
+    // first v's attempt fails at the second v, the scan resumes there);
+    // (s|v)c*p also once; error run max 1, no pairs. The 'v' arming and
+    // the open error run BOTH carry across the epoch boundary.
+    val got = runCep(Seq(
+      Seq((1L, "v"), (1L, "c"), (1L, "e")),
+      Seq((1L, "v"), (1L, "p"))))
+    assert(got(1L) == ((1L, 1L, 1L, 0L)), s"got $got")
+  }
+
+  test("CEP automaton: matches regex ground truth on random code streams, any epoch split") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "cepsv"
+    (1 to 6).foreach { trial =>
+      // 3 users × ~60 codes, interleaved, split into 3 in-order epochs
+      val perUser = (1L to 3L).map { u =>
+        u -> (1 to 60).map(_ => alphabet(rnd.nextInt(5)).toString)
+      }.toMap
+      // contiguous in-time splits (the processor's cross-batch contract
+      // is event-time-ordered arrival); users interleave WITHIN epochs
+      val all = perUser.toSeq.sortBy(_._1)
+        .flatMap { case (u, codes) => codes.zipWithIndex.map { case (c, i) => (u, c, i) } }
+      val byTime = rnd.shuffle(all).sortBy(_._3) // global time = per-user index
+      val cut1 = byTime.length / 3; val cut2 = 2 * byTime.length / 3
+      val contiguous = Seq(
+        byTime.take(cut1), byTime.slice(cut1, cut2), byTime.drop(cut2))
+        .map(_.map { case (u, c, _) => (u, c) })
+      val got = runCep(contiguous)
+      perUser.foreach { case (u, codes) =>
+        val truth = regexTruth(codes.mkString)
+        assert(got(u) == truth,
+          s"trial $trial user $u seq=${codes.mkString}: got ${got(u)}, want $truth")
+      }
+    }
+  }
 }
