@@ -2012,6 +2012,44 @@ object RelQueries {
         FROM b GROUP BY bin, mn, mx ORDER BY bin
       """)),
 
+    // ---- per-group equi-width histograms (round-9) ----------------------
+    // profile_histogram with a GROUP dimension: 8 bins over integer-cents
+    // l_extendedprice per l_returnflag, each group binned against ITS OWN
+    // (min, max). The group-stats relation is one row per group — joined
+    // back broadcast, so the fact table is scanned once and binning stays
+    // map-side (the grouped twin of the zscore broadcast-stats shape).
+    // Same all-BIGINT bin arithmetic → hash-exact bin membership.
+    Reg("profile_histogram_by_group",
+      (s, dir) => {
+        val xc = Tables(s, dir).lineitem
+          .select(col("l_returnflag").as("grp"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("xc"))
+        val stats = xc.groupBy(col("grp"))
+          .agg(min(col("xc")).as("mn"), max(col("xc")).as("mx"))
+        xc.join(broadcast(stats), "grp")
+          .select(col("grp"),
+            expr("least(7, ((xc - mn) * 8) div (mx - mn + 1))").as("bin"),
+            col("mn"), col("mx"))
+          .groupBy(col("grp"), col("bin"), col("mn"), col("mx"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("grp"), col("bin"),
+            expr("CAST(mn + bin * ((mx - mn + 1) div 8) AS BIGINT)").as("lo_cents_approx"),
+            col("n"))
+          .orderBy("grp", "bin")
+      },
+      Some("""
+        WITH c AS (SELECT l_returnflag AS grp,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS xc
+                   FROM lineitem),
+        st AS (SELECT grp, min(xc) AS mn, max(xc) AS mx FROM c GROUP BY 1),
+        b AS (SELECT c.grp, least(7, ((xc - mn) * 8) // (mx - mn + 1)) AS bin, mn, mx
+              FROM c JOIN st ON c.grp = st.grp)
+        SELECT grp, bin,
+               CAST(mn + bin * ((mx - mn + 1) // 8) AS BIGINT) AS lo_cents_approx,
+               count(*) AS n
+        FROM b GROUP BY grp, bin, mn, mx ORDER BY grp, bin
+      """)),
+
     // ---- null-safe equality join: <=> ↔ IS NOT DISTINCT FROM ------------
     // The one join predicate the equi-join family didn't cover: NULL keys
     // MATCH each other under <=> (Spark eqNullSafe), instead of dropping

@@ -790,6 +790,67 @@ object TextQueries {
         FROM ch ORDER BY doc_id, chunk_idx
       """)),
 
+    // ---- sequence packing: concat-and-chunk token offsets (round-9) -----
+    // The OTHER context-window prep beside chunk_documents: training
+    // pipelines concatenate the whole corpus into one token stream in a
+    // stable document order and cut it every L tokens ("packing with
+    // document splitting" — the standard GPT-style pretraining layout).
+    // The primitive underneath is a CORPUS-WIDE EXCLUSIVE PREFIX SUM of
+    // per-doc token counts, which a naive `sum() OVER (ORDER BY doc_id)`
+    // computes on ONE partition — a scale-killer. This is the
+    // distributed two-level form:
+    //   1. block = doc_id div 64; per-block cumsum via a window
+    //      PARTITIONED by block (parallel across blocks);
+    //   2. block totals (one row per block, |input|/64) get their own
+    //      running offset via a window over blocks — at fixture scale a
+    //      single tiny partition; at 100 TB you pick block ≈ √N docs so
+    //      level 2 is ~√N rows (or recurse once more), and broadcast
+    //      the offsets back.
+    // The level-2 offsets join back BROADCAST (it's the small side by
+    // construction). Output per doc: its absolute token offset, the
+    // 256-token pack its first token lands in, and how many packs it
+    // spans — enough for a reader to slice pack k without scanning its
+    // neighbors. All BIGINT arithmetic, hash-exact.
+    Reg("seq_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+            expr("doc_id div 64").as("blk"))
+        val wInBlk = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val inBlk = docs.withColumn("blk_off",
+          coalesce(sum(col("n_tokens")).over(wInBlk), lit(0L)))
+        val wBlks = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val blkOffs = docs.groupBy(col("blk"))
+          .agg(sum(col("n_tokens")).as("blk_total"))
+          .withColumn("base", coalesce(sum(col("blk_total")).over(wBlks), lit(0L)))
+          .select(col("blk"), col("base"))
+        inBlk.join(broadcast(blkOffs), "blk")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("base") + col("blk_off")).as("start_off"))
+          .select(col("doc_id"), col("n_tokens"), col("start_off"),
+            expr("start_off div 256").as("first_pack"),
+            expr("(start_off + n_tokens - 1) div 256 - start_off div 256 + 1")
+              .as("n_packs_spanned"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+              FROM t)
+        SELECT doc_id, n_tokens, start_off,
+               start_off // 256 AS first_pack,
+               (start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS n_packs_spanned
+        FROM c ORDER BY doc_id
+      """)),
+
     // ---- JSON-lines sink round-trip (corpus interchange format) ---------
     // documents → write JSONL → read back with an EXPLICIT schema → grade
     // against the base table: serialization fidelity for the format LLM
