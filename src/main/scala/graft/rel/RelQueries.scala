@@ -739,6 +739,102 @@ object RelQueries {
         FROM b
       """)),
 
+    // ---- KMV set DIFFERENCE with theta-style ERROR BOUNDS (round-9) -----
+    // Completes the theta-sketch algebra triple (union / intersection /
+    // a-not-b): |purchase \ view| estimated from the same three-sketch
+    // construction as kmv_intersection_bounds, but counting union-sketch
+    // members that land in A's sketch and NOT in B's — the theta AnotB
+    // estimator. dhat = d/kp is again a hypergeometric sample, so the
+    // same binomial 2σ band applies; the exact difference (cu − cb, by
+    // inclusion-exclusion over the exact counts riding the build) grades
+    // coverage as BIGINT 1/0. Same scale shape: one distinct pass, then
+    // sketch-row-only algebra. Sides chosen (purchase, view) to stay
+    // disjoint from the intersection (view, click) and union
+    // (click, purchase) queries' pairs.
+    Reg("kmv_difference_bounds",
+      (s, dir) => {
+        val k = 64
+        val hv = shiftright(
+          graft.text.TextOps.hash60(col("user_id").cast("string")), 16)
+        val sides = Tables(s, dir).events
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("event_type").as("side"), hv.as("hv"))
+          .distinct()
+        val tagged = sides.union(
+          sides.select(lit("union").as("side"), col("hv")).distinct())
+        val sk = tagged
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("side")).orderBy(col("hv"))))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("side"))))
+          .filter(col("rn") <= k)
+          .groupBy(col("side"))
+          .agg(sort_array(collect_list(col("hv"))).as("sk"), max(col("cnt")).as("cnt"))
+        val one = sk.groupBy().agg(
+          max(when(col("side") === "purchase", col("sk"))).as("ska"),
+          max(when(col("side") === "purchase", col("cnt"))).as("ca"),
+          max(when(col("side") === "view", col("sk"))).as("skb"),
+          max(when(col("side") === "view", col("cnt"))).as("cb"),
+          max(when(col("side") === "union", col("sk"))).as("sku"),
+          max(when(col("side") === "union", col("cnt"))).as("cu"))
+        val estU = when(col("cu") < k, col("cu").cast("double"))
+          .otherwise(lit(1108307720798208.0) / element_at(col("sku"), k))
+        val kp = least(lit(k).cast("long"), col("cu"))
+        val d = size(array_except(array_intersect(col("sku"), col("ska")),
+          col("skb"))).cast("double")
+        val dhat = d / kp
+        val se = sqrt(dhat * (lit(1.0) - dhat) / kp)
+        val exact = col("cu") - col("cb")
+        val lo = estU * greatest(lit(0.0), dhat - lit(2.0) * se)
+        val hi = estU * (dhat + lit(2.0) * se)
+        one.select(
+          exact.as("n_diff_exact"),
+          round(estU * dhat, 2).as("est_diff"),
+          round(lo, 2).as("diff_lo"),
+          round(hi, 2).as("diff_hi"),
+          when(exact.cast("double") >= lo && exact.cast("double") <= hi, 1L)
+            .otherwise(0L).as("covered_2se"))
+      },
+      Some("""
+        WITH s AS (SELECT DISTINCT event_type AS side,
+                          (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT >> 16) AS hv
+                   FROM events WHERE event_type IN ('purchase', 'view')),
+        t AS (SELECT * FROM s UNION SELECT 'union' AS side, hv FROM s),
+        r AS (SELECT side, hv,
+                     row_number() OVER (PARTITION BY side ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY side) AS cnt
+              FROM t),
+        sk AS (SELECT side, list(hv ORDER BY hv) AS sk, CAST(max(cnt) AS BIGINT) AS cnt
+               FROM r WHERE rn <= 64 GROUP BY side),
+        w AS (SELECT
+                (SELECT sk FROM sk WHERE side = 'purchase') AS ska,
+                (SELECT cnt FROM sk WHERE side = 'purchase') AS ca,
+                (SELECT sk FROM sk WHERE side = 'view') AS skb,
+                (SELECT cnt FROM sk WHERE side = 'view') AS cb,
+                (SELECT sk FROM sk WHERE side = 'union') AS sku,
+                (SELECT cnt FROM sk WHERE side = 'union') AS cu),
+        e AS (SELECT ca, cb, cu,
+                     CASE WHEN cu < 64 THEN CAST(cu AS DOUBLE)
+                          ELSE 1108307720798208.0 / sku[64] END AS est_u,
+                     CAST(len(list_filter(list_intersect(sku, ska),
+                                          x -> NOT list_contains(skb, x))) AS DOUBLE)
+                       / least(64, cu) AS dhat,
+                     least(64, cu) AS kp
+              FROM w),
+        b AS (SELECT cu - cb AS n_diff_exact, est_u, dhat,
+                     sqrt(dhat * (1.0 - dhat) / kp) AS se
+              FROM e)
+        SELECT n_diff_exact,
+               round(est_u * dhat, 2) AS est_diff,
+               round(est_u * greatest(0.0, dhat - 2.0 * se), 2) AS diff_lo,
+               round(est_u * (dhat + 2.0 * se), 2) AS diff_hi,
+               CAST(CASE WHEN CAST(n_diff_exact AS DOUBLE)
+                              >= est_u * greatest(0.0, dhat - 2.0 * se)
+                          AND CAST(n_diff_exact AS DOUBLE)
+                              <= est_u * (dhat + 2.0 * se)
+                         THEN 1 ELSE 0 END AS BIGINT) AS covered_2se
+        FROM b
+      """)),
+
     // ---- approx sketches (HLL + t-digest-style percentile) --------------
     // The estimates themselves are engine-specific, but their ACCURACY
     // CONTRACT is oracle-able: emit the exact values (SQL on both
