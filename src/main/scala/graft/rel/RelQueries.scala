@@ -2018,6 +2018,58 @@ object RelQueries {
         SELECT node, dist FROM d3 ORDER BY node
       """)),
 
+    // ---- RECURSIVE CTE: bounded path counting (round-9) -----------------
+    // Spark 4.1's WITH RECURSIVE surface, graded: 2-hop walks from the
+    // nation-1 customer seed set over the checkpointed trade graph,
+    // counting PATHS (not just reachability — bfs_hops_3 already grades
+    // min-distance; n_paths distinguishes the recursive UNION ALL
+    // semantics from the frontier-min formulation). Spark executes the
+    // recursion as iterated joins against the localCheckpointed edge
+    // view — same per-iteration scale shape as the unrolled loops, with
+    // the depth guard bounding blowup (depth < 2 → ≤ 3 levels; Spark's
+    // recursion-level limit defaults to 100). UNION ALL only: 4.1.2
+    // rejects recursive UNION DISTINCT (NEXT.md carries the note).
+    // Temp views use unique rcte_* names per the sequential contract.
+    Reg("recursive_cte_paths",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val (edges, deg) = tradeGraph(s, dir)
+        edges.createOrReplaceTempView("rcte_edges_v")
+        t.customer.filter(col("c_nationkey") === 1)
+          .select(concat(lit("c"), col("c_custkey")).as("node"))
+          .join(deg.select(col("src").as("node")), "node")
+          .createOrReplaceTempView("rcte_seeds_v")
+        s.sql("""
+          WITH RECURSIVE walk(node, depth) AS (
+            SELECT node, CAST(0 AS BIGINT) AS depth FROM rcte_seeds_v
+            UNION ALL
+            SELECT e.dst, w.depth + CAST(1 AS BIGINT)
+            FROM walk w JOIN rcte_edges_v e ON e.src = w.node
+            WHERE w.depth < 2
+          )
+          SELECT node, min(depth) AS min_dist, count(*) AS n_paths
+          FROM walk GROUP BY node ORDER BY node
+        """)
+      },
+      Some("""
+        WITH RECURSIVE e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE l_quantity >= 45),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        seeds AS (SELECT 'c' || c_custkey AS node FROM customer
+                  WHERE c_nationkey = 1
+                    AND 'c' || c_custkey IN (SELECT src FROM e)),
+        walk(node, depth) AS (
+          SELECT node, CAST(0 AS BIGINT) AS depth FROM seeds
+          UNION ALL
+          SELECT e.dst, w.depth + 1
+          FROM walk w JOIN e ON e.src = w.node
+          WHERE w.depth < 2
+        )
+        SELECT node, min(depth) AS min_dist, count(*) AS n_paths
+        FROM walk GROUP BY node ORDER BY node
+      """)),
+
     // ---- weighted PageRank (round-9) ------------------------------------
     // pagerank_3iter with EDGE WEIGHTS: each (customer, supplier) edge
     // carries the number of qualifying trades between them, and a node
