@@ -84,7 +84,15 @@ object Plans {
       "pagerank_3iter", "pagerank_personalized", "profile_histogram",
       "event_seq_error_runs", "join_null_safe_props", "data_skew_report",
       "fk_integrity_check", "bitmap_distinct_users", "try_arithmetic_audit",
-      "dedup_keep_latest")
+      "dedup_keep_latest",
+      // round-9: repeated-span dedup, persisted ANN index read path, the
+      // graph family (LPA / BFS / weighted PR / recursive CTE), CEP
+      // quantifiers, two-level prefix-sum packing, grouped histograms,
+      // KMV difference (streaming CEP stays out — eager drain)
+      "substring_dup_spans", "ann_persisted_index_topk",
+      "label_prop_3iter", "bfs_hops_3", "pagerank_weighted",
+      "recursive_cte_paths", "event_seq_quantified", "seq_packing",
+      "profile_histogram_by_group", "kmv_difference_bounds")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -173,6 +173,17 @@ object ScaleDemo {
     for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
          q <- Seq("jaccard_bigram_pairs", "semdedup_keep"))
       time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
+    // round-9 operators: the distributed two-level prefix sum under
+    // seq_packing (level 1 parallel per block, level 2 one row per
+    // block), synchronous LPA (same linear-per-iteration join shape as
+    // pagerank), and the bounded-state streaming CEP automaton (state
+    // is ~40 bytes × live keys however long the event history grows —
+    // the contrast is the batch CEP's per-user history string, which
+    // grows with events-per-user and is also timed here).
+    for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
+         q <- Seq("seq_packing", "label_prop_3iter",
+           "streaming_event_seq_cep", "event_seq_regex"))
+      time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
     time("semdedup fixed k=16 @ 10x", {
       val emb = Tables(spark, out).embeddings
       var cent = graft.vec.VecOps.seedCentroids(emb, 16)

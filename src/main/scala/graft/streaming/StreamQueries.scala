@@ -39,33 +39,43 @@ object StreamQueries {
 
   /** Streamed read of the events fixture with exact µs timestamp restore.
     * FileStreamSource forces `basePath` to the stream path itself, which
-    * must be a directory — the fixture is a single file, so it is exposed
-    * through a per-sfdir symlink directory (fixtures stay read-only). */
+    * must be a directory — a single-file fixture (the testdata layout) is
+    * exposed through a per-sfdir symlink directory (fixtures stay
+    * read-only); a directory fixture (Spark-written part files, e.g. the
+    * 10× ScaleDemo corpus) streams directly — a symlink INTO the link
+    * dir would not work there, since file listing does not recurse
+    * through a symlinked subdirectory. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val linkDir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_${graft.sources.Fixtures.md5Hex(dir)}")
-    Files.createDirectories(linkDir)
-    val link = linkDir.resolve("events.parquet")
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
+    val srcFile = Paths.get(dir, "events.parquet")
+    val streamPath =
+      if (Files.isDirectory(srcFile)) srcFile.toString
+      else {
+        val linkDir = Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_stream_${graft.sources.Fixtures.md5Hex(dir)}")
+        Files.createDirectories(linkDir)
+        val link = linkDir.resolve("events.parquet")
+        if (!Files.exists(link)) Files.createSymbolicLink(link, srcFile)
+        linkDir.toString
+      }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // probe the fixture generation's physical ts type via a batch read
     // (footer-only; see Tables.withNanosTs for the two generations),
-    // cached per link dir — every drain rep re-enters here and the
+    // cached per stream path — every drain rep re-enters here and the
     // listing+footer probe is ~50 ms × 2 sources × reps otherwise.
-    // Key includes the source file's mtime+size (the Fixtures identity
+    // Key includes the source's mtime+size (the Fixtures identity
     // pattern, ADVICE r8): a mid-JVM fixture regeneration with a
-    // different ts type must invalidate the cached schema.
-    val srcFile = Paths.get(dir, "events.parquet")
-    val tsKey = linkDir.toString + "|" +
+    // different ts type must invalidate the cached schema. (For a
+    // directory source the mtime is the directory's — Spark rewrites
+    // the whole directory on write, so it moves on regeneration.)
+    val tsKey = streamPath + "|" +
       Files.getLastModifiedTime(srcFile).toMillis + "|" + Files.size(srcFile)
     val tsType = tsTypeCache.computeIfAbsent(tsKey,
-      _ => spark.read.parquet(linkDir.toString).schema("ts").dataType)
+      _ => spark.read.parquet(streamPath).schema("ts").dataType)
     val raw = spark.readStream
       .schema(eventsRawSchema(tsType))
-      .parquet(linkDir.toString)
+      .parquet(streamPath)
     tsType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
