@@ -92,7 +92,8 @@ object Plans {
       "substring_dup_spans", "ann_persisted_index_topk",
       "label_prop_3iter", "bfs_hops_3", "pagerank_weighted",
       "recursive_cte_paths", "event_seq_quantified", "seq_packing",
-      "profile_histogram_by_group", "kmv_difference_bounds")
+      "profile_histogram_by_group", "kmv_difference_bounds",
+      "zorder_layout")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

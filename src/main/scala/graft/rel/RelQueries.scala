@@ -2160,6 +2160,48 @@ object RelQueries {
         FROM b GROUP BY bin, mn, mx ORDER BY bin
       """)),
 
+    // ---- Z-ORDER clustering layout (round-9) ----------------------------
+    // The multi-dimensional data-skipping layout a 100 TB warehouse
+    // writes its fact tables in: interleave the bits of two cluster keys
+    // (16 bits each of l_partkey/l_suppkey mod 1024) into a Morton
+    // z-value, bucket rows by z-range, and report each bucket's
+    // (min, max) on BOTH dimensions — the per-file column stats a
+    // z-clustered writer would hand to scan pruning. The graded point:
+    // z-buckets bound both keys simultaneously (each bucket's x-span
+    // AND y-span are ~1/8 of the domain at 64 buckets), which is what
+    // makes 2-predicate pruning work where a lexicographic sort bounds
+    // only the leading key. The interleave is a fold over bit positions
+    // — identical integer lambda on both engines, hash-exact; writing
+    // is just repartitionByRange(z) + sortWithinPartitions, exercised
+    // by the partitioned-write family.
+    Reg("zorder_layout",
+      (s, dir) => Tables(s, dir).lineitem
+        .select(expr("l_partkey % 1024").as("x"), expr("l_suppkey % 1024").as("y"))
+        .withColumn("z", expr("""
+          aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) ->
+            acc + shiftleft(shiftright(x, i) & 1, 2*i)
+                + shiftleft(shiftright(y, i) & 1, 2*i + 1))"""))
+        .groupBy(expr("z div 16384").as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .select(col("z_bucket"), col("n"),
+          col("x_min"), col("x_max"), (col("x_max") - col("x_min")).as("x_span"),
+          col("y_min"), col("y_max"), (col("y_max") - col("y_min")).as("y_span"))
+        .orderBy("z_bucket"),
+      Some("""
+        WITH m AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+        zv AS (SELECT x, y,
+                      CAST(list_sum(list_transform(range(0, 16), i ->
+                        (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))))
+                        AS BIGINT) AS z
+               FROM m)
+        SELECT z // 16384 AS z_bucket, count(*) AS n,
+               min(x) AS x_min, max(x) AS x_max, max(x) - min(x) AS x_span,
+               min(y) AS y_min, max(y) AS y_max, max(y) - min(y) AS y_span
+        FROM zv GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- per-group equi-width histograms (round-9) ----------------------
     // profile_histogram with a GROUP dimension: 8 bins over integer-cents
     // l_extendedprice per l_returnflag, each group binned against ITS OWN
