@@ -2177,10 +2177,15 @@ object RelQueries {
     Reg("zorder_layout",
       (s, dir) => Tables(s, dir).lineitem
         .select(expr("l_partkey % 1024").as("x"), expr("l_suppkey % 1024").as("y"))
-        .withColumn("z", expr("""
-          aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) ->
-            acc + shiftleft(shiftright(x, i) & 1, 2*i)
-                + shiftleft(shiftright(y, i) & 1, 2*i + 1))"""))
+        // straight-line 32-term interleave, not an aggregate() HOF: the
+        // higher-order fold is interpreted per element (~16 lambda evals
+        // per row) while this expands into one whole-stage-codegen
+        // arithmetic expression (2.5 s → ~0.4 s at sf0.1). Integer ops
+        // are exact, so the oracle's list_sum fold is value-identical.
+        .withColumn("z", expr((0 until 16).map(i =>
+          s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + " +
+            s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})")
+          .mkString("CAST(", " + ", " AS BIGINT)")))
         .groupBy(expr("z div 16384").as("z_bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),

@@ -1505,6 +1505,11 @@ object TextQueries {
               transform(sequence(lit(0), size(toks) - 8),
                 i => md5(concat_ws(" ", slice(toks, i + 1, lit(8))))))
               .otherwise(typedLit(Seq.empty[String]))).as(Seq("pos", "gh")))
+          // the gram relation feeds BOTH the frequency agg and the
+          // join-back; without materialization the tokenize + per-position
+          // 8-gram md5 pass (the expensive part) replays once per branch
+          // (the cms_heavy_hitters localCheckpoint rationale)
+          .localCheckpoint()
         val freq = grams.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
         val dup = grams.join(freq.filter(col("cnt") >= 2), "gh")
           .select(col("doc_id"), col("pos"))
