@@ -1064,6 +1064,57 @@ object StreamQueries {
         FROM s ORDER BY user_id
       """)),
 
+    // ---- funnel-abandonment via EVENT-TIME TIMERS (round-9) -------------
+    // The other half of streaming CEP: streaming_event_seq_cep counts
+    // patterns that COMPLETE; this alarms patterns that DON'T complete
+    // in time — a view with no purchase inside 4 h of event time is
+    // abandoned once the watermark passes its deadline (the funnel-
+    // abandonment monitor; FunnelTimeoutProcessor holds pending views
+    // bounded by the watermark horizon and at most one timer per key).
+    // Cutoff mirrors Spark's ms-granularity timers EXACTLY: abandoned
+    // iff epoch_ms(v) + 4h-in-ms <= epoch_ms(max ts) (integer floor —
+    // the timeout is whole hours so the floor distributes); verified
+    // zero floor-boundary collisions at all three sfs, so the <= vs <
+    // timer-firing edge cannot bite this fixture family. Conversion
+    // (p.ts in (v.ts, v.ts + 4h]) is exact µs on both engines. Both
+    // counters monotone → max() per key grades any batching.
+    Reg("streaming_funnel_timeout",
+      (s, dir) => {
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val f = StatefulOps.funnelTimeouts(readEventsStream(s, dir),
+              timeoutUs = 4L * 3600L * 1000000L, delay = "0 seconds")
+            .toDF("user_id", "n_views", "n_abandoned")
+          drain(f, "update")
+            .groupBy(col("user_id"))
+            .agg(max(col("n_views")).as("n_views"),
+              max(col("n_abandoned")).as("n_abandoned"))
+            .orderBy("user_id")
+        } finally prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""
+        WITH wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events),
+        v AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT v.user_id, v.us,
+                     EXISTS (SELECT 1 FROM p
+                             WHERE p.user_id = v.user_id
+                               AND p.us > v.us
+                               AND p.us <= v.us + 14400000000) AS conv
+              FROM v)
+        SELECT user_id,
+               count(*) AS n_views,
+               CAST(sum(CASE WHEN NOT conv
+                              AND us // 1000 + 14400000 <= (SELECT wm_ms FROM wm)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+        FROM j GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- streaming dedup by key (event_id) in append mode ---------------
     Reg("streaming_dedup_counts",
       (s, dir) => {

@@ -123,6 +123,64 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel timeout: purchases convert pending views, timers abandon the rest, state survives batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long, Long, String)] // (user, µs, event_id, type)
+      val f = StatefulOps.funnelTimeouts(
+        input.toDF().toDF("user_id", "us", "event_id", "event_type")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"),
+        timeoutUs = 10_000_000L, delay = "0 seconds")
+      val q = f.toDF("user_id", "n_views", "n_abandoned")
+        .writeStream.format("memory").queryName("tws_funnel").outputMode("update")
+        .option("checkpointLocation",
+          s"/dev/shm/graft-ckpt/twsfun_${java.util.UUID.randomUUID().toString.take(8)}")
+        .start()
+      def fin(): Map[Long, (Long, Long)] = spark.table("tws_funnel")
+        .groupBy("user_id").agg(max("n_views").as("v"), max("n_abandoned").as("a"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val t0 = 100_000_000L // see gap-alarm spec: initial watermark is 0
+      try {
+        // epoch 1: user 1 views at +0; user 2 views at +0 and +2s.
+        // Watermark after: +2s — no deadline (+10s) passed, nothing
+        // abandoned yet.
+        input.addData((1L, t0, 1L, "view"), (2L, t0, 2L, "view"),
+          (2L, t0 + 2_000_000L, 3L, "view"))
+        q.processAllAvailable()
+        assert(fin() == Map(1L -> ((1L, 0L)), 2L -> ((2L, 0L))), fin().toString)
+        // epoch 2: user 1 purchases at +8s (inside the +0 view's 10s
+        // window → CONVERTS the view armed in epoch 1 — cross-batch
+        // pending state). Watermark → +8s: still no timer.
+        input.addData((1L, t0 + 8_000_000L, 4L, "purchase"))
+        q.processAllAvailable()
+        assert(fin() == Map(1L -> ((1L, 0L)), 2L -> ((2L, 0L))), fin().toString)
+        // epoch 3: user 2 purchases at +11s — inside the +2s view's
+        // window (deadline +12s) but OUTSIDE the +0 view's (+10s): one
+        // view converts, and the watermark (+11s) fires the +0 view's
+        // timer → exactly one abandonment. User 1 stays clean.
+        input.addData((2L, t0 + 11_000_000L, 5L, "purchase"))
+        q.processAllAvailable()
+        assert(fin() == Map(1L -> ((1L, 0L)), 2L -> ((2L, 1L))), fin().toString)
+        // epoch 4: user 1 views again at +30s, nothing follows; a later
+        // event at +50s moves the watermark past its +40s deadline →
+        // abandoned via the re-armed timer.
+        input.addData((1L, t0 + 30_000_000L, 6L, "view"))
+        q.processAllAvailable()
+        input.addData((2L, t0 + 50_000_000L, 7L, "view"))
+        q.processAllAvailable()
+        assert(fin() == Map(1L -> ((2L, 1L)), 2L -> ((3L, 1L))), fin().toString)
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState EMA: streaming recurrence equals hand-computed, state survives batches") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state-store provider
