@@ -183,7 +183,23 @@ class PlanShapeSpec extends SparkSpec {
     // two pre-agg sides + small side broadcast + sort
     "join_null_safe_props" -> (3, 1),
     // three unioned two-level key-count aggs
-    "data_skew_report" -> (6, 0))
+    "data_skew_report" -> (6, 0),
+    // round-9 additions (graph iteratives, recursive CTE, substring
+    // dedup and the persisted ANN index localCheckpoint / write eagerly
+    // and are deliberately not listed, per the header note)
+    // two-level prefix sum: per-block window + block-totals agg + the
+    // tiny level-2 running-offset window + output sort; the block
+    // offsets come back BROADCAST — the whole point of the shape (a
+    // SortMergeJoin here would mean the prefix sum re-serialized)
+    "seq_packing" -> (4, 1),
+    // single codegen scan + agg partial/final + sort; the interleave
+    // must stay a straight-line projection (no extra exchange, no HOF)
+    "zorder_layout" -> (2, 0),
+    // per-group stats agg + BROADCAST join-back + bin agg + sort —
+    // binning stays map-side over one fact scan
+    "profile_histogram_by_group" -> (3, 1),
+    // per-user collect_list agg + sort, same as the other CEP queries
+    "event_seq_quantified" -> (2, 0))
 
   test("join_null_safe_props: <=> is a hash join, never a nested loop") {
     val df = SparkEntry.queries("join_null_safe_props")(spark, sf("sf0.001"))
