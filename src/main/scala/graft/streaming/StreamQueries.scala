@@ -1064,6 +1064,55 @@ object StreamQueries {
         FROM s ORDER BY user_id
       """)),
 
+    // ---- streaming COUNT-MIN SKETCH maintenance (round-9) ---------------
+    // The mergeable-summary-as-streaming-state shape: a CMS is additive
+    // across micro-batches, so the sketch IS a streaming aggregation —
+    // the d=4 × w=64 cell grid lives in the state store (256 keys,
+    // CONSTANT state however long the stream runs) and every batch folds
+    // its rows in via ordinary partial aggregation. No custom state code
+    // needed: that's the point of choosing mergeable summaries for
+    // streams. Cell counts are monotone → last update per cell = max().
+    // The estimate join then runs batch-side against exact per-user
+    // counts, same contract as cms_heavy_hitters (est ≥ cnt, one-sided
+    // overcount graded). Oracle replays the identical sketch in SQL.
+    Reg("streaming_cms_users",
+      (s, dir) => {
+        def bucket(rCol: org.apache.spark.sql.Column, keyCol: org.apache.spark.sql.Column) =
+          graft.text.TextOps.hash60(concat(lit("cm"), rCol, lit("_"), keyCol)) % 64
+        val cellsS = readEventsStream(s, dir)
+          .select(col("user_id"), explode(expr("array(0, 1, 2, 3)")).as("r"))
+          .withColumn("bucket", bucket(col("r"), col("user_id")))
+          .groupBy(col("r"), col("bucket")).count()
+        val cells = drain(cellsS, "update", partitions = 4)
+          .groupBy(col("r"), col("bucket")).agg(max(col("count")).as("cell"))
+        val exact = graft.Tables(s, dir).events
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        exact
+          .select(col("user_id"), col("cnt"), explode(expr("array(0, 1, 2, 3)")).as("r"))
+          .withColumn("bucket", bucket(col("r"), col("user_id")))
+          .join(cells, Seq("r", "bucket"))
+          .groupBy(col("user_id"), col("cnt")).agg(min(col("cell")).as("est"))
+          .select(col("user_id"), col("cnt"), col("est"),
+            (col("est") - col("cnt")).as("overcount"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH u AS (SELECT user_id FROM events),
+        rows_ AS (SELECT user_id, r.r,
+                         ('0x' || substr(md5('cm' || r.r || '_' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket
+                  FROM u, range(4) r(r)),
+        cells AS (SELECT r, bucket, count(*) AS cell FROM rows_ GROUP BY 1, 2),
+        exact AS (SELECT user_id, count(*) AS cnt FROM u GROUP BY 1),
+        est AS (SELECT e.user_id, e.cnt, min(c.cell) AS est
+                FROM exact e
+                JOIN range(4) r(r) ON true
+                JOIN cells c ON c.r = r.r
+                 AND c.bucket = ('0x' || substr(md5('cm' || r.r || '_' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 64
+                GROUP BY 1, 2)
+        SELECT user_id, cnt, est, est - cnt AS overcount
+        FROM est ORDER BY user_id
+      """)),
+
     // ---- funnel-abandonment via EVENT-TIME TIMERS (round-9) -------------
     // The other half of streaming CEP: streaming_event_seq_cep counts
     // patterns that COMPLETE; this alarms patterns that DON'T complete
