@@ -23,6 +23,44 @@ object RelQueries {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Per-level Hilbert xy2d transform over a 256×256 grid, as SQL text
+    * shared VERBATIM between the Spark `selectExpr` chain and the DuckDB
+    * oracle (generated, so the two engines cannot drift). Each level s ∈
+    * {128…1} emits (a) the quadrant bit pair rx/ry, then (b) the index
+    * increment s²·(3·rx + ry·(1−2·rx)) — the integer form of
+    * gray-code((3·rx) XOR ry) — plus the reflect-and-swap of the
+    * remaining low bits. Columns (x0, y0) ride along untouched for the
+    * per-bucket span report; (x, y) are consumed by the rotation.
+    * Public-domain algorithm (Hilbert 1891; the standard iterative
+    * formulation). Used by hilbert_layout and HilbertSpec. */
+  private[graft] val hilbertLevels: Seq[(Seq[String], Seq[String])] =
+    Seq(128, 64, 32, 16, 8, 4, 2, 1).map { s =>
+      (Seq("x0", "y0", "x", "y", "d",
+        s"CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx",
+        s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry"),
+        Seq("x0", "y0",
+          "CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y ELSE y END) ELSE x END AS x",
+          "CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x ELSE x END) ELSE y END AS y",
+          s"d + ${s.toLong * s} * (3 * rx + ry * (1 - 2 * rx)) AS d"))
+    }
+
+  /** DuckDB twin of hilbert_layout: the same generated level expressions
+    * nested as one chain of CTEs. */
+  private def hilbertOracle: String = {
+    val init = "SELECT l_partkey % 256 AS x0, l_suppkey % 256 AS y0, " +
+      "l_partkey % 256 AS x, l_suppkey % 256 AS y, CAST(0 AS BIGINT) AS d FROM lineitem"
+    val stages = hilbertLevels.zipWithIndex.map { case ((bits, step), i) =>
+      val src = if (i == 0) "m" else s"l${i - 1}"
+      s"l$i AS (SELECT ${step.mkString(", ")} " +
+        s"FROM (SELECT ${bits.mkString(", ")} FROM $src) t)"
+    }
+    s"""WITH m AS ($init), ${stages.mkString(",\n")}
+        SELECT d // 4096 AS h_bucket, count(*) AS n,
+               min(x0) AS x_min, max(x0) AS x_max, max(x0) - min(x0) AS x_span,
+               min(y0) AS y_min, max(y0) AS y_max, max(y0) - min(y0) AS y_span
+        FROM l7 GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Undirected high-volume trade graph (cust↔supp edges from
     * lineitem⋈orders with l_quantity ≥ 45) + out-degrees, both
     * localCheckpointed: they are loop-invariant across PageRank
@@ -2207,6 +2245,45 @@ object RelQueries {
         FROM zv GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- HILBERT clustering layout (round-9) ----------------------------
+    // zorder_layout's better-locality sibling: the Hilbert curve visits
+    // every cell of the 256×256 grid through grid-NEIGHBOR steps only
+    // (no Morton "jumps" across the domain), so consecutive index ranges
+    // map to tighter 2-D rectangles — at equal bucket count the per-
+    // bucket x/y spans come out below Morton's, which is why Hilbert is
+    // the layout of choice when both predicates matter equally. The
+    // per-level transform is the public xy2d algorithm (extract the
+    // (rx, ry) quadrant bit pair, add s²·gray(rx,ry), reflect+swap the
+    // remainder) unrolled into 8 projection pairs that Catalyst
+    // collapses into ONE whole-stage-codegen expression — same reason
+    // zorder expands its interleave instead of folding a HOF. The SQL
+    // text for every level is GENERATED ONCE and shared verbatim with
+    // the oracle, so cross-engine drift is structurally impossible;
+    // all-integer arithmetic (the XOR is expressed as 3·rx + ry·(1−2·rx),
+    // exact on both engines) keeps the mapping hash-identical. Writing
+    // the layout is repartitionByRange(h) + sortWithinPartitions, same
+    // as zorder; this query grades the mapping + the per-bucket stats
+    // contract a scan pruner would consume. HilbertSpec pins bijectivity
+    // and the unit-step neighbor property on the full 65 536-cell grid.
+    Reg("hilbert_layout",
+      (s, dir) => {
+        var df = Tables(s, dir).lineitem
+          .selectExpr("l_partkey % 256 AS x0", "l_suppkey % 256 AS y0")
+          .selectExpr("x0", "y0", "x0 AS x", "y0 AS y", "CAST(0 AS BIGINT) AS d")
+        hilbertLevels.foreach { case (bitExprs, stepExprs) =>
+          df = df.selectExpr(bitExprs: _*).selectExpr(stepExprs: _*)
+        }
+        df.groupBy(expr("d div 4096").as("h_bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x0")).as("x_min"), max(col("x0")).as("x_max"),
+            min(col("y0")).as("y_min"), max(col("y0")).as("y_max"))
+          .select(col("h_bucket"), col("n"),
+            col("x_min"), col("x_max"), (col("x_max") - col("x_min")).as("x_span"),
+            col("y_min"), col("y_max"), (col("y_max") - col("y_min")).as("y_span"))
+          .orderBy("h_bucket")
+      },
+      Some(hilbertOracle)),
+
     // ---- per-group equi-width histograms (round-9) ----------------------
     // profile_histogram with a GROUP dimension: 8 bins over integer-cents
     // l_extendedprice per l_returnflag, each group binned against ITS OWN
@@ -2417,6 +2494,210 @@ object RelQueries {
                CAST(sum(CASE WHEN den = 0 OR den IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
                CAST(sum(CASE WHEN den <> 0 THEN CAST(floor(vc / den) AS BIGINT) END) AS BIGINT) AS sum_floor_q
         FROM e GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- triangle counting via degree-ordered orientation (round-9) -----
+    // Third graph primitive beside PageRank/CC: the clustering signal.
+    // The c↔s trade graph is bipartite (zero triangles by construction —
+    // NEXT.md), so the graph here is the CO-PURCHASE projection:
+    // customers connected iff they bought the same part, with two
+    // explicit scale bounds: (1) parts touching <2 or >8 customers are
+    // dropped before pairing (the standard hot-item cut — a part bought
+    // by k customers fans out k² pairs, and ubiquitous items carry no
+    // community signal anyway), so projection fan-out is ≤ C(8,2) per
+    // part; (2) triangles are counted on DEGREE-ORDERED oriented edges
+    // (each edge points low→high by (deg, id)), which caps every node's
+    // out-degree at O(√E) — the classic bound that makes the wedge join
+    // near-linear instead of Σ deg² on skewed graphs. Each triangle has
+    // exactly one lowest vertex under the total order, so it is counted
+    // exactly once; no distinct needed after the close join. Edges are
+    // localCheckpointed: they feed degrees + both wedge legs + the
+    // closing probe (4 consumers). Output is the one-row graph summary:
+    // global clustering coefficient = 3·triangles / wedges (permille,
+    // integer-exact).
+    Reg("triangle_count",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val li = t.lineitem
+        val ord = t.orders
+        val cp = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+        val keep = cp.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+          .filter(col("pd").between(2, 8)).select(col("p"))
+        val cpb = cp.join(keep, "p")
+        val edges = cpb.as("a").join(cpb.as("b"), "p")
+          .filter(col("a.c") < col("b.c"))
+          .select(col("a.c").as("u"), col("b.c").as("v")).distinct()
+          .localCheckpoint()
+        val deg = edges.select(col("u").as("node"))
+          .union(edges.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val o = edges
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("u"))
+              .otherwise(col("v")).as("src"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("v"))
+              .otherwise(col("u")).as("dst"))
+        val tri = o.as("e1").join(o.as("e2"), "src")
+          .filter(col("e1.dst") =!= col("e2.dst"))
+          .select(col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+          .join(o.select(col("src").as("w1"), col("dst").as("w2")), Seq("w1", "w2"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val summary = deg.agg(count(lit(1)).as("n_nodes"),
+          expr("CAST(sum(deg * (deg - 1)) div 2 AS BIGINT)").as("n_wedges"))
+        val ecnt = edges.agg(count(lit(1)).as("n_edges"))
+        summary.crossJoin(broadcast(ecnt)).crossJoin(broadcast(tri))
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+            expr("CASE WHEN n_wedges > 0 THEN (3000 * n_triangles) div n_wedges ELSE 0 END")
+              .as("global_cc_permille"))
+      },
+      Some("""
+        WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        keep AS (SELECT p FROM (SELECT p, count(*) AS pd FROM cp GROUP BY 1)
+                 WHERE pd BETWEEN 2 AND 8),
+        cpb AS (SELECT c, p FROM cp WHERE p IN (SELECT p FROM keep)),
+        e AS (SELECT DISTINCT a.c AS u, b.c AS v
+              FROM cpb a JOIN cpb b ON a.p = b.p AND a.c < b.c),
+        deg AS (SELECT node, count(*) AS deg
+                FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+                GROUP BY 1),
+        o AS (SELECT CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND u < v)
+                          THEN u ELSE v END AS src,
+                     CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND u < v)
+                          THEN v ELSE u END AS dst
+              FROM e JOIN deg a ON e.u = a.node JOIN deg b ON e.v = b.node),
+        tri AS (SELECT count(*) AS n_triangles
+                FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+                JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        summ AS (SELECT count(*) AS n_nodes,
+                        CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+                 FROM deg),
+        ec AS (SELECT count(*) AS n_edges FROM e)
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges > 0 THEN (3000 * n_triangles) // n_wedges ELSE 0 END
+                 AS global_cc_permille
+        FROM summ, ec, tri
+      """)),
+
+    // ---- frequent-pair mining: brand market basket (round-9) ------------
+    // The A-Priori first ascent over order baskets: which part-BRAND
+    // pairs co-occur in the same order more often than a support floor,
+    // and with what lift. Brand is the right granularity for a graded
+    // itemset demo — the 25-value domain bounds the output at C(25,2)
+    // rows and per-order fan-out at C(|brands in order|, 2), while raw
+    // partkeys at fixture scale have support ≈ 1 everywhere (no signal).
+    // Support floor is RELATIVE (pair in ≥ 2% of orders: supp·50 ≥ N) so
+    // the query grades identically at every sf. Lift in integer
+    // permille: supp_ab·N·1000 div (supp_a·supp_b) — BIGINT-exact, no
+    // float ratio. Shape at 100 TB: one distinct + one bounded
+    // self-join keyed by order + two hash-aggs; the brand-support
+    // relation is 25 rows, broadcast back. A-Priori's monotonicity
+    // prefilter (drop items below the floor before pairing) is what the
+    // support floor enables at item granularity — noted, not needed at
+    // 25 brands.
+    Reg("basket_brand_pairs",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val li = t.lineitem
+        val pt = t.part
+        val ob = li.join(pt, li("l_partkey") === pt("p_partkey"))
+          .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+          .localCheckpoint()
+        val sup = ob.groupBy(col("b")).agg(count(lit(1)).as("supp"))
+        val tot = ob.agg(countDistinct(col("o")).as("n_orders"))
+        val pairs = ob.as("x").join(ob.as("y"), "o")
+          .filter(col("x.b") < col("y.b"))
+          .groupBy(col("x.b").as("ba"), col("y.b").as("bb"))
+          .agg(count(lit(1)).as("supp_ab"))
+        pairs.crossJoin(broadcast(tot))
+          .filter(col("supp_ab") * 50 >= col("n_orders"))
+          .join(broadcast(sup.select(col("b").as("ba"), col("supp").as("supp_a"))), "ba")
+          .join(broadcast(sup.select(col("b").as("bb"), col("supp").as("supp_b"))), "bb")
+          .select(col("ba"), col("bb"), col("supp_ab"), col("supp_a"), col("supp_b"),
+            expr("(supp_ab * n_orders * 1000) div (supp_a * supp_b)").as("lift_permille"))
+          .orderBy("ba", "bb")
+      },
+      Some("""
+        WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        sup AS (SELECT b, count(*) AS supp FROM ob GROUP BY 1),
+        tot AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+        pairs AS (SELECT x.b AS ba, y.b AS bb, count(*) AS supp_ab
+                  FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+                  GROUP BY 1, 2)
+        SELECT ba, bb, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+               (supp_ab * n_orders * 1000) // (sa.supp * sb.supp) AS lift_permille
+        FROM pairs CROSS JOIN tot
+        JOIN sup sa ON sa.b = ba JOIN sup sb ON sb.b = bb
+        WHERE supp_ab * 50 >= n_orders
+        ORDER BY ba, bb
+      """)),
+
+    // ---- HLL sparse-vs-dense register demonstration (round-9) -----------
+    // The HLL++ storage insight graded at register level: a sketch over
+    // a SMALL distinct domain leaves most of its m=64 registers at zero,
+    // so the sparse encoding (list of set (idx, rho) pairs) beats the
+    // dense m-byte array — which is exactly why HLL++ starts sparse and
+    // densifies on a size threshold (Heule et al. 2013, public). Two
+    // domains side by side: event_type (5 values → sparse wins) and
+    // user_id (floods all 64 registers → dense wins). Registers are
+    // EXACT integers here — idx = h60 mod 64, rho = NLZ(h60 div 64 in a
+    // 54-bit window) + 1 = 55 − bitlength(rest) — via the portable md5
+    // hash60 and length(bin(x)) (both engines print unpadded binary),
+    // so the whole register file is hash-graded, not an estimate with
+    // engine-specific float error. Per-domain output: register count,
+    // non-zero registers, the sparse/dense byte sizes (4-byte pair vs
+    // 1 byte/register), the mode HLL++ would pick, and the register-sum
+    // digest. Shape: one explode-free pass per domain, 64-key hash agg —
+    // register files are mergeable state, the same max()-fold the
+    // streaming twin uses.
+    Reg("hll_sparse_mode",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        def sketch(keyCol: org.apache.spark.sql.Column, label: String) = ev
+          .select(graft.text.TextOps.hash60(concat(lit("hll_"), keyCol)).as("h"))
+          .selectExpr("h % 64 AS idx", "h div 64 AS rest")
+          .selectExpr("idx",
+            "CAST(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END AS BIGINT) AS rho")
+          .groupBy(col("idx")).agg(max(col("rho")).as("rho"))
+          .agg(count(lit(1)).as("n_registers_set"),
+            sum(col("rho")).as("rho_sum"), max(col("rho")).as("rho_max"))
+          .select(lit(label).as("domain"), lit(64L).as("m"), col("n_registers_set"),
+            col("rho_sum"), col("rho_max"),
+            (col("n_registers_set") * 4L).as("sparse_bytes"), lit(64L).as("dense_bytes"),
+            when(col("n_registers_set") * 4L < 64L, lit("sparse"))
+              .otherwise(lit("dense")).as("mode"))
+        sketch(col("event_type"), "event_type")
+          .unionAll(sketch(col("user_id").cast("string"), "user_id"))
+          .orderBy("domain")
+      },
+      Some("""
+        WITH k AS (
+          SELECT 'event_type' AS domain,
+                 ('0x' || substr(md5('hll_' || event_type), 1, 15))::BIGINT AS h
+          FROM events
+          UNION ALL
+          SELECT 'user_id' AS domain,
+                 ('0x' || substr(md5('hll_' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events),
+        r AS (SELECT domain, h % 64 AS idx,
+                     CASE WHEN h // 64 = 0 THEN 55
+                          ELSE 55 - length(bin(h // 64)) END AS rho
+              FROM k),
+        regs AS (SELECT domain, idx, max(rho) AS rho FROM r GROUP BY 1, 2),
+        summ AS (SELECT domain, count(*) AS n_registers_set,
+                        sum(rho) AS rho_sum, max(rho) AS rho_max
+                 FROM regs GROUP BY 1)
+        SELECT domain, CAST(64 AS BIGINT) AS m, n_registers_set,
+               CAST(rho_sum AS BIGINT) AS rho_sum, rho_max,
+               n_registers_set * 4 AS sparse_bytes, CAST(64 AS BIGINT) AS dense_bytes,
+               CASE WHEN n_registers_set * 4 < 64 THEN 'sparse' ELSE 'dense' END AS mode
+        FROM summ ORDER BY domain
       """))
   )
 }

@@ -2061,6 +2061,156 @@ object TsQueries {
                CAST(round(value * 100) AS BIGINT) AS last_value_cents
         FROM r WHERE rn = 1
         ORDER BY user_id, event_type
+      """)),
+
+    // ---- interval merge / coverage (round-9) ----------------------------
+    // The overlap-union primitive sessionize_30m is NOT: sessionize merges
+    // POINTS by gap, this merges INTERVALS by overlap — each event opens a
+    // 5-minute [ts, ts+300 s) activity lease, overlapping/touching leases
+    // fuse, and the per-user report is the merged-island count, total
+    // covered µs and longest island (the uptime/SLA-coverage shape; also
+    // the span-coalescing pass a substring-dedup consumer runs before
+    // cutting). Classic gaps-and-islands: ONE window partitioned by user
+    // — running max of interval end over preceding rows, island breaks
+    // where start > that max (half-open touching MERGES: start == end is
+    // not a gap), islands keyed by the running break sum, then one hash
+    // agg. All integer µs. At 100 TB both the window and the agg key on
+    // user_id — partition-local, no join, linear.
+    Reg("interval_merge_coverage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val prevEnd = ord.rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir).events
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("en", col("us") + 300000000L)
+          .withColumn("pmax", max(col("en")).over(prevEnd))
+          .withColumn("brk",
+            when(col("pmax").isNull || col("us") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(ord))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("us")).as("lo"), max(col("en")).as("hi"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("hi") - col("lo")).as("covered_us"),
+            max(col("hi") - col("lo")).as("max_island_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                           epoch_us(ts) + 300000000 AS en
+                    FROM events),
+        m AS (SELECT user_id, us, en,
+                     max(en) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+                     event_id
+              FROM iv),
+        b AS (SELECT user_id, us, en,
+                     CASE WHEN pmax IS NULL OR us > pmax THEN 1 ELSE 0 END AS brk,
+                     event_id
+              FROM m),
+        isl AS (SELECT user_id, us, en,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM b),
+        g AS (SELECT user_id, island, min(us) AS lo, max(en) AS hi
+              FROM isl GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_islands,
+               CAST(sum(hi - lo) AS BIGINT) AS covered_us,
+               max(hi - lo) AS max_island_us
+        FROM g GROUP BY 1 ORDER BY user_id
+      """)),
+
+    // ---- SCD Type 2 history build (round-9) -----------------------------
+    // The dimension-versioning twin of dedup_keep_latest (which keeps the
+    // CURRENT row; this keeps the FULL version chain): treat each user's
+    // event stream as a CDC feed of their "state" (event_type), collapse
+    // consecutive runs of the same state (only CHANGES open a version),
+    // and emit [valid_from, valid_to) intervals — valid_to = next
+    // version's valid_from, NULL on the open current version, plus the
+    // version ordinal. Two windows over the same (user, ts, event_id)
+    // order — one lag() to mark changes, one lead() AFTER the run
+    // collapse for the interval close — both partition-local on user_id
+    // at any scale; no join. This is how a warehouse derives an
+    // as-of-queryable dimension from an append-only changelog.
+    Reg("scd2_user_state",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val chg = Tables(s, dir).events
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(ord))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        val vord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        chg
+          .withColumn("version", row_number().over(vord))
+          .withColumn("valid_to_ts", lead(col("ts"), 1).over(vord))
+          .select(col("user_id"), col("version"), col("event_type").as("state"),
+            date_format(col("ts"), fmt).as("valid_from"),
+            date_format(col("valid_to_ts"), fmt).as("valid_to"),
+            when(col("valid_to_ts").isNull, 1L).otherwise(0L).as("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""
+        WITH o AS (SELECT user_id, ts, event_id, event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS prev
+                   FROM events),
+        chg AS (SELECT user_id, ts, event_id, event_type FROM o
+                WHERE prev IS NULL OR prev <> event_type),
+        v AS (SELECT user_id, event_type, ts,
+                     CAST(row_number() OVER w AS INT) AS version,
+                     lead(ts) OVER w AS valid_to_ts
+              FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, version, event_type AS state,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM v ORDER BY user_id, version
+      """)),
+
+    // ---- seasonal-naive forecast evaluation (round-9) -------------------
+    // The baseline every production forecaster is graded against:
+    // predict each (event_type, hour) mean by the SAME HOUR YESTERDAY,
+    // and report per-type MAE + signed error sum. The prior hour comes
+    // from an equi-join on (type, hour − 24 h) — NOT lag(24): the hourly
+    // series has gaps, and a row-offset lag would silently compare
+    // different clock hours (the gap_detect lesson). Hourly means are
+    // integer cents div count (floor; all values ≥ 0, so trunc == floor
+    // cross-engine — the twap discipline); MAE numerator is non-negative
+    // so its div is exact too; the signed bias is emitted as a SUM (no
+    // integer division on a possibly-negative number, where Spark
+    // truncates toward zero but DuckDB floors). Shapes: one hash agg to
+    // hourly grain, one self-equi-join on (type, hour) — co-partitioned,
+    // map-side after one shuffle — one final agg.
+    Reg("forecast_snaive_mae",
+      (s, dir) => {
+        val hourly = Tables(s, dir).events
+          .groupBy(col("event_type"),
+            unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+          .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)").as("mean_c"))
+          .localCheckpoint()
+        val pred = hourly.select(col("event_type"),
+          (col("hour_us") + 86400000000L).as("hour_us"), col("mean_c").as("pred_c"))
+        hourly.join(pred, Seq("event_type", "hour_us"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pred"),
+            expr("sum(abs(mean_c - pred_c)) div count(*)").as("mae_cents"),
+            sum(col("mean_c") - col("pred_c")).as("err_sum_cents"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH h AS (SELECT event_type,
+                          epoch_us(date_trunc('hour', ts)) AS hour_us,
+                          sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS mean_c
+                   FROM events GROUP BY 1, 2),
+        j AS (SELECT a.event_type, a.mean_c, p.mean_c AS pred_c
+              FROM h a JOIN h p ON p.event_type = a.event_type
+                               AND p.hour_us = a.hour_us - 86400000000)
+        SELECT event_type, count(*) AS n_pred,
+               CAST(sum(abs(mean_c - pred_c)) // count(*) AS BIGINT) AS mae_cents,
+               CAST(sum(mean_c - pred_c) AS BIGINT) AS err_sum_cents
+        FROM j GROUP BY 1 ORDER BY 1
       """))
   )
 }
