@@ -1224,7 +1224,43 @@ object StreamQueries {
       (s, dir) => semdedupIncrementalRun(s, dir,
         graft.sources.Fixtures.ensureEmbeddingStreamFiles(s, dir, n = 3),
         graft.sources.Fixtures.md5Hex(dir)),
-      Some(graft.vec.VecQueries.semdedupKeepOracle))
+      Some(graft.vec.VecQueries.semdedupKeepOracle)),
+
+    // ---- streaming HLL register maintenance (round-9) -------------------
+    // streaming_cms_users' max-merge sibling: a CMS folds by SUM, an HLL
+    // register file folds by MAX — together they cover both mergeable-
+    // sketch semirings with zero custom state code. The m = 64 register
+    // file (idx = h60 mod 64, rho = NLZ+1 in the remaining 54-bit
+    // window, exactly hll_sparse_mode's portable arithmetic) lives in
+    // the state store as an ordinary max() aggregation — CONSTANT ≤ 64
+    // keys of state for an unbounded stream, and registers from any
+    // partitioning of the input merge to the same file (max is
+    // commutative/idempotent), which is the whole reason HLL unions are
+    // free at 100 TB. Update-mode re-emissions re-max() batch-side; the
+    // oracle replays the register file over the same user domain.
+    Reg("streaming_hll_registers",
+      (s, dir) => {
+        val regs = readEventsStream(s, dir)
+          .select(graft.text.TextOps.hash60(
+            concat(lit("hll_"), col("user_id").cast("string"))).as("h"))
+          .selectExpr("h % 64 AS idx", "h div 64 AS rest")
+          .selectExpr("idx",
+            "CAST(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END AS BIGINT) AS rho")
+          .groupBy(col("idx")).agg(max(col("rho")).as("rho"))
+        drain(regs, "update", partitions = 4)
+          .groupBy(col("idx")).agg(max(col("rho")).as("rho"))
+          .orderBy("idx")
+      },
+      Some("""
+        WITH k AS (SELECT ('0x' || substr(md5('hll_' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                   FROM events),
+        r AS (SELECT h % 64 AS idx,
+                     CASE WHEN h // 64 = 0 THEN 55
+                          ELSE 55 - length(bin(h // 64)) END AS rho
+              FROM k)
+        SELECT idx, CAST(max(rho) AS BIGINT) AS rho
+        FROM r GROUP BY 1 ORDER BY idx
+      """))
   )
 
   /** Incremental-semdedup core behind `streaming_semdedup_keep`, srcDir

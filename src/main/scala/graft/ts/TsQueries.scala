@@ -2211,6 +2211,129 @@ object TsQueries {
                CAST(sum(abs(mean_c - pred_c)) // count(*) AS BIGINT) AS mae_cents,
                CAST(sum(mean_c - pred_c) AS BIGINT) AS err_sum_cents
         FROM j GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- marketing attribution: last-touch within 24 h (round-9) --------
+    // For every purchase, the ad-tech question: which click/view gets the
+    // credit? Last-touch = the most recent touch event by the same user
+    // strictly before the purchase (order (ts, event_id) — deterministic
+    // under ts ties) and within a 24 h lookback. Spark-first shape: NOT a
+    // purchases⋈touches range join (which re-scans each user's touch
+    // history per purchase) but ONE ordered pass per user —
+    // last(..., ignoreNulls) over a rows-unbounded-preceding window
+    // carries the latest touch forward along each user's own timeline, so
+    // the cost is a single per-user sort whatever the touch:purchase
+    // ratio. The three carried columns (id/ts/type) come from the SAME
+    // last non-null row because touches populate all three together.
+    // Window state is O(1) per user; partition-by-user parallelizes
+    // (the asof window-form argument). Out-of-window / no-touch
+    // purchases attribute to sentinel (-1, 'none') so the row set stays
+    // exactly the purchase set.
+    Reg("attribution_last_touch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        def touch(c: org.apache.spark.sql.Column) =
+          last(when(col("event_type").isin("click", "view"), c), ignoreNulls = true).over(w)
+        Tables(s, dir).events
+          .withColumn("t_id", touch(col("event_id")))
+          .withColumn("t_ts", touch(col("ts")))
+          .withColumn("t_type", touch(col("event_type")))
+          .filter(col("event_type") === "purchase")
+          .withColumn("in_w", col("t_ts").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("t_ts")) <= 86400000000L)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            date_format(col("ts"), fmt).as("purchase_ts"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"),
+            when(col("in_w"), col("t_id")).otherwise(lit(-1L)).as("touch_id"),
+            when(col("in_w"), col("t_type")).otherwise(lit("none")).as("touch_type"),
+            when(col("in_w"),
+              expr("(unix_micros(ts) - unix_micros(t_ts)) div 60000000"))
+              .otherwise(lit(-1L)).as("mins_since_touch"))
+          .orderBy("purchase_id")
+      },
+      Some("""
+        WITH o AS (
+          SELECT event_id, user_id, ts, event_type, value,
+                 last_value(CASE WHEN event_type IN ('click','view')
+                                 THEN event_id END IGNORE NULLS) OVER w AS t_id,
+                 last_value(CASE WHEN event_type IN ('click','view')
+                                 THEN ts END IGNORE NULLS) OVER w AS t_ts,
+                 last_value(CASE WHEN event_type IN ('click','view')
+                                 THEN event_type END IGNORE NULLS) OVER w AS t_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        p AS (SELECT *,
+                     t_ts IS NOT NULL
+                       AND epoch_us(ts) - epoch_us(t_ts) <= 86400000000 AS in_w
+              FROM o WHERE event_type = 'purchase')
+        SELECT event_id AS purchase_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               CASE WHEN in_w THEN t_id ELSE -1 END AS touch_id,
+               CASE WHEN in_w THEN t_type ELSE 'none' END AS touch_type,
+               CAST(CASE WHEN in_w
+                         THEN (epoch_us(ts) - epoch_us(t_ts)) // 60000000
+                         ELSE -1 END AS BIGINT) AS mins_since_touch
+        FROM p ORDER BY purchase_id
+      """)),
+
+    // ---- CUSUM changepoint detection (round-9) --------------------------
+    // Page's cumulative-sum statistic (1954, public) over each type's
+    // daily mean series: the day where |Σ(xᵢ − x̄)| peaks is the
+    // single-changepoint estimate (the max-|CUSUM| estimator). Exactness
+    // discipline: deviations are scaled by n (dev = mean·n − Σmean) so NO
+    // division touches a possibly-negative number anywhere — sums of
+    // integers only, bit-identical cross-engine. Ties on the peak break
+    // to the EARLIEST day via a max-join + min(day) (never arg_max, whose
+    // tie choice is engine-defined). Shapes: one hash agg to daily grain,
+    // one full-partition window (per type — bounded by days-per-type),
+    // one running window, one 5-row broadcast-sized max join.
+    Reg("cusum_changepoint",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables(s, dir).events
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)").as("mean_c"))
+        val seg = Window.partitionBy(col("event_type"))
+        val run = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val c = daily
+          .withColumn("gsum", sum(col("mean_c")).over(seg))
+          .withColumn("gcnt", count(lit(1)).over(seg))
+          .withColumn("cusum",
+            sum(col("mean_c") * col("gcnt") - col("gsum")).over(run))
+        val m = c.groupBy(col("event_type"))
+          .agg(max(abs(col("cusum"))).as("max_abs"), count(lit(1)).as("n_days"))
+        c.join(m, Seq("event_type"))
+          .filter(abs(col("cusum")) === col("max_abs"))
+          .groupBy(col("event_type"), col("max_abs"), col("n_days"))
+          .agg(min(col("day")).as("cday"))
+          .select(col("event_type"), date_format(col("cday"), "yyyy-MM-dd").as("change_day"),
+            col("max_abs").as("max_abs_dev"), col("n_days"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS mean_c
+                   FROM events GROUP BY 1, 2),
+        g AS (SELECT *, sum(mean_c) OVER (PARTITION BY event_type) AS gsum,
+                     count(*) OVER (PARTITION BY event_type) AS gcnt
+              FROM d),
+        c AS (SELECT event_type, day,
+                     sum(mean_c * gcnt - gsum) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+              FROM g),
+        m AS (SELECT event_type, max(abs(cusum)) AS max_abs, count(*) AS n_days
+              FROM c GROUP BY 1)
+        SELECT c.event_type, strftime(min(c.day), '%Y-%m-%d') AS change_day,
+               CAST(m.max_abs AS BIGINT) AS max_abs_dev,
+               CAST(m.n_days AS BIGINT) AS n_days
+        FROM c JOIN m ON m.event_type = c.event_type AND abs(c.cusum) = m.max_abs
+        GROUP BY c.event_type, m.max_abs, m.n_days
+        ORDER BY c.event_type
       """))
   )
 }
