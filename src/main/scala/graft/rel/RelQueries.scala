@@ -2698,6 +2698,117 @@ object RelQueries {
                n_registers_set * 4 AS sparse_bytes, CAST(64 AS BIGINT) AS dense_bytes,
                CASE WHEN n_registers_set * 4 < 64 THEN 'sparse' ELSE 'dense' END AS mode
         FROM summ ORDER BY domain
+      """)),
+
+    // ---- RFM customer segmentation (round-9) ----------------------------
+    // The classic CRM scoring: Recency (days since last order, against
+    // the corpus max date), Frequency (order count), Monetary (lifetime
+    // cents), each banded 1-4. Bands use FIXED domain thresholds, not
+    // ntile — a global ntile is a single-partition window (the
+    // user_growth_daily caveat) and its breakpoints drift with every data
+    // change; fixed cutoffs are a pure map over the per-customer agg, so
+    // the whole query is one shuffle (the groupBy) plus a broadcast
+    // one-row anchor join. Thresholds bracket the fixture medians
+    // (f: 10, m: 2.5e8 cents, recency: 169 d) so all bands populate.
+    Reg("rfm_segments",
+      (s, dir) => {
+        val agg = Tables(s, dir).orders.groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_dt"),
+            count(lit(1)).as("frequency"),
+            expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("monetary_cents"))
+        val anchor = agg.agg(max(col("last_dt")).as("anchor"))
+        agg.crossJoin(broadcast(anchor))
+          .withColumn("recency_days",
+            datediff(to_date(col("anchor")), to_date(col("last_dt"))).cast("long"))
+          .withColumn("r_score",
+            when(col("recency_days") <= 90, 4L).when(col("recency_days") <= 180, 3L)
+              .when(col("recency_days") <= 365, 2L).otherwise(1L))
+          .withColumn("f_score",
+            when(col("frequency") >= 15, 4L).when(col("frequency") >= 10, 3L)
+              .when(col("frequency") >= 5, 2L).otherwise(1L))
+          .withColumn("m_score",
+            when(col("monetary_cents") >= 300000000L, 4L)
+              .when(col("monetary_cents") >= 200000000L, 3L)
+              .when(col("monetary_cents") >= 100000000L, 2L).otherwise(1L))
+          .select(col("o_custkey").as("custkey"), col("recency_days"),
+            col("frequency"), col("monetary_cents"),
+            col("r_score"), col("f_score"), col("m_score"),
+            concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+          .orderBy("custkey")
+      },
+      Some("""
+        WITH a AS (SELECT o_custkey, max(o_orderdate) AS last_dt,
+                          count(*) AS frequency,
+                          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+                   FROM orders GROUP BY 1),
+        x AS (SELECT max(last_dt) AS anchor FROM a),
+        s AS (SELECT a.*, datediff('day', CAST(last_dt AS DATE), CAST(anchor AS DATE)) AS recency_days
+              FROM a, x),
+        sc AS (SELECT *,
+                 CASE WHEN recency_days <= 90 THEN 4 WHEN recency_days <= 180 THEN 3
+                      WHEN recency_days <= 365 THEN 2 ELSE 1 END AS r_score,
+                 CASE WHEN frequency >= 15 THEN 4 WHEN frequency >= 10 THEN 3
+                      WHEN frequency >= 5 THEN 2 ELSE 1 END AS f_score,
+                 CASE WHEN monetary_cents >= 300000000 THEN 4
+                      WHEN monetary_cents >= 200000000 THEN 3
+                      WHEN monetary_cents >= 100000000 THEN 2 ELSE 1 END AS m_score
+               FROM s)
+        SELECT o_custkey AS custkey, CAST(recency_days AS BIGINT) AS recency_days,
+               frequency, CAST(monetary_cents AS BIGINT) AS monetary_cents,
+               CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+        FROM sc ORDER BY custkey
+      """)),
+
+    // ---- Gini concentration per market segment (round-9) ----------------
+    // Revenue-inequality audit: the Gini coefficient of customer lifetime
+    // revenue within each c_mktsegment, from the rank formulation
+    // G = Σ(2i − n − 1)xᵢ / (n Σx) over the ascending (cents, custkey)
+    // order — integer-exact (numerator is a sum of int64 products,
+    // non-negative by the ascending order, ONE division at the end,
+    // emitted permille). Customers with no orders count as zeros — a
+    // left join, not an inner one; dropping them silently deflates
+    // inequality. The rank window partitions by segment (bounded per
+    // segment; at 100 TB segment-partitioned rank is a sort per segment,
+    // the honest cost of an exact Gini — the approximate path would bin
+    // into a fixed histogram first). Overflow bound: n·Σx·1000 at sf0.1
+    // ≈ 1.4e18 < 2^63; beyond that, band the cents first.
+    Reg("gini_by_segment",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val rev = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(coalesce(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))"), lit(0L))
+            .as("cents"))
+        val ord = Window.partitionBy(col("c_mktsegment")).orderBy(col("cents"), col("c_custkey"))
+        val seg = Window.partitionBy(col("c_mktsegment"))
+        rev.withColumn("i", row_number().over(ord).cast("long"))
+          .withColumn("n", count(lit(1)).over(seg))
+          .withColumn("tot", sum(col("cents")).over(seg))
+          .groupBy(col("c_mktsegment"), col("n"), col("tot"))
+          .agg(sum((lit(2L) * col("i") - col("n") - 1L) * col("cents")).as("gnum"))
+          .select(col("c_mktsegment").as("segment"), col("n").as("n_customers"),
+            col("tot").as("total_cents"),
+            expr("(gnum * 1000) div (n * tot)").as("gini_permille"))
+          .orderBy("segment")
+      },
+      Some("""
+        WITH rev AS (SELECT c_custkey, c_mktsegment,
+                            coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS cents
+                     FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                     GROUP BY 1, 2),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY cents, c_custkey) AS i,
+                     count(*) OVER (PARTITION BY c_mktsegment) AS n,
+                     sum(cents) OVER (PARTITION BY c_mktsegment) AS tot
+              FROM rev)
+        SELECT c_mktsegment AS segment, CAST(n AS BIGINT) AS n_customers,
+               CAST(tot AS BIGINT) AS total_cents,
+               CAST(sum((2 * i - n - 1) * cents) * 1000 // (n * tot) AS BIGINT) AS gini_permille
+        FROM r GROUP BY c_mktsegment, n, tot
+        ORDER BY segment
       """))
   )
 }

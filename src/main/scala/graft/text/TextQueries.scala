@@ -1639,6 +1639,64 @@ object TextQueries {
                JOIN sz sb ON sb.doc_id = i.b_id
         WHERE inter * 10 >= (sa.l + sb.l - inter) * 7
         ORDER BY a_id, b_id
+      """)),
+
+    // ---- PMI collocation mining (round-9) -------------------------------
+    // Pointwise mutual information over adjacent word pairs — the classic
+    // collocation detector (Church & Hanks 1990, public). Graded in LIFT
+    // space, not log space: lift = P(ab)/(P(a)P(b)) =
+    // cnt_ab·Tu²/(Tb·cnt_a·cnt_b) (PMI = log lift, monotone — same
+    // ranking) because log is float and floats don't hash-match; the
+    // product Tu²·cnt_ab overflows int64 at sf0.1 (~6.6e19) so BOTH
+    // sides compute it in wide exact integers — Spark DECIMAL(38,0) with
+    // integral `div`, DuckDB HUGEINT with `//` — then emit permille as
+    // BIGINT. Shapes: one unigram agg, one bigram agg (positional
+    // transform, NOT a self-join), two small-dim joins onto the bigram
+    // counts, one broadcast one-row totals join; all linear, no shuffle
+    // carries anything wider than a counted pair.
+    Reg("pmi_top_bigrams",
+      (s, dir) => {
+        val toks = Tables(s, dir).documents
+          .select(TextOps.tokens(col("text")).as("ws"))
+          .localCheckpoint() // feeds unigram AND bigram explodes once
+        val uni = toks.select(explode(col("ws")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        val bi = toks.select(explode(
+            when(size(col("ws")) >= 2, expr(
+              """transform(sequence(1, size(ws) - 1),
+                 i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+              .otherwise(expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
+            .as("b"))
+          .select(col("b.w1"), col("b.w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt_ab"))
+        val tot = uni.agg(sum(col("cnt")).as("tu"))
+          .crossJoin(bi.agg(sum(col("cnt_ab")).as("tb")))
+        bi.join(uni.select(col("w").as("w1"), col("cnt").as("cnt_a")), "w1")
+          .join(uni.select(col("w").as("w2"), col("cnt").as("cnt_b")), "w2")
+          .crossJoin(broadcast(tot))
+          .filter(col("cnt_ab") >= 5)
+          .select(col("w1"), col("w2"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
+            expr("""CAST((CAST(cnt_ab AS DECIMAL(38,0)) * tu * tu * 1000)
+                    div (CAST(tb AS DECIMAL(38,0)) * cnt_a * cnt_b) AS BIGINT)""")
+              .as("lift_permille"))
+          .orderBy("w1", "w2")
+      },
+      Some("""
+        WITH t AS (SELECT string_split(trim(text), ' ') AS ws FROM documents),
+        uni AS (SELECT unnest(ws) AS w FROM t),
+        uc AS (SELECT w, count(*) AS cnt FROM uni GROUP BY 1),
+        bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+               FROM t, unnest(generate_series(1, len(ws) - 1)) u(i)
+               WHERE len(ws) >= 2),
+        bc AS (SELECT w1, w2, count(*) AS cnt_ab FROM bi GROUP BY 1, 2),
+        tot AS (SELECT (SELECT count(*) FROM uni) AS tu,
+                       (SELECT count(*) FROM bi) AS tb)
+        SELECT b.w1, b.w2, b.cnt_ab, a.cnt AS cnt_a, c.cnt AS cnt_b,
+               CAST((CAST(b.cnt_ab AS HUGEINT) * tu * tu * 1000)
+                    // (CAST(tb AS HUGEINT) * a.cnt * c.cnt) AS BIGINT) AS lift_permille
+        FROM bc b JOIN uc a ON a.w = b.w1 JOIN uc c ON c.w = b.w2, tot
+        WHERE b.cnt_ab >= 5
+        ORDER BY w1, w2
       """))
   )
 }

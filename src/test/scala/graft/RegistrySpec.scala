@@ -52,7 +52,7 @@ class RegistrySpec extends AnyFunSuite {
       "neardup_signal_agreement", "distinct_counts", "curation_funnel",
       "funnel_ordered_steps", "join_cardinality_estimate",
       "kmv_set_ops_users", "kmv_intersection_bounds",
-      "kmv_difference_bounds",
+      "kmv_difference_bounds", "triangle_count",
       // single global-aggregate row; its only ORDER BYs are inside
       // list(... ORDER BY rk) aggregates, which the strip removes
       "zipf_slope_corpus")
