@@ -123,6 +123,39 @@ object Fixtures {
     path.toString
   }
 
+  /** Multi-file copy of the distinct part-name token domain (tok, cnt)
+    * for the streaming edit-distance twin: `n` range-partitioned parquet
+    * files so `maxFilesPerTrigger=1` feeds the token universe in n real
+    * increments. Each distinct token appears in EXACTLY one file with
+    * its global count — the arrival-order contract the incremental
+    * variant index relies on. Same identity-key + atomic-rename
+    * discipline as the other stream copies. */
+  def ensureTokenStreamFiles(spark: SparkSession, dir: String,
+                             n: Int = 3): String = synchronized {
+    val src = Paths.get(dir, "part.parquet")
+    val key = md5Hex(
+      dir + "|tok|" + n + "|" + Files.getLastModifiedTime(src).toMillis +
+        "|" + Files.size(src))
+    val path: Path = Paths.get(s"/dev/shm/graft-tokstream/$key")
+    if (!Files.exists(path)) {
+      val tmp = Paths.get(path.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      import org.apache.spark.sql.functions.{count, explode, lit, split}
+      graft.Tables(spark, dir).part
+        .select(explode(split(col("p_name"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .repartitionByRange(n, col("tok"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.createDirectories(path.getParent)
+      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            | _: java.nio.file.AccessDeniedException =>
+          delete(tmp)
+      }
+    }
+    path.toString
+  }
+
   /** Directory children as a materialized list, stream closed. */
   private def listChildren(dir: Path): Seq[Path] = {
     val s = Files.list(dir)

@@ -1260,8 +1260,88 @@ object StreamQueries {
               FROM k)
         SELECT idx, CAST(max(rho) AS BIGINT) AS rho
         FROM r GROUP BY 1 ORDER BY idx
+      """)),
+
+    // ---- streaming edit-distance-1 pair discovery (round-9) -------------
+    // The incremental twin of editdist1_pairs: the token universe arrives
+    // in micro-batches and the SymSpell deletion-neighborhood index is
+    // maintained as a persisted store (the streaming_semdedup_keep store
+    // lifecycle applied to strings). Per batch: explode the new tokens'
+    // O(len) deletion variants, append them to the index, and equi-join
+    // ONLY the new variants against the full index — so a pair is
+    // discovered in the batch where its later token arrives, candidate
+    // work stays proportional to new-tokens × len whatever the index
+    // size, and it is NEVER all-pairs. The final pair set equals the
+    // batch query's by the neighborhood-intersection theorem, whatever
+    // the arrival order — the same monotone-accumulation argument as the
+    // incremental semdedup. Oracle: the brute levenshtein ≤ 1 self-join
+    // over the same token domain (= editdist1_pairs' contract).
+    Reg("streaming_editdist_pairs",
+      (s, dir) => editdistIncrementalRun(s, dir,
+        graft.sources.Fixtures.ensureTokenStreamFiles(s, dir, n = 3),
+        graft.sources.Fixtures.md5Hex(dir)),
+      Some("""
+        WITH t AS (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part),
+        c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
+        SELECT a.tok AS tok_a, a.cnt AS cnt_a, b.tok AS tok_b, b.cnt AS cnt_b
+        FROM c a, c b
+        WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+        ORDER BY tok_a, tok_b
       """))
   )
+
+  /** Incremental editdist core behind `streaming_editdist_pairs`; srcDir
+    * and scratch tag injected so a spec can feed alternative splits and
+    * assert arrival-order independence against the batch result. */
+  private[graft] def editdistIncrementalRun(s: SparkSession, dir: String,
+      srcDir: String, tag: String): DataFrame = {
+    val store = s"/dev/shm/graft-editdist/store_$tag"
+    val pairsOut = s"/dev/shm/graft-editdist/pairs_$tag"
+    val ckpt = s"/dev/shm/graft-ckpt/editdist_$tag"
+    rmrf(new java.io.File(store)); rmrf(new java.io.File(pairsOut))
+    rmrf(new java.io.File(ckpt))
+    val tokSchema = StructType(Seq(
+      StructField("tok", StringType), StructField("cnt", LongType)))
+    val stream = s.readStream.schema(tokSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val vars = batch.select(col("tok"), col("cnt"), explode(expr(
+            """array_union(array(tok),
+               transform(sequence(1, length(tok)),
+                 i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1, length(tok)))))"""))
+            .as("v"))
+          // one part-file per batch (the semdedup store rationale): the
+          // index is re-read every batch, so shuffle-partition-many tiny
+          // files per batch would make the read-back dominate the drain
+          vars.coalesce(1).write.mode("append").parquet(store)
+          val all = sp.read.parquet(store)
+          val pairs = vars
+            .select(col("v"), col("tok").as("ntok"), col("cnt").as("ncnt"))
+            .join(all.select(col("v"), col("tok").as("otok"), col("cnt").as("ocnt")), "v")
+            .filter(col("ntok") =!= col("otok"))
+            .select(
+              when(col("ntok") < col("otok"), col("ntok")).otherwise(col("otok")).as("tok_a"),
+              when(col("ntok") < col("otok"), col("ncnt")).otherwise(col("ocnt")).as("cnt_a"),
+              when(col("ntok") < col("otok"), col("otok")).otherwise(col("ntok")).as("tok_b"),
+              when(col("ntok") < col("otok"), col("ocnt")).otherwise(col("ncnt")).as("cnt_b"))
+            .distinct()
+            .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
+          pairs.coalesce(1).write.mode("append").parquet(pairsOut)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // a pair can surface twice (both endpoints in one batch match each
+    // other through the index's copy of each) — dedup once at the end
+    s.read.parquet(pairsOut).distinct().orderBy("tok_a", "tok_b")
+  }
 
   /** Incremental-semdedup core behind `streaming_semdedup_keep`, srcDir
     * and scratch tag injected so StreamingSemDedupSpec can feed it
