@@ -2334,6 +2334,111 @@ object TsQueries {
         FROM c JOIN m ON m.event_type = c.event_type AND abs(c.cusum) = m.max_abs
         GROUP BY c.event_type, m.max_abs, m.n_days
         ORDER BY c.event_type
+      """)),
+
+    // ---- interval OVERLAP join via hour-bucket banding (round-9) --------
+    // Which user sessions were live during an error incident? An
+    // interval×interval overlap join — the two-sided sibling of the
+    // keyed range_join_views. Spark-first shape: explode each interval
+    // into the hour buckets it covers and equi-join on the bucket, so
+    // the candidate set is (pairs sharing an hour), NEVER the cartesian
+    // of the two relations — the standard banding that keeps big×big
+    // interval joins shuffle-joinable at 100 TB (bucket width trades
+    // fan-out vs candidate precision; 1 h ≈ the p99 interval span
+    // here). A pair spanning k shared buckets surfaces k times →
+    // groupBy the interval identity, then the exact overlap predicate
+    // filters false bucket-mates. Inputs are both derived in one
+    // ordered pass each: 30-min-gap user sessions (per-user window)
+    // and 10-min-gap global error incidents (a single-partition window
+    // over ERRORS ONLY — a deliberately bounded domain, ~20% of events,
+    // the user_growth_daily discipline; at larger scale shard incidents
+    // by calendar day first).
+    Reg("interval_overlap_join",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir).events
+        val uw = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sess = e
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev", lag(col("us"), 1).over(uw))
+          .withColumn("new_s",
+            when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid",
+            sum(col("new_s")).over(uw.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+        val gw = Window.orderBy(col("ts"), col("event_id"))
+        val inc = e.filter(col("event_type") === "error")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev", lag(col("us"), 1).over(gw))
+          .withColumn("new_i",
+            when(col("prev").isNull || col("us") - col("prev") > 600000000L, 1L)
+              .otherwise(0L))
+          .withColumn("iid",
+            sum(col("new_i")).over(gw.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("iid"))
+          .agg(min(col("us")).as("i_start"), max(col("us")).as("i_end"))
+        val sb = sess.select(col("user_id"), col("s_start"), col("s_end"),
+          explode(expr("sequence(s_start div 3600000000, s_end div 3600000000)")).as("bkt"))
+        val ib = inc.select(col("iid"), col("i_start"), col("i_end"),
+          explode(expr("sequence(i_start div 3600000000, i_end div 3600000000)")).as("bkt"))
+        sb.join(ib, "bkt")
+          .filter(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
+          .groupBy(col("user_id"), col("s_start"), col("s_end"),
+            col("iid"), col("i_start"), col("i_end"))
+          .agg(count(lit(1)).as("n_shared_buckets"))
+          .select(col("user_id"),
+            date_format(timestamp_micros(col("s_start")), fmt).as("s_start_ts"),
+            date_format(timestamp_micros(col("s_end")), fmt).as("s_end_ts"),
+            col("iid"),
+            date_format(timestamp_micros(col("i_start")), fmt).as("i_start_ts"),
+            date_format(timestamp_micros(col("i_end")), fmt).as("i_end_ts"),
+            (least(col("s_end"), col("i_end")) -
+              greatest(col("s_start"), col("i_start"))).as("overlap_us"),
+            col("n_shared_buckets"))
+          .orderBy("user_id", "s_start_ts", "iid")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id, us,
+                      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+                      event_id
+               FROM ev),
+        s2 AS (SELECT user_id, us, event_id,
+                      CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+               FROM s1),
+        s3 AS (SELECT user_id, us,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM s2),
+        sess AS (SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
+                 FROM s3 GROUP BY 1, 2),
+        e1 AS (SELECT us, event_id, lag(us) OVER (ORDER BY us, event_id) AS prev
+               FROM ev WHERE event_type = 'error'),
+        e2 AS (SELECT us, event_id,
+                      CASE WHEN prev IS NULL OR us - prev > 600000000 THEN 1 ELSE 0 END AS new_i
+               FROM e1),
+        e3 AS (SELECT us,
+                      sum(new_i) OVER (ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+               FROM e2),
+        inc AS (SELECT CAST(iid AS BIGINT) AS iid, min(us) AS i_start, max(us) AS i_end
+                FROM e3 GROUP BY 1)
+        SELECT s.user_id,
+               strftime(make_timestamp(s.s_start), '%Y-%m-%d %H:%M:%S') AS s_start_ts,
+               strftime(make_timestamp(s.s_end), '%Y-%m-%d %H:%M:%S') AS s_end_ts,
+               i.iid,
+               strftime(make_timestamp(i.i_start), '%Y-%m-%d %H:%M:%S') AS i_start_ts,
+               strftime(make_timestamp(i.i_end), '%Y-%m-%d %H:%M:%S') AS i_end_ts,
+               CAST(least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start) AS BIGINT)
+                 AS overlap_us,
+               CAST(least(s.s_end // 3600000000, i.i_end // 3600000000)
+                    - greatest(s.s_start // 3600000000, i.i_start // 3600000000)
+                    + 1 AS BIGINT) AS n_shared_buckets
+        FROM sess s JOIN inc i
+          ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+        ORDER BY s.user_id, s_start_ts, i.iid
       """))
   )
 }
