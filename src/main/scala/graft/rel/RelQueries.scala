@@ -2809,6 +2809,118 @@ object RelQueries {
                CAST(sum((2 * i - n - 1) * cents) * 1000 // (n * tot) AS BIGINT) AS gini_permille
         FROM r GROUP BY c_mktsegment, n, tot
         ORDER BY segment
+      """)),
+
+    // ---- Bellman-Ford 3-round weighted shortest path (round-9) ----------
+    // bfs_hops_3's weighted sibling: cheapest trade-cost path from the
+    // nation-1 customer seed set, 3 relaxation rounds of the distributed
+    // Bellman-Ford recurrence dist' = min(dist, min over in-edges
+    // (dist[u] + w)). Edge weight = the MIN trade cents on the (c, s)
+    // pair — integer, so dist sums are exact and min() is
+    // order-independent (no float accumulation anywhere). Same scale
+    // shape as the other graph iteratives: the weighted edge relation is
+    // loop-invariant and localCheckpointed once (without it lazy eval
+    // replays the join+agg build per round); each round is one
+    // edges⋈frontier equi-join plus a min-agg — k rounds, k shuffles,
+    // no per-round growth beyond the reachable set.
+    Reg("bellman_ford_3",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val li = t.lineitem
+        val ord = t.orders
+        val e0 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .filter(col("l_quantity") >= 45)
+          .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .agg(expr("min(CAST(round(l_extendedprice * 100) AS BIGINT))").as("w"))
+        val edges = e0
+          .unionAll(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .localCheckpoint()
+        val nodes = edges.select(col("src").as("node")).distinct()
+        var dist = t.customer.filter(col("c_nationkey") === 1)
+          .select(concat(lit("c"), col("c_custkey")).as("node"), lit(0L).as("dist"))
+          .join(nodes, "node")
+        for (_ <- 1 to 3) {
+          val next = edges.join(dist, edges("src") === dist("node"))
+            .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+          dist = dist.union(next).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        }
+        dist.orderBy("node")
+      },
+      Some("""
+        WITH ew AS (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+                           min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE l_quantity >= 45 GROUP BY 1, 2),
+        e AS (SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew),
+        d0 AS (SELECT 'c' || c_custkey AS node, CAST(0 AS BIGINT) AS dist
+               FROM customer
+               WHERE c_nationkey = 1 AND 'c' || c_custkey IN (SELECT src FROM e)),
+        d1 AS (SELECT node, min(dist) AS dist FROM (
+                 SELECT node, dist FROM d0
+                 UNION ALL
+                 SELECT e.dst, d.dist + e.w FROM e JOIN d0 d ON e.src = d.node)
+               GROUP BY 1),
+        d2 AS (SELECT node, min(dist) AS dist FROM (
+                 SELECT node, dist FROM d1
+                 UNION ALL
+                 SELECT e.dst, d.dist + e.w FROM e JOIN d1 d ON e.src = d.node)
+               GROUP BY 1),
+        d3 AS (SELECT node, min(dist) AS dist FROM (
+                 SELECT node, dist FROM d2
+                 UNION ALL
+                 SELECT e.dst, d.dist + e.w FROM e JOIN d2 d ON e.src = d.node)
+               GROUP BY 1)
+        SELECT node, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY node
+      """)),
+
+    // ---- chi-square contingency report (round-9) ------------------------
+    // Independence audit of event_type × day-of-week: per-cell observed
+    // count, expected count, and chi-square contribution. Graded under
+    // the repo's exact-integer contract: the dow index is computed from
+    // epoch days ((days + 4) % 7, 0 = Sunday) on BOTH engines — never
+    // dayofweek(), whose numbering differs engine-to-engine — and each
+    // cell's contribution is the DEFINED integer quantity
+    // ((O·N − r·c)² · 1000) div (r·c·N) with the square taken in
+    // DECIMAL(38,0)/HUGEINT (O·N reaches ~3e8 at sf0.1; its square
+    // clears int64). Shapes: one hash agg to cells; row/col/grand
+    // totals as windows over the 35-cell relation — zero joins.
+    Reg("contingency_chi2",
+      (s, dir) => {
+        val cells = Tables(s, dir).events
+          .groupBy(col("event_type"),
+            expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+          .agg(count(lit(1)).as("obs"))
+        val byType = Window.partitionBy(col("event_type"))
+        val byDow = Window.partitionBy(col("dow"))
+        val all = Window.partitionBy()
+        cells
+          .withColumn("r", sum(col("obs")).over(byType))
+          .withColumn("c", sum(col("obs")).over(byDow))
+          .withColumn("n", sum(col("obs")).over(all))
+          .select(col("event_type"), col("dow"), col("obs"),
+            expr("(r * c * 1000) div n").as("expected_permille"),
+            expr("""CAST((CAST(obs * n - r * c AS DECIMAL(38,0))
+                          * CAST(obs * n - r * c AS DECIMAL(38,0)) * 1000)
+                    div (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)""")
+              .as("contrib_permille"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""
+        WITH cells AS (SELECT event_type,
+                              (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                              count(*) AS obs
+                       FROM events GROUP BY 1, 2),
+        tot AS (SELECT *, sum(obs) OVER (PARTITION BY event_type) AS r,
+                       sum(obs) OVER (PARTITION BY dow) AS c,
+                       sum(obs) OVER () AS n
+                FROM cells)
+        SELECT event_type, CAST(dow AS BIGINT) AS dow, obs,
+               CAST((r * c * 1000) // n AS BIGINT) AS expected_permille,
+               CAST((CAST(obs * n - r * c AS HUGEINT)
+                     * CAST(obs * n - r * c AS HUGEINT) * 1000)
+                    // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS contrib_permille
+        FROM tot ORDER BY event_type, dow
       """))
   )
 }
