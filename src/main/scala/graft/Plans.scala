@@ -93,7 +93,19 @@ object Plans {
       "label_prop_3iter", "bfs_hops_3", "pagerank_weighted",
       "recursive_cte_paths", "event_seq_quantified", "seq_packing",
       "profile_histogram_by_group", "kmv_difference_bounds",
-      "zorder_layout")
+      "zorder_layout",
+      // round-9 close: layout/graph/basket/sketch/interval/SCD2/forecast
+      // seven, then the final batch — prefix-filtered Jaccard (broadcast
+      // set verify), attribution single-pass window, CUSUM, RFM map-only
+      // scoring, per-segment Gini, wide-integer PMI, banded interval
+      // overlap, weighted Bellman-Ford, chi-square cells (streaming HLL/
+      // editdist twins stay out — eager drains)
+      "hilbert_layout", "triangle_count", "basket_brand_pairs",
+      "hll_sparse_mode", "interval_merge_coverage", "scd2_user_state",
+      "forecast_snaive_mae",
+      "jaccard_prefix_join", "attribution_last_touch", "cusum_changepoint",
+      "rfm_segments", "gini_by_segment", "pmi_top_bigrams",
+      "interval_overlap_join", "bellman_ford_3", "contingency_chi2")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -96,7 +96,8 @@ object ScaleDemo {
     // interrupted run that wrote lineitem but not orders/part would
     // otherwise leave a permanently half-built fixture that later runs
     // never repair (ADVICE r8); overwrite mode makes the re-run safe
-    if (Seq("lineitem.parquet", "orders.parquet", "part.parquet")
+    if (Seq("lineitem.parquet", "orders.parquet", "part.parquet",
+            "customer.parquet")
           .exists(p => !java.nio.file.Files.exists(outPath.resolve(p)))) {
       val t = Tables(spark, base)
       val off = 100000000L
@@ -126,6 +127,12 @@ object ScaleDemo {
           col("p_retailprice"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/part.parquet")
+      (0 until copies).map { k =>
+        t.customer.select((col("c_custkey") + k * off).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
       println(s"[scale] star shards built at $out")
     }
 
@@ -183,6 +190,19 @@ object ScaleDemo {
     for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
          q <- Seq("seq_packing", "label_prop_3iter",
            "streaming_event_seq_cep", "event_seq_regex"))
+      time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
+    // round-9 close: prefix-filtered exact Jaccard (the 10× corpus also
+    // 10×es the VOCABULARY — per-copy word suffixes make the copies'
+    // shingle spaces disjoint, so prefix candidates never cross copies
+    // and the join scales linearly; this is the Zipf-realistic regime
+    // the 1× fixture's 31-word vocabulary denies, which is exactly why
+    // the graded query bounds its input with the md5 half-sample), the
+    // hour-banded interval overlap join (bucket fan-out ∝ rows), and
+    // weighted Bellman-Ford (3 linear relaxations; 10 disjoint
+    // subgraphs at 10×).
+    for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
+         q <- Seq("jaccard_prefix_join", "interval_overlap_join",
+           "bellman_ford_3"))
       time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
     time("semdedup fixed k=16 @ 10x", {
       val emb = Tables(spark, out).embeddings
