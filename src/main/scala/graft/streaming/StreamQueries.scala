@@ -1262,6 +1262,38 @@ object StreamQueries {
         FROM r GROUP BY 1 ORDER BY idx
       """)),
 
+    // ---- streaming last-touch attribution (round-9) ---------------------
+    // The O(1)-state streaming twin of attribution_last_touch: the state
+    // store remembers ONE touch per user (~30 bytes) and each purchase is
+    // attributed the moment it arrives — the form that serves attribution
+    // live at 100 TB/day, where the batch window pass would re-sort the
+    // full history. Same cross-batch contract as streaming_event_seq_cep
+    // (event-time-ordered arrival; in-batch sort by (ts, event_id));
+    // every purchase emits exactly once, so the drain needs no re-agg.
+    Reg("streaming_attribution",
+      (s, dir) => {
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val att = StatefulOps
+            .lastTouchAttribution(readEventsStream(s, dir), 86400000000L)
+            .toDF("purchase_id", "user_id", "ts_us", "value_cents",
+              "touch_id", "touch_type", "mins_since_touch")
+          drain(att, "update", partitions = 4)
+            .select(col("purchase_id"), col("user_id"),
+              date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss")
+                .as("purchase_ts"),
+              col("value_cents"), col("touch_id"), col("touch_type"),
+              col("mins_since_touch"))
+            .orderBy("purchase_id")
+        } finally prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some(graft.ts.TsQueries.attributionOracleSql)),
+
     // ---- streaming edit-distance-1 pair discovery (round-9) -------------
     // The incremental twin of editdist1_pairs: the token universe arrives
     // in micro-batches and the SymSpell deletion-neighborhood index is

@@ -17,6 +17,37 @@ object TsQueries {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Oracle shared by `attribution_last_touch` and its streaming twin
+    * `streaming_attribution` — one contract, two engines' worth of
+    * implementations on the Spark side (window pass vs O(1)-state
+    * processor). Edits apply to both or neither. */
+  private[graft] val attributionOracleSql: String = """
+        WITH o AS (
+          SELECT event_id, user_id, ts, event_type, value,
+                 last_value(CASE WHEN event_type IN ('click','view')
+                                 THEN event_id END IGNORE NULLS) OVER w AS t_id,
+                 last_value(CASE WHEN event_type IN ('click','view')
+                                 THEN ts END IGNORE NULLS) OVER w AS t_ts,
+                 last_value(CASE WHEN event_type IN ('click','view')
+                                 THEN event_type END IGNORE NULLS) OVER w AS t_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        p AS (SELECT *,
+                     t_ts IS NOT NULL
+                       AND epoch_us(ts) - epoch_us(t_ts) <= 86400000000 AS in_w
+              FROM o WHERE event_type = 'purchase')
+        SELECT event_id AS purchase_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               CASE WHEN in_w THEN t_id ELSE -1 END AS touch_id,
+               CASE WHEN in_w THEN t_type ELSE 'none' END AS touch_type,
+               CAST(CASE WHEN in_w
+                         THEN (epoch_us(ts) - epoch_us(t_ts)) // 60000000
+                         ELSE -1 END AS BIGINT) AS mins_since_touch
+        FROM p ORDER BY purchase_id
+      """
+
   val all: Seq[Reg] = Seq(
 
     Reg("candles_1h",
@@ -2253,32 +2284,7 @@ object TsQueries {
               .otherwise(lit(-1L)).as("mins_since_touch"))
           .orderBy("purchase_id")
       },
-      Some("""
-        WITH o AS (
-          SELECT event_id, user_id, ts, event_type, value,
-                 last_value(CASE WHEN event_type IN ('click','view')
-                                 THEN event_id END IGNORE NULLS) OVER w AS t_id,
-                 last_value(CASE WHEN event_type IN ('click','view')
-                                 THEN ts END IGNORE NULLS) OVER w AS t_ts,
-                 last_value(CASE WHEN event_type IN ('click','view')
-                                 THEN event_type END IGNORE NULLS) OVER w AS t_type
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        p AS (SELECT *,
-                     t_ts IS NOT NULL
-                       AND epoch_us(ts) - epoch_us(t_ts) <= 86400000000 AS in_w
-              FROM o WHERE event_type = 'purchase')
-        SELECT event_id AS purchase_id, user_id,
-               strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-               CAST(round(value * 100) AS BIGINT) AS value_cents,
-               CASE WHEN in_w THEN t_id ELSE -1 END AS touch_id,
-               CASE WHEN in_w THEN t_type ELSE 'none' END AS touch_type,
-               CAST(CASE WHEN in_w
-                         THEN (epoch_us(ts) - epoch_us(t_ts)) // 60000000
-                         ELSE -1 END AS BIGINT) AS mins_since_touch
-        FROM p ORDER BY purchase_id
-      """)),
+      Some(attributionOracleSql)),
 
     // ---- CUSUM changepoint detection (round-9) --------------------------
     // Page's cumulative-sum statistic (1954, public) over each type's

@@ -275,6 +275,49 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("last-touch attribution: touch state crosses micro-batches; lookback and sentinels hold") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long, Long, String, Double)]
+      val att = StatefulOps.lastTouchAttribution(
+        input.toDF().toDF("user_id", "us", "event_id", "event_type", "value")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"),
+        lookbackUs = 1000L)
+      val name = s"tws_att_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = att.toDF("pid", "user", "ts_us", "cents", "tid", "ttype", "mins")
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .option("checkpointLocation", s"/dev/shm/graft-ckpt/$name")
+        .start()
+      try {
+        // epoch 1: user 1 clicks (id 10) at t=100; user 2 purchases with
+        // NO prior touch (sentinel case)
+        input.addData((1L, 100L, 10L, "click", 1.0), (2L, 150L, 11L, "purchase", 2.0))
+        q.processAllAvailable()
+        // epoch 2: user 1 purchases at t=900 — the click state must have
+        // crossed the batch boundary (in-window: 800 <= 1000)
+        input.addData((1L, 900L, 12L, "purchase", 3.0))
+        q.processAllAvailable()
+        // epoch 3: user 1 purchases again at t=2000 — same remembered
+        // click, now OUT of the 1000 µs lookback → sentinel
+        input.addData((1L, 2000L, 13L, "purchase", 4.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(4), r.getString(5))).toSet
+      assert(rows == Set(
+        (11L, -1L, "none"),  // no touch ever
+        (12L, 10L, "click"), // state crossed the epoch boundary
+        (13L, -1L, "none")), // remembered touch outside lookback
+        s"got $rows")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("CEP automaton: state crosses micro-batches (match spanning an epoch boundary)") {
     // user 1: "vce" + "vp" = "vcevp" → v[ce]*p matches once ("vp" — the
     // first v's attempt fails at the second v, the scan resumes there);
