@@ -2445,6 +2445,77 @@ object TsQueries {
         FROM sess s JOIN inc i
           ON s.s_start <= i.i_end AND i.i_start <= s.s_end
         ORDER BY s.user_id, s_start_ts, i.iid
+      """)),
+
+    // ---- Mann-Kendall trend test (round-9) ------------------------------
+    // The nonparametric monotone-trend test (Mann 1945 / Kendall 1975,
+    // public) over each type's daily mean series: S = Σ_{i<j}
+    // sign(xⱼ − xᵢ) with the tie-adjusted variance
+    // Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)] / 18. Everything integer:
+    // S and the pair counts from a per-type day-ordered self-join (O(n²)
+    // per series where n = DAYS — calendar-bounded, the honest cost of
+    // the exact statistic; at decade scale pre-aggregate to weeks), the
+    // variance emitted as its ×18 numerator so no division or sqrt ever
+    // runs (the consumer computes Z; sqrt is float and would not
+    // hash-match). Tie groups come from one extra value-grouped agg.
+    Reg("mann_kendall_trend",
+      (s, dir) => {
+        val daily = Tables(s, dir).events
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)").as("mean_c"))
+          .localCheckpoint() // feeds the pair join (twice) and the tie agg
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+          .select(col("a.event_type").as("event_type"),
+            when(col("b.mean_c") > col("a.mean_c"), 1L)
+              .when(col("b.mean_c") < col("a.mean_c"), -1L).otherwise(0L).as("sgn"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("sgn")).as("s_stat"),
+            sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_neg"),
+            sum(when(col("sgn") === 0L, 1L).otherwise(0L)).as("n_tie_pairs"))
+        val ties = daily.groupBy(col("event_type"), col("mean_c"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n_distinct_vals"),
+            sum(col("t")).as("n_days"),
+            sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("tie_adj"))
+        pairs.join(ties, "event_type")
+          .select(col("event_type"), col("n_days"), col("s_stat"),
+            col("n_pos"), col("n_neg"), col("n_tie_pairs"),
+            (col("n_days") * (col("n_days") - 1L) * (lit(2L) * col("n_days") + 5L)
+              - col("tie_adj")).as("var18"),
+            when(col("s_stat") > 0, lit("increasing"))
+              .when(col("s_stat") < 0, lit("decreasing"))
+              .otherwise(lit("none")).as("trend"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS mean_c
+                   FROM events GROUP BY 1, 2),
+        p AS (SELECT a.event_type,
+                     CASE WHEN b.mean_c > a.mean_c THEN 1
+                          WHEN b.mean_c < a.mean_c THEN -1 ELSE 0 END AS sgn
+              FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day),
+        ps AS (SELECT event_type, sum(sgn) AS s_stat,
+                      sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n_pos,
+                      sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n_neg,
+                      sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS n_tie_pairs
+               FROM p GROUP BY 1),
+        tg AS (SELECT event_type, mean_c, count(*) AS t FROM d GROUP BY 1, 2),
+        ts_ AS (SELECT event_type, count(*) AS n_distinct_vals, sum(t) AS n_days,
+                       sum(t * (t - 1) * (2 * t + 5)) AS tie_adj
+                FROM tg GROUP BY 1)
+        SELECT p.event_type, CAST(n_days AS BIGINT) AS n_days,
+               CAST(s_stat AS BIGINT) AS s_stat,
+               CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+               CAST(n_tie_pairs AS BIGINT) AS n_tie_pairs,
+               CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_adj AS BIGINT) AS var18,
+               CASE WHEN s_stat > 0 THEN 'increasing'
+                    WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
+        FROM ps p JOIN ts_ USING (event_type)
+        ORDER BY p.event_type
       """))
   )
 }
