@@ -2516,6 +2516,57 @@ object TsQueries {
                     WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
         FROM ps p JOIN ts_ USING (event_type)
         ORDER BY p.event_type
+      """)),
+
+    // ---- Theil–Sen slope estimator (round-9) ----------------------------
+    // Mann-Kendall's companion (Theil 1950 / Sen 1968, public): the
+    // robust trend MAGNITUDE = median of all pairwise slopes
+    // (xⱼ − xᵢ)/(dayⱼ − dayᵢ). Exactness discipline: each pair's slope
+    // is the DEFINED integer (Δcents · 1000) div Δdays (Δdays > 0 by
+    // the join predicate; Δcents may be negative but BOTH engines
+    // truncate integral division toward zero — verified this host),
+    // and the median is the LOWER median picked by row_number selection
+    // — never percentile()/quantile(), whose interpolation is float.
+    // Ties in slope value make the row_number tie order irrelevant: any
+    // order yields the same SELECTED VALUE. Same calendar-bounded O(n²)
+    // pair join as mann_kendall_trend.
+    Reg("theil_sen_slope",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables(s, dir).events
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)").as("mean_c"))
+        val slopes = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+          .select(col("a.event_type").as("event_type"),
+            expr("""((b.mean_c - a.mean_c) * 1000)
+                    div (datediff(CAST(b.day AS DATE), CAST(a.day AS DATE)))""")
+              .as("slope_pm"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("slope_pm"))
+        slopes
+          .withColumn("rn", row_number().over(w))
+          .withColumn("m", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .filter(col("rn") === expr("(m + 1) div 2"))
+          .select(col("event_type"), col("m").as("n_pairs"),
+            col("slope_pm").as("median_slope_cents_per_day_x1000"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS mean_c
+                   FROM events GROUP BY 1, 2),
+        p AS (SELECT a.event_type,
+                     ((b.mean_c - a.mean_c) * 1000)
+                       // datediff('day', CAST(a.day AS DATE), CAST(b.day AS DATE)) AS slope_pm
+              FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day),
+        r AS (SELECT event_type, slope_pm,
+                     row_number() OVER (PARTITION BY event_type ORDER BY slope_pm) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS m
+              FROM p)
+        SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+               CAST(slope_pm AS BIGINT) AS median_slope_cents_per_day_x1000
+        FROM r WHERE rn = (m + 1) // 2
+        ORDER BY event_type
       """))
   )
 }
