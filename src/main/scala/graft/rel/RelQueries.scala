@@ -2921,6 +2921,54 @@ object RelQueries {
                      * CAST(obs * n - r * c AS HUGEINT) * 1000)
                     // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS contrib_permille
         FROM tot ORDER BY event_type, dow
+      """)),
+
+    // ---- Benford leading-digit audit (round-9) --------------------------
+    // The fraud/data-quality classic (Newcomb 1881 / Benford 1938,
+    // public): leading-digit distribution of order totals (in cents —
+    // spans ~3 decades, the Benford precondition) against the expected
+    // P(d) = log10(1 + 1/d). The expected values are FIXED LITERAL ppm
+    // constants shared verbatim by both engines — log10 at runtime is
+    // float and would not hash-match; a nine-entry literal table is the
+    // portable form. Everything else is exact: digit = first character
+    // of the positive integer cents, deviation = obs_ppm − exp_ppm with
+    // obs_ppm an integral division. One scan, one 9-row agg.
+    Reg("benford_digit_audit",
+      (s, dir) => {
+        val expPpm = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+          4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+          8 -> 51153L, 9 -> 45757L)
+        val expCase = expPpm.map { case (d, p) => s"WHEN digit = $d THEN ${p}L" }
+          .mkString("CASE ", " ", " END")
+        val cells = Tables(s, dir).orders
+          .select(expr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+            .as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+        cells
+          .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+          .select(col("digit"), col("obs"),
+            expr("(obs * 1000000) div n").as("obs_ppm"),
+            expr(expCase).as("exp_ppm"))
+          .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+          .orderBy("digit")
+      },
+      Some("""
+        WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                   FROM orders),
+        c AS (SELECT digit, count(*) AS obs FROM d GROUP BY 1),
+        t AS (SELECT *, sum(obs) OVER () AS n FROM c)
+        SELECT digit, obs,
+               CAST((obs * 1000000) // n AS BIGINT) AS obs_ppm,
+               CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                    WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+                    WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                    WHEN 9 THEN 45757 END AS BIGINT) AS exp_ppm,
+               CAST((obs * 1000000) // n - CASE digit WHEN 1 THEN 301030
+                    WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                    WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
+                    WHEN 8 THEN 51153 WHEN 9 THEN 45757 END AS BIGINT) AS dev_ppm
+        FROM t ORDER BY digit
       """))
   )
 }

@@ -1701,6 +1701,60 @@ object TextQueries {
         FROM bc b JOIN uc a ON a.w = b.w1 JOIN uc c ON c.w = b.w2, tot
         WHERE b.cnt_ab >= 5
         ORDER BY w1, w2
+      """)),
+
+    // ---- vocabulary growth curve / Heaps' law audit (round-9) -----------
+    // How fast does the vocabulary grow as the corpus is ingested in
+    // doc_id order? The empirical Heaps curve V(n) at ten prefix
+    // checkpoints — the corpus-planning input for tokenizer vocab sizing
+    // (the log-log slope is Heaps' β; fitting it is float, so the graded
+    // output is the exact integer CURVE and the consumer fits). Each
+    // token contributes at the decile where its FIRST document lands:
+    // one min-agg per token, dmin = ⌈rf·10/n⌉ by integer arithmetic,
+    // a 10-row spine left-join (deciles with no new tokens emit 0), one
+    // 10-row cumulative window. The doc-rank window is a single
+    // partition over the DOC relation (doc-count-bounded, not
+    // token-bounded; at corpus scale use seq_packing's two-level form).
+    Reg("vocab_growth_curve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+          .withColumn("r", row_number().over(Window.orderBy(col("doc_id"))))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val firsts = docs.select(col("r"), explode(col("ws")).as("w"))
+          .groupBy(col("w")).agg(min(col("r")).as("rf"))
+        val newTok = firsts.crossJoin(broadcast(n))
+          .select(expr("(rf * 10 + n - 1) div n").as("decile"))
+          .groupBy(col("decile")).agg(count(lit(1)).as("new_tokens"))
+        val spine = Tables(s, dir).documents.sparkSession
+          .range(1, 11).select(col("id").as("decile"))
+        spine.join(newTok, Seq("decile"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("decile"), expr("(decile * n + 9) div 10").as("docs_in_prefix"),
+            coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+          .withColumn("vocab_size", sum(col("new_tokens")).over(
+            Window.orderBy(col("decile"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .orderBy("decile")
+      },
+      Some("""
+        WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS ws,
+                             row_number() OVER (ORDER BY doc_id) AS r
+                      FROM documents),
+        n AS (SELECT count(*) AS n FROM docs),
+        f AS (SELECT w, min(r) AS rf
+              FROM (SELECT r, unnest(ws) AS w FROM docs) GROUP BY 1),
+        nt AS (SELECT (rf * 10 + n.n - 1) // n.n AS decile, count(*) AS new_tokens
+               FROM f, n GROUP BY 1),
+        sp AS (SELECT unnest(generate_series(1, 10)) AS decile)
+        SELECT sp.decile,
+               CAST((sp.decile * n.n + 9) // 10 AS BIGINT) AS docs_in_prefix,
+               CAST(coalesce(nt.new_tokens, 0) AS BIGINT) AS new_tokens,
+               CAST(sum(coalesce(nt.new_tokens, 0)) OVER (ORDER BY sp.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+        FROM sp LEFT JOIN nt ON nt.decile = sp.decile, n
+        ORDER BY sp.decile
       """))
   )
 }
