@@ -2969,6 +2969,52 @@ object RelQueries {
                     WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
                     WHEN 8 THEN 51153 WHEN 9 THEN 45757 END AS BIGINT) AS dev_ppm
         FROM t ORDER BY digit
+      """)),
+
+    // ---- exponential time-decay popularity (round-9) --------------------
+    // Recency-weighted revenue per brand with a ONE-WEEK HALF-LIFE — the
+    // trending-items feature. Exact-integer discipline: the decay
+    // 2^(−age/7d) is discretized to whole-week halvings, and each
+    // contribution is cents div 2^weeks — powers of two are EXACT in
+    // double (pow(2, w) is one bit), the BIGINT cast is guarded at
+    // w ≥ 40 (cents < 2^40, contribution already 0), so both engines
+    // compute identical integers with no float error anywhere. One
+    // fact⋈dim join chain + one agg; the anchor date is a broadcast
+    // one-row relation.
+    Reg("decayed_popularity",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val anchor = t.orders.agg(max(col("o_orderdate")).as("anchor"))
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .crossJoin(broadcast(anchor))
+          .select(col("p_brand"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+            expr("datediff(CAST(anchor AS DATE), CAST(o_orderdate AS DATE)) div 7")
+              .as("weeks"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("raw_cents"),
+            sum(expr(
+              "CASE WHEN weeks >= 40 THEN 0L ELSE cents div CAST(pow(2, weeks) AS BIGINT) END"))
+              .as("decayed_cents"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        WITH a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        r AS (SELECT p.p_brand,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+                     datediff('day', CAST(o.o_orderdate AS DATE), CAST(a.anchor AS DATE)) // 7 AS weeks
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN part p ON l.l_partkey = p.p_partkey, a)
+        SELECT p_brand, count(*) AS n_lines,
+               CAST(sum(cents) AS BIGINT) AS raw_cents,
+               CAST(sum(CASE WHEN weeks >= 40 THEN 0
+                             ELSE cents // CAST(pow(2, weeks) AS BIGINT) END) AS BIGINT)
+                 AS decayed_cents
+        FROM r GROUP BY 1 ORDER BY p_brand
       """))
   )
 }

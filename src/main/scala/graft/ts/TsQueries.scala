@@ -2567,6 +2567,109 @@ object TsQueries {
                CAST(slope_pm AS BIGINT) AS median_slope_cents_per_day_x1000
         FROM r WHERE rn = (m + 1) // 2
         ORDER BY event_type
+      """)),
+
+    // ---- daily bounce rate (round-9) ------------------------------------
+    // The engagement KPI over the 30-min-gap sessionization: per session-
+    // start day, how many sessions consisted of a single event. One
+    // ordered pass per user for the session ids (the interval_overlap
+    // derivation), one session-grain agg, one day-grain agg; rate is a
+    // single non-negative integral division, permille.
+    Reg("bounce_rate_daily",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sess = Tables(s, dir).events
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev", lag(col("us"), 1).over(uw))
+          .withColumn("new_s",
+            when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid",
+            sum(col("new_s")).over(uw.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("us")).as("s_start"), count(lit(1)).as("n_events"))
+        sess
+          .groupBy(expr("date_trunc('day', timestamp_micros(s_start))").as("day"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounced"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_sessions"), col("n_bounced"),
+            expr("(n_bounced * 1000) div n_sessions").as("bounce_permille"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id, us, event_id,
+                      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+               FROM e),
+        s2 AS (SELECT user_id, us, event_id,
+                      CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+               FROM s1),
+        s3 AS (SELECT user_id, us,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM s2),
+        sess AS (SELECT user_id, sid, min(us) AS s_start, count(*) AS n_events
+                 FROM s3 GROUP BY 1, 2),
+        d AS (SELECT date_trunc('day', make_timestamp(s_start)) AS day,
+                     count(*) AS n_sessions,
+                     sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounced
+              FROM sess GROUP BY 1)
+        SELECT strftime(day, '%Y-%m-%d') AS day, n_sessions,
+               CAST(n_bounced AS BIGINT) AS n_bounced,
+               CAST((n_bounced * 1000) // n_sessions AS BIGINT) AS bounce_permille
+        FROM d ORDER BY day
+      """)),
+
+    // ---- min-max + rank feature scaling (round-9) -----------------------
+    // The ML feature-prep pass: per event_type, each value normalized
+    // two ways — min-max to [0, 10⁶] ppm ((x − min)·10⁶ div (max − min),
+    // numerator non-negative so the floor is engine-identical) and
+    // rank-based ((rank − 1)·10⁶ div (n − 1), the integer percent_rank
+    // twin with a deterministic (value, event_id) tie order). Group
+    // stats ride per-type windows (one shuffle); the scaled columns are
+    // then pure map-side — the shape a feature pipeline wants at 100 TB
+    // (stats once, broadcastable; normalization streams).
+    Reg("feature_scaling_minmax",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val seg = Window.partitionBy(col("event_type"))
+        val ord = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("event_id"))
+        Tables(s, dir).events
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("mn", min(col("cents")).over(seg))
+          .withColumn("mx", max(col("cents")).over(seg))
+          .withColumn("n", count(lit(1)).over(seg))
+          .withColumn("rk", row_number().over(ord).cast("long"))
+          .select(col("event_id"), col("event_type"), col("cents"),
+            expr("""CASE WHEN mx = mn THEN 0L
+                    ELSE ((cents - mn) * 1000000) div (mx - mn) END""").as("minmax_ppm"),
+            expr("""CASE WHEN n = 1 THEN 0L
+                    ELSE ((rk - 1) * 1000000) div (n - 1) END""").as("rank_ppm"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        w AS (SELECT *,
+                     min(cents) OVER (PARTITION BY event_type) AS mn,
+                     max(cents) OVER (PARTITION BY event_type) AS mx,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents, event_id) AS rk
+              FROM e)
+        SELECT event_id, event_type, cents,
+               CAST(CASE WHEN mx = mn THEN 0
+                         ELSE ((cents - mn) * 1000000) // (mx - mn) END AS BIGINT)
+                 AS minmax_ppm,
+               CAST(CASE WHEN n = 1 THEN 0
+                         ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT)
+                 AS rank_ppm
+        FROM w ORDER BY event_id
       """))
   )
 }
