@@ -1126,6 +1126,99 @@ object VecQueries {
         SELECT qid, rank, nid, round(d, 4) AS score
         FROM r WHERE rank <= 3
         ORDER BY qid, rank
+      """)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion (round-9) -------------
+    // The standard way to combine heterogeneous retrievers (Cormack et
+    // al., SIGIR'09, public): fuse the LSH and IVF top-5 lists per query
+    // by RRF(d) = Σ 1/(60 + rank_d) — rank-only, so the two methods'
+    // incomparable score scales never mix. Graded in exact integers:
+    // each contribution is 10⁶ div (60 + rank) (integral division,
+    // identical both engines), the fused score is their sum, ties break
+    // by nid. A FULL OUTER join on (qid, nid) keeps documents that only
+    // one retriever surfaced — the whole point of fusion. Cost: the two
+    // bucketed retrievals the repo already grades, plus one outer join
+    // on 5-row-per-query lists — output-sized, broadcastable at scale.
+    Reg("rrf_fusion_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables(s, dir).embeddings
+        val lsh = VecOps.annLshTopK(emb, planes = 4, k = 5)
+          .select(col("qid"), col("nid"), expr("1000000 div (60 + rank)").as("c_lsh"))
+        val ivf = VecOps.ivfTopK(emb, lists = 16, probes = 2, k = 5)
+          .select(col("qid"), col("nid"), expr("1000000 div (60 + rank)").as("c_ivf"))
+        val fused = lsh.join(ivf, Seq("qid", "nid"), "full_outer")
+          .select(col("qid"), col("nid"),
+            (coalesce(col("c_lsh"), lit(0L)) + coalesce(col("c_ivf"), lit(0L)))
+              .as("rrf_x1e6"),
+            when(col("c_lsh").isNotNull && col("c_ivf").isNotNull, lit("both"))
+              .when(col("c_lsh").isNotNull, lit("lsh")).otherwise(lit("ivf"))
+              .as("sources"))
+        fused
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("rrf_x1e6").desc, col("nid"))))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("nid"), col("rrf_x1e6"), col("sources"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        lp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        lr AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM lp),
+        lsh AS (SELECT qid, nid, 1000000 // (60 + rank) AS c_lsh
+                FROM lr WHERE rank <= 5),
+        seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 16),
+        ranked AS (
+          SELECT a.vec_id, a.embedding, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN seeds b ON true),
+        cells AS (SELECT vec_id AS nid, embedding AS ne, cid FROM ranked WHERE crank = 1),
+        probed AS (SELECT vec_id AS qid, embedding AS qe, cid FROM ranked WHERE crank <= 2),
+        iscored AS (
+          SELECT p.qid, c.nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> p.qe[i]::DOUBLE * c.ne[i]::DOUBLE)) AS d
+          FROM probed p JOIN cells c ON p.cid = c.cid AND p.qid <> c.nid),
+        ir AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM iscored),
+        ivf AS (SELECT qid, nid, 1000000 // (60 + rank) AS c_ivf
+                FROM ir WHERE rank <= 5),
+        fused AS (SELECT coalesce(l.qid, i.qid) AS qid,
+                         coalesce(l.nid, i.nid) AS nid,
+                         coalesce(l.c_lsh, 0) + coalesce(i.c_ivf, 0) AS rrf_x1e6,
+                         CASE WHEN l.c_lsh IS NOT NULL AND i.c_ivf IS NOT NULL THEN 'both'
+                              WHEN l.c_lsh IS NOT NULL THEN 'lsh' ELSE 'ivf' END AS sources
+                  FROM lsh l FULL OUTER JOIN ivf i
+                    ON l.qid = i.qid AND l.nid = i.nid),
+        fr AS (SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf_x1e6 DESC, nid) AS rank
+               FROM fused)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+               CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6, sources
+        FROM fr WHERE rank <= 3
+        ORDER BY qid, rank
       """))
   )
 }
