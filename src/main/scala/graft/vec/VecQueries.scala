@@ -1219,6 +1219,119 @@ object VecQueries {
                CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6, sources
         FROM fr WHERE rank <= 3
         ORDER BY qid, rank
+      """)),
+
+    // ---- MMR result diversification (round-9) ---------------------------
+    // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98,
+    // public): greedily re-rank each query's int8 top-10 so picks trade
+    // relevance against redundancy — pick_k = argmax over remaining of
+    // λ·rel − (1−λ)·max sim to already-picked, λ = 0.7 expressed as the
+    // integer objective 7·rel − 3·maxsim (int8 dots are BIGINTs, so the
+    // whole greedy chain is exact integer arithmetic — the reason this
+    // uses the int8 rung and not float cosine, whose near-ties would
+    // hash-flake). The k = 3 greedy rounds UNROLL into three
+    // argmax-by-window passes over the 10-row-per-query candidate list —
+    // candidates are output-sized, so every step is a small self-join,
+    // never a pass over the corpus. Queries with < 3 candidates emit
+    // only the steps they can fill (both engines drop identically).
+    Reg("mmr_diversify_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.DotI64.register(s)
+        val b = VecOps.lshBucket(Tables(s, dir).embeddings, 4)
+          .withColumn("q8",
+            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127) AS INT))"))
+        val q = b.select(col("vec_id").as("qid"), col("q8").as("qq"), col("bucket"))
+        val n = b.select(col("vec_id").as("nid"), col("q8").as("nq"), col("bucket"))
+        val ranked = q.join(n, "bucket").filter(col("qid") =!= col("nid"))
+          .withColumn("rel", expr("dot_i64(qq, nq)"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))))
+        val cand = ranked.filter(col("rank") <= 10)
+          .select(col("qid"), col("nid"), col("nq"), col("rel"))
+          .localCheckpoint() // feeds all three greedy rounds
+        val p1 = cand.withColumn("r", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))))
+          .filter(col("r") === 1)
+          .select(col("qid"), col("nid").as("p1_nid"), col("nq").as("p1_q"),
+            col("rel").as("p1_rel"))
+        val s2 = cand.join(p1, "qid").filter(col("nid") =!= col("p1_nid"))
+          .withColumn("obj", lit(7L) * col("rel") - lit(3L) * expr("dot_i64(nq, p1_q)"))
+        val p2 = s2.withColumn("r", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("obj").desc, col("nid"))))
+          .filter(col("r") === 1)
+          .select(col("qid"), col("nid").as("p2_nid"), col("nq").as("p2_q"),
+            col("rel").as("p2_rel"), col("obj").as("p2_obj"))
+        val s3 = cand.join(p1, "qid").join(p2, "qid")
+          .filter(col("nid") =!= col("p1_nid") && col("nid") =!= col("p2_nid"))
+          .withColumn("obj", lit(7L) * col("rel") -
+            lit(3L) * greatest(expr("dot_i64(nq, p1_q)"), expr("dot_i64(nq, p2_q)")))
+        val p3 = s3.withColumn("r", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("obj").desc, col("nid"))))
+          .filter(col("r") === 1)
+          .select(col("qid"), col("nid").as("p3_nid"),
+            col("rel").as("p3_rel"), col("obj").as("p3_obj"))
+        p1.select(col("qid"), lit(1L).as("step"), col("p1_nid").as("nid"),
+            col("p1_rel").as("rel"), (lit(7L) * col("p1_rel")).as("obj"))
+          .unionAll(p2.select(col("qid"), lit(2L).as("step"), col("p2_nid").as("nid"),
+            col("p2_rel").as("rel"), col("p2_obj").as("obj")))
+          .unionAll(p3.select(col("qid"), lit(3L).as("step"), col("p3_nid").as("nid"),
+            col("p3_rel").as("rel"), col("p3_obj").as("obj")))
+          .orderBy("qid", "step")
+      },
+      Some("""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        q8 AS (SELECT vec_id, bucket,
+                      list_transform(embedding, x -> CAST(round(x::DOUBLE * 127) AS INT)) AS q
+               FROM sig),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, b.q AS nq,
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS rel
+              FROM q8 a JOIN q8 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        c AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rank
+              FROM p),
+        cand AS (SELECT qid, nid, nq, rel FROM c WHERE rank <= 10),
+        p1 AS (SELECT qid, nid AS p1_nid, nq AS p1_q, rel AS p1_rel
+               FROM c WHERE rank = 1),
+        s2 AS (SELECT cand.qid, cand.nid, cand.nq, cand.rel,
+                      7 * cand.rel - 3 * CAST(list_sum(list_transform(range(1, 65),
+                        i -> CAST(cand.nq[i] AS BIGINT) * p1.p1_q[i])) AS BIGINT) AS obj
+               FROM cand JOIN p1 ON p1.qid = cand.qid AND cand.nid <> p1.p1_nid),
+        p2 AS (SELECT qid, nid AS p2_nid, nq AS p2_q, rel AS p2_rel, obj AS p2_obj FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid ORDER BY obj DESC, nid) AS r
+                 FROM s2) WHERE r = 1),
+        s3 AS (SELECT cand.qid, cand.nid, cand.rel,
+                      7 * cand.rel - 3 * greatest(
+                        CAST(list_sum(list_transform(range(1, 65),
+                          i -> CAST(cand.nq[i] AS BIGINT) * p1.p1_q[i])) AS BIGINT),
+                        CAST(list_sum(list_transform(range(1, 65),
+                          i -> CAST(cand.nq[i] AS BIGINT) * p2.p2_q[i])) AS BIGINT)) AS obj
+               FROM cand
+               JOIN p1 ON p1.qid = cand.qid
+               JOIN p2 ON p2.qid = cand.qid
+               WHERE cand.nid <> p1.p1_nid AND cand.nid <> p2.p2_nid),
+        p3 AS (SELECT qid, nid AS p3_nid, rel AS p3_rel, obj AS p3_obj FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid ORDER BY obj DESC, nid) AS r
+                 FROM s3) WHERE r = 1)
+        SELECT qid, CAST(1 AS BIGINT) AS step, p1_nid AS nid,
+               CAST(p1_rel AS BIGINT) AS rel, CAST(7 * p1_rel AS BIGINT) AS obj
+        FROM p1
+        UNION ALL
+        SELECT qid, 2, p2_nid, CAST(p2_rel AS BIGINT), CAST(p2_obj AS BIGINT) FROM p2
+        UNION ALL
+        SELECT qid, 3, p3_nid, CAST(p3_rel AS BIGINT), CAST(p3_obj AS BIGINT) FROM p3
+        ORDER BY qid, step
       """))
   )
 }
