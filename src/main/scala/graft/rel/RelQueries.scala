@@ -3015,6 +3015,44 @@ object RelQueries {
                              ELSE cents // CAST(pow(2, weeks) AS BIGINT) END) AS BIGINT)
                  AS decayed_cents
         FROM r GROUP BY 1 ORDER BY p_brand
+      """)),
+
+    // ---- FILTER-clause conditional aggregation (round-9) ----------------
+    // The ANSI `agg(...) FILTER (WHERE ...)` surface — one scan producing
+    // many conditionally-scoped measures (the dashboard-query staple that
+    // otherwise becomes N scans or nested CASE soup). Spark and DuckDB
+    // both implement the standard clause; the cents sums keep the
+    // integer-exact discipline.
+    Reg("filter_clause_aggs",
+      (s, dir) => Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("count(*)").as("n_orders"),
+          expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_finished"),
+          expr("count(*) FILTER (WHERE o_orderstatus = 'O')").as("n_open"),
+          expr("""sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  FILTER (WHERE o_orderstatus = 'F')""").as("finished_cents"),
+          expr("""sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  FILTER (WHERE year(o_orderdate) >= 1998)""").as("recent_cents"),
+          expr("count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')")
+            .as("open_customers"))
+        .select(col("o_orderpriority"), col("n_orders"), col("n_finished"),
+          col("n_open"),
+          coalesce(col("finished_cents"), lit(0L)).as("finished_cents"),
+          coalesce(col("recent_cents"), lit(0L)).as("recent_cents"),
+          col("open_customers"))
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS finished_cents,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE year(o_orderdate) >= 1998), 0) AS BIGINT) AS recent_cents,
+               count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O') AS open_customers
+        FROM orders GROUP BY 1 ORDER BY o_orderpriority
       """))
   )
 }

@@ -1755,6 +1755,40 @@ object TextQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
         FROM sp LEFT JOIN nt ON nt.decile = sp.decile, n
         ORDER BY sp.decile
+      """)),
+
+    // ---- tokenizer fertility by language (round-9) ----------------------
+    // The tokenizer-efficiency metric that drives vocab-size decisions:
+    // subwords-per-word (fertility) per corpus language, using the same
+    // syllable-ish regex subword as token_subword_regex against the
+    // whitespace word count. High-fertility languages cost more context
+    // per sentence — the sizing input for multilingual training budgets.
+    // Two map-side counts + one hash agg; rate is one non-negative
+    // integral division, permille.
+    Reg("tokenizer_fertility",
+      (s, dir) => Tables(s, dir).documents
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_words"),
+          expr("""CAST(size(regexp_extract_all(text,
+                 '[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*', 0)) AS BIGINT)""")
+            .as("n_subwords"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+          expr("(n_subwords * 1000) div n_words").as("fertility_permille"))
+        .orderBy("lang"),
+      Some("""
+        WITH d AS (SELECT lang,
+                          len(string_split(trim(text), ' ')) AS n_words,
+                          len(regexp_extract_all(text,
+                            '[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*')) AS n_subwords
+                   FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+               CAST((sum(n_subwords) * 1000) // sum(n_words) AS BIGINT) AS fertility_permille
+        FROM d GROUP BY 1 ORDER BY lang
       """))
   )
 }
