@@ -2670,6 +2670,68 @@ object TsQueries {
                          ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT)
                  AS rank_ppm
         FROM w ORDER BY event_id
+      """)),
+
+    // ---- trimmed & winsorized means (round-9) ---------------------------
+    // The robust-mean pair beside mad_outliers: per event_type, the 5%-
+    // both-ends TRIMMED mean (drop rank ≤ ⌊n·5/100⌋ from each tail) and
+    // the WINSORIZED mean (clamp tails to the rank-selected p5/p95
+    // boundary VALUES — rank selection, never interpolating
+    // percentile()). Everything integer: cents ≥ 0 so both means are
+    // single non-negative integral divisions; boundary values come from
+    // two rank-filtered rows joined back (broadcast-sized). One rank
+    // window per type + two small joins.
+    Reg("trimmed_mean_by_type",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir).events
+          .select(col("event_type"), col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id")))
+            .cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .withColumn("lo", expr("(n * 5) div 100"))
+          .localCheckpoint() // feeds boundaries AND both mean aggs
+        val bounds = e.filter(col("rk") === col("lo") + 1L || col("rk") === col("n") - col("lo"))
+          .groupBy(col("event_type"))
+          .agg(min(col("cents")).as("p_lo"), max(col("cents")).as("p_hi"))
+        e.join(broadcast(bounds), "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            expr("sum(cents) div count(*)").as("raw_mean_c"),
+            expr("""sum(CASE WHEN rk > lo AND rk <= n - lo THEN cents ELSE 0L END)
+                    div sum(CASE WHEN rk > lo AND rk <= n - lo THEN 1L ELSE 0L END)""")
+              .as("trimmed_mean_c"),
+            expr("""sum(CASE WHEN cents < p_lo THEN p_lo
+                             WHEN cents > p_hi THEN p_hi ELSE cents END) div count(*)""")
+              .as("winsorized_mean_c"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, event_id,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        w AS (SELECT *,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents, event_id) AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM e),
+        l AS (SELECT *, (n * 5) // 100 AS lo FROM w),
+        b AS (SELECT event_type, min(cents) AS p_lo, max(cents) AS p_hi
+              FROM l WHERE rk = lo + 1 OR rk = n - lo
+              GROUP BY 1)
+        SELECT l.event_type, CAST(max(l.n) AS BIGINT) AS n,
+               CAST(sum(l.cents) // count(*) AS BIGINT) AS raw_mean_c,
+               CAST(sum(CASE WHEN l.rk > l.lo AND l.rk <= l.n - l.lo THEN l.cents ELSE 0 END)
+                    // sum(CASE WHEN l.rk > l.lo AND l.rk <= l.n - l.lo THEN 1 ELSE 0 END)
+                 AS BIGINT) AS trimmed_mean_c,
+               CAST(sum(CASE WHEN l.cents < b.p_lo THEN b.p_lo
+                             WHEN l.cents > b.p_hi THEN b.p_hi ELSE l.cents END)
+                    // count(*) AS BIGINT) AS winsorized_mean_c
+        FROM l JOIN b USING (event_type)
+        GROUP BY l.event_type
+        ORDER BY l.event_type
       """))
   )
 }
