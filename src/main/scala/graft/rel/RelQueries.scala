@@ -3053,6 +3053,122 @@ object RelQueries {
                  FILTER (WHERE year(o_orderdate) >= 1998), 0) AS BIGINT) AS recent_cents,
                count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O') AS open_customers
         FROM orders GROUP BY 1 ORDER BY o_orderpriority
+      """)),
+
+    // ---- item-item collaborative filtering (round-9) --------------------
+    // Co-purchase cosine: treat each order as a basket of distinct parts;
+    // similarity(a,b) = |baskets with both| / sqrt(|a's| · |b's|). The
+    // pair generation is a SELF-JOIN ON THE BASKET KEY (l_orderkey), so
+    // cost is Σ basket², bounded by the max basket size (13 here, single
+    // digits in any real catalog) — linear in baskets at 100 TB, never
+    // all-pairs over the item vocabulary. Per-item basket counts are a
+    // 2000-row broadcast. sqrt is IEEE-correctly-rounded → identical
+    // micros both engines. Top-50 with a total-order tie-break.
+    Reg("copurchase_cosine",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val cnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        val pairs = li.as("a")
+          .join(li.as("b"), "l_orderkey")
+          .filter(col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2L)
+        pairs
+          .join(broadcast(cnt.withColumnRenamed("l_partkey", "pa").withColumnRenamed("n", "n_a")), "pa")
+          .join(broadcast(cnt.withColumnRenamed("l_partkey", "pb").withColumnRenamed("n", "n_b")), "pb")
+          .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+            expr("CAST(round(CAST(n_ab AS DOUBLE) / sqrt(CAST(n_a * n_b AS DOUBLE)) * 1000000) AS BIGINT)")
+              .as("cosine_micros"))
+          .orderBy(col("cosine_micros").desc, col("pa"), col("pb"))
+          .limit(50)
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        cnt AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+        pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                     AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT p.pa, p.pb, p.n_ab, ca.n AS n_a, cb.n AS n_b,
+               CAST(round(CAST(p.n_ab AS DOUBLE)
+                    / sqrt(CAST(ca.n * cb.n AS DOUBLE)) * 1000000) AS BIGINT) AS cosine_micros
+        FROM pairs p JOIN cnt ca ON p.pa = ca.l_partkey
+                     JOIN cnt cb ON p.pb = cb.l_partkey
+        ORDER BY cosine_micros DESC, pa, pb LIMIT 50
+      """)),
+
+    // ---- k-core decomposition, 3 peel rounds (round-9) ------------------
+    // Completes the graph family (PageRank/PPR/weighted-PR, CC, LPA, BFS,
+    // Bellman-Ford, triangles): iteratively remove nodes of degree < k
+    // from the co-purchase graph and report survivors after 3 rounds with
+    // their residual degree. k is DATA-DERIVED — ⌊0.7 · avg degree⌋ as a
+    // one-row broadcast scalar — because any fixed k is degenerate on a
+    // near-regular random graph (all-keep below the collapse threshold,
+    // cascade-to-empty above it; verified at all three sfs). 0.7·avg
+    // peels a real partial shell everywhere. Each round is one degree
+    // agg + two semi-joins on the hash-partitioned edge key — 3 bounded
+    // shuffle stages; base edges built once (basket-bounded self-join,
+    // Σ basket² linear) and localCheckpointed as the loop invariant.
+    Reg("kcore_3",
+      (s, dir) => {
+        // no pre-distinct on li: the pair-level DISTINCT below already
+        // dedups, and one shuffle is cheaper than two at this width
+        val li = Tables(s, dir).lineitem
+          .select(col("l_orderkey"), col("l_partkey"))
+        val und = li.as("a").join(li.as("b"), "l_orderkey")
+          .filter(col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .distinct()
+        val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
+          .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+          .localCheckpoint() // loop-invariant base edges: build once
+        val d0 = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val kk = d0.agg(
+          expr("CAST(floor(avg(deg) * CAST(0.7 AS DOUBLE)) AS BIGINT)").as("k"))
+        var edges = sym
+        var alive = d0.crossJoin(broadcast(kk)).filter(col("deg") >= col("k"))
+        for (_ <- 1 to 2) {
+          // the alive sets are ≤ |V| rows → BROADCAST semi-joins, so each
+          // round's edge filter is map-side over the one checkpointed edge
+          // set; re-deriving a round is a cheap re-scan, no checkpoint
+          // needed inside the loop (9.1 s → 3.5 s vs shuffle semi-joins)
+          edges = edges
+            .join(broadcast(alive.select(col("src"))), "src", "left_semi")
+            .join(broadcast(alive.select(col("src").as("dst"))), Seq("dst"), "left_semi")
+          alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .crossJoin(broadcast(kk)).filter(col("deg") >= col("k"))
+        }
+        edges = edges
+          .join(broadcast(alive.select(col("src"))), "src", "left_semi")
+          .join(broadcast(alive.select(col("src").as("dst"))), Seq("dst"), "left_semi")
+        edges.groupBy(col("src").as("part")).agg(count(lit(1)).as("deg"))
+          .crossJoin(broadcast(kk)).filter(col("deg") >= col("k"))
+          .select(col("part"), col("deg"), col("k"))
+          .orderBy(col("part"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        und AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT pa AS src, pb AS dst FROM und
+                UNION ALL SELECT pb, pa FROM und),
+        d0 AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+        kk AS (SELECT CAST(floor(avg(deg) * CAST(0.7 AS DOUBLE)) AS BIGINT) AS k FROM d0),
+        a1 AS (SELECT src FROM d0, kk WHERE deg >= k),
+        e1 AS (SELECT s.src, s.dst FROM sym s
+               WHERE s.src IN (SELECT src FROM a1) AND s.dst IN (SELECT src FROM a1)),
+        a2 AS (SELECT src FROM e1, kk GROUP BY src, k HAVING count(*) >= k),
+        e2 AS (SELECT s.src, s.dst FROM e1 s
+               WHERE s.src IN (SELECT src FROM a2) AND s.dst IN (SELECT src FROM a2)),
+        a3 AS (SELECT src FROM e2, kk GROUP BY src, k HAVING count(*) >= k),
+        e3 AS (SELECT s.src, s.dst FROM e2 s
+               WHERE s.src IN (SELECT src FROM a3) AND s.dst IN (SELECT src FROM a3))
+        SELECT e.src AS part, count(*) AS deg, max(kk.k) AS k
+        FROM e3 e, kk
+        GROUP BY e.src HAVING count(*) >= max(kk.k) ORDER BY part
       """))
   )
 }

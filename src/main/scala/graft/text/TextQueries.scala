@@ -1789,6 +1789,228 @@ object TextQueries {
                CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
                CAST((sum(n_subwords) * 1000) // sum(n_words) AS BIGINT) AS fertility_permille
         FROM d GROUP BY 1 ORDER BY lang
+      """)),
+
+    // ---- Pareto-frontier (skyline) document selection (round-9) ---------
+    // Multi-objective curation: keep documents not dominated on
+    // (n_tokens, n_distinct_tokens) — another doc dominates if it is ≥ on
+    // both and > on one. The LINEAR skyline formulation: one global sort
+    // by n_tokens with two analytic windows — max vocab over strictly
+    // longer docs (RANGE ... 1 PRECEDING on the descending key) and max
+    // vocab among equal-length docs — replaces the naive quadratic
+    // NOT-EXISTS self-join. At 100 TB a global range-partitioned sort is
+    // exactly what Spark's Exchange(rangepartitioning) does; no join at
+    // all. Works for any 2-D skyline; d dimensions chain d-1 passes.
+    Reg("pareto_frontier_docs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = TextOps.tokens(col("text"))
+        val d = Tables(s, dir).documents
+          .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+            size(array_distinct(t)).cast("long").as("n_vocab"))
+        val strictly = Window.orderBy(col("n_tokens").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val ties = Window.partitionBy(col("n_tokens"))
+        d.withColumn("best_longer", max(col("n_vocab")).over(strictly))
+          .withColumn("best_tie", max(col("n_vocab")).over(ties))
+          .filter((col("best_longer").isNull || col("best_longer") < col("n_vocab")) &&
+            col("best_tie") === col("n_vocab"))
+          .select(col("doc_id"), col("n_tokens"), col("n_vocab"))
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                          len(string_split(trim(text), ' ')) AS n_tokens,
+                          len(list_distinct(string_split(trim(text), ' '))) AS n_vocab
+                   FROM documents),
+        w AS (SELECT *,
+                     max(n_vocab) OVER (ORDER BY n_tokens DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_longer,
+                     max(n_vocab) OVER (PARTITION BY n_tokens) AS best_tie
+              FROM d)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_vocab AS BIGINT) AS n_vocab
+        FROM w
+        WHERE (best_longer IS NULL OR best_longer < n_vocab)
+          AND best_tie = n_vocab
+        ORDER BY n_tokens DESC, doc_id
+      """)),
+
+    // ---- bigram-frequency novelty score (round-9) -----------------------
+    // The log-free cousin of LM-perplexity filtering: score each document
+    // by the MEAN corpus frequency of its word bigrams — boilerplate-like
+    // docs (all high-frequency bigrams) score high, novel docs low.
+    // Integer throughout (sum of counts div n_bigrams), so no cross-engine
+    // float risk at all. Shapes: explode to bigrams (lazy, map-side),
+    // one hash agg for the corpus counts, one shuffle join back keyed on
+    // the bigram, one per-doc agg — all linear, the TF-IDF topology.
+    Reg("doc_novelty_bigram",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+        val bg = docs
+          .withColumn("nxt", lead(col("w"), 1).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("w"), col("nxt")).as("bg"))
+        val corpus = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        bg.join(corpus, "bg")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            expr("sum(cnt) div count(*)").as("mean_bigram_freq"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        p AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM tok),
+        bg AS (SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+               FROM p QUALIFY bg IS NOT NULL),
+        corpus AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1)
+        SELECT b.doc_id, count(*) AS n_bigrams,
+               CAST(sum(c.cnt) // count(*) AS BIGINT) AS mean_bigram_freq
+        FROM bg b JOIN corpus c USING (bg)
+        GROUP BY 1 ORDER BY doc_id
+      """)),
+
+    // ---- bigram next-word table (round-9) -------------------------------
+    // The argmax slice of a bigram language model: for every vocabulary
+    // word, the most likely following word (count-desc, lexicographic
+    // tie-break — ties are real on this corpus, so the tie-break is part
+    // of the contract on BOTH sides via row_number, never max_by/arg_max
+    // whose tie choice is engine-arbitrary). One explode + one hash agg +
+    // one rank window partitioned by word — linear, co-partitioned.
+    Reg("bigram_next_word",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+        val bg = docs
+          .withColumn("nxt", lead(col("w"), 1).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+          .filter(col("nxt").isNotNull)
+        bg.groupBy(col("w"), col("nxt")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("w")).orderBy(col("cnt").desc, col("nxt"))))
+          .filter(col("rk") === 1)
+          .select(col("w"), col("nxt").as("next_word"), col("cnt"))
+          .orderBy(col("w"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        p AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM tok),
+        bg AS (SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+               FROM p QUALIFY nxt IS NOT NULL),
+        c AS (SELECT w, nxt, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY w ORDER BY cnt DESC, nxt) AS rk
+              FROM c)
+        SELECT w, nxt AS next_word, cnt FROM r WHERE rk = 1 ORDER BY w
+      """)),
+
+    // ---- BPE merge-table learning, 3 iterations (round-9) ---------------
+    // Byte-pair encoding training (Sennrich et al. 2016, public method) on
+    // the word-frequency dictionary: start from characters, then 3× —
+    // count adjacent symbol pairs (freq-weighted, overlapping, the
+    // standard dict formulation), pick argmax (count DESC, then (a,b)
+    // lexicographic — the tie-break is part of the contract), and greedily
+    // left-to-right merge that pair in every word. The merge is a pure
+    // `aggregate` HOF fold (codegen'd, no UDF); the argmax row flows into
+    // the next iteration via crossJoin(broadcast(1 row)) so NOTHING
+    // touches the driver. At 100 TB the word dict is the corpus vocab
+    // (≪ corpus; ~10⁶ rows), per-iteration cost one explode + hash-agg
+    // over it — the classic scalable-BPE shape; localCheckpoint pins each
+    // iteration's dict as the loop invariant (the PageRank discipline).
+    // Oracle: same three iterations with the merge as a per-word
+    // position-walking recursive CTE (greedy fold ≡ pos+2 on match).
+    Reg("bpe_learn_merges",
+      (s, dir) => {
+        val words = Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .withColumn("syms",
+            expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        def pairCounts(syms: org.apache.spark.sql.DataFrame) = syms
+          .select(col("freq"), explode(expr(
+            "transform(slice(syms, 1, size(syms) - 1), (x, i) -> struct(x AS a, syms[i + 1] AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+        def best(pc: org.apache.spark.sql.DataFrame) = pc
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        def merge(syms: org.apache.spark.sql.DataFrame,
+                  b: org.apache.spark.sql.DataFrame) = syms
+          .crossJoin(broadcast(b.select(col("a"), col("b"))))
+          .withColumn("syms", expr(
+            """aggregate(syms, CAST(array() AS ARRAY<STRING>),
+               (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b
+                           THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
+                           ELSE concat(acc, array(x)) END)"""))
+          .select(col("word"), col("freq"), col("syms"))
+          .localCheckpoint()
+        val s1 = words.localCheckpoint()
+        val b1 = best(pairCounts(s1)).localCheckpoint()
+        val s2 = merge(s1, b1)
+        val b2 = best(pairCounts(s2)).localCheckpoint()
+        val s3 = merge(s2, b2)
+        val b3 = best(pairCounts(s3))
+        b1.select(lit(1L).as("iter"), col("a"), col("b"), col("cnt"))
+          .union(b2.select(lit(2L).as("iter"), col("a"), col("b"), col("cnt")))
+          .union(b3.select(lit(3L).as("iter"), col("a"), col("b"), col("cnt")))
+          .orderBy(col("iter"))
+      },
+      Some("""
+        WITH RECURSIVE
+        tok AS (SELECT string_split(trim(text), ' ') AS ws FROM documents),
+        w AS (SELECT w AS word, count(*) AS freq
+              FROM (SELECT unnest(ws) AS w FROM tok) WHERE w <> '' GROUP BY 1),
+        s1 AS (SELECT word, freq,
+                      list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+               FROM w),
+        p1 AS (SELECT s['a'] AS a, s['b'] AS b, sum(freq) AS cnt FROM (
+                 SELECT freq, unnest(list_transform(range(1, len(syms)),
+                        i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+                 FROM s1) GROUP BY 1, 2),
+        b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        r1(word, freq, n, pos, out) AS (
+          SELECT word, freq, len(syms), 1, CAST([] AS VARCHAR[]) FROM s1
+          UNION ALL
+          SELECT r.word, r.freq, r.n,
+                 CASE WHEN s.syms[r.pos] = b1.a AND s.syms[r.pos+1] = b1.b
+                      THEN r.pos + 2 ELSE r.pos + 1 END,
+                 CASE WHEN s.syms[r.pos] = b1.a AND s.syms[r.pos+1] = b1.b
+                      THEN list_append(r.out, b1.a || b1.b)
+                      ELSE list_append(r.out, s.syms[r.pos]) END
+          FROM r1 r JOIN s1 s USING (word) CROSS JOIN b1
+          WHERE r.pos <= r.n),
+        s2 AS (SELECT word, freq, out AS syms FROM r1 WHERE pos = n + 1),
+        p2 AS (SELECT s['a'] AS a, s['b'] AS b, sum(freq) AS cnt FROM (
+                 SELECT freq, unnest(list_transform(range(1, len(syms)),
+                        i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+                 FROM s2) GROUP BY 1, 2),
+        b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        r2(word, freq, n, pos, out) AS (
+          SELECT word, freq, len(syms), 1, CAST([] AS VARCHAR[]) FROM s2
+          UNION ALL
+          SELECT r.word, r.freq, r.n,
+                 CASE WHEN s.syms[r.pos] = b2.a AND s.syms[r.pos+1] = b2.b
+                      THEN r.pos + 2 ELSE r.pos + 1 END,
+                 CASE WHEN s.syms[r.pos] = b2.a AND s.syms[r.pos+1] = b2.b
+                      THEN list_append(r.out, b2.a || b2.b)
+                      ELSE list_append(r.out, s.syms[r.pos]) END
+          FROM r2 r JOIN s2 s USING (word) CROSS JOIN b2
+          WHERE r.pos <= r.n),
+        s3 AS (SELECT word, freq, out AS syms FROM r2 WHERE pos = n + 1),
+        p3 AS (SELECT s['a'] AS a, s['b'] AS b, sum(freq) AS cnt FROM (
+                 SELECT freq, unnest(list_transform(range(1, len(syms)),
+                        i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+                 FROM s3) GROUP BY 1, 2),
+        b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+        SELECT * FROM (
+          SELECT 1 AS iter, a, b, CAST(cnt AS BIGINT) AS cnt FROM b1
+          UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM b2
+          UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM b3)
+        ORDER BY iter
       """))
   )
 }

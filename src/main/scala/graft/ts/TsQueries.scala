@@ -2732,6 +2732,119 @@ object TsQueries {
         FROM l JOIN b USING (event_type)
         GROUP BY l.event_type
         ORDER BY l.event_type
+      """)),
+
+    // ---- weekly cohort retention (round-9) ------------------------------
+    // The weekly-grain sibling of the daily `cohort_retention` matrix,
+    // adding cohort sizes and per-mille retention: users bucketed by
+    // first-seen ISO week (cohort), then for each week offset the count
+    // still active and the per-mille retention. Shapes: one hash agg for first
+    // weeks, one distinct for (user, week) activity, a shuffle join on
+    // user_id, and a broadcast of the (tiny: one row per calendar week)
+    // cohort sizes — at 100 TB the user-keyed join co-partitions and the
+    // cohort-size relation stays broadcastable forever. Integer per-mille,
+    // week math on DATE-truncated values (Monday-start in both engines).
+    Reg("cohort_retention_weekly",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+        val sizes = first.groupBy("cohort_wk").agg(count(lit(1)).as("n_cohort"))
+        e.distinct()
+          .join(first, "user_id")
+          .withColumn("week_offset", expr("CAST(datediff(wk, cohort_wk) div 7 AS BIGINT)"))
+          .groupBy(col("cohort_wk"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(sizes), "cohort_wk")
+          .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("n_active"), col("n_cohort"),
+            expr("n_active * 1000 div n_cohort").as("retained_pm"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        sz AS (SELECT cohort_wk, count(*) AS n_cohort FROM f GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, wk FROM e),
+        j AS (SELECT a.user_id, f.cohort_wk,
+                     date_diff('day', f.cohort_wk, a.wk) // 7 AS week_offset
+              FROM a JOIN f USING (user_id)),
+        g AS (SELECT cohort_wk, week_offset,
+                     count(DISTINCT user_id) AS n_active
+              FROM j GROUP BY 1, 2)
+        SELECT strftime(g.cohort_wk, '%Y-%m-%d') AS cohort_week,
+               CAST(g.week_offset AS BIGINT) AS week_offset,
+               g.n_active, sz.n_cohort,
+               CAST(g.n_active * 1000 // sz.n_cohort AS BIGINT) AS retained_pm
+        FROM g JOIN sz USING (cohort_wk)
+        ORDER BY cohort_week, week_offset
+      """)),
+
+    // ---- A/B conversion with Wilson 95% intervals (round-9) -------------
+    // Experiment readout: users split by the deterministic user_id parity
+    // "assignment", conversion = any purchase event; per arm the Wilson
+    // score interval at z = 1.96. Cross-engine float discipline: the
+    // Wilson formula uses only +,-,*,/,sqrt — every one IEEE-754
+    // correctly-rounded, so writing the IDENTICAL expression tree on both
+    // sides (constants CAST AS DOUBLE in both — DuckDB parses bare 1.96
+    // as DECIMAL) gives bit-identical doubles before the ×1e6 rounding.
+    // Two hash aggs over user_id, two output rows.
+    Reg("ab_conversion_wilson",
+      (s, dir) => {
+        val u = Tables(s, dir).events
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+          .withColumn("arm", pmod(col("user_id"), lit(2L)))
+          .groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted"))
+        u.select(col("arm"), col("n_users"), col("n_converted"),
+            expr("CAST(round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) * 1000000) AS BIGINT)")
+              .as("p_micros"),
+            expr("""CAST(round(((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                      + CAST(3.8416 AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(n_users AS DOUBLE)))
+                     - CAST(1.96 AS DOUBLE) * sqrt(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                         * (CAST(1 AS DOUBLE) - CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+                         / CAST(n_users AS DOUBLE)
+                       + CAST(3.8416 AS DOUBLE) / (CAST(4 AS DOUBLE) * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+                    / (CAST(1 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / CAST(n_users AS DOUBLE))
+                    * 1000000) AS BIGINT)""").as("wilson_lo_micros"),
+            expr("""CAST(round(((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                      + CAST(3.8416 AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(n_users AS DOUBLE)))
+                     + CAST(1.96 AS DOUBLE) * sqrt(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                         * (CAST(1 AS DOUBLE) - CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+                         / CAST(n_users AS DOUBLE)
+                       + CAST(3.8416 AS DOUBLE) / (CAST(4 AS DOUBLE) * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+                    / (CAST(1 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / CAST(n_users AS DOUBLE))
+                    * 1000000) AS BIGINT)""").as("wilson_hi_micros"))
+          .orderBy("arm")
+      },
+      Some("""
+        WITH u AS (SELECT user_id,
+                          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                   FROM events GROUP BY 1),
+        a AS (SELECT user_id % 2 AS arm, count(*) AS n_users,
+                     sum(conv) AS n_converted
+              FROM u GROUP BY 1)
+        SELECT CAST(arm AS BIGINT) AS arm, n_users,
+               CAST(n_converted AS BIGINT) AS n_converted,
+               CAST(round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) * 1000000) AS BIGINT) AS p_micros,
+               CAST(round(((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                      + CAST(3.8416 AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(n_users AS DOUBLE)))
+                     - CAST(1.96 AS DOUBLE) * sqrt(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                         * (CAST(1 AS DOUBLE) - CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+                         / CAST(n_users AS DOUBLE)
+                       + CAST(3.8416 AS DOUBLE) / (CAST(4 AS DOUBLE) * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+                    / (CAST(1 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / CAST(n_users AS DOUBLE))
+                    * 1000000) AS BIGINT) AS wilson_lo_micros,
+               CAST(round(((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                      + CAST(3.8416 AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(n_users AS DOUBLE)))
+                     + CAST(1.96 AS DOUBLE) * sqrt(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                         * (CAST(1 AS DOUBLE) - CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+                         / CAST(n_users AS DOUBLE)
+                       + CAST(3.8416 AS DOUBLE) / (CAST(4 AS DOUBLE) * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+                    / (CAST(1 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / CAST(n_users AS DOUBLE))
+                    * 1000000) AS BIGINT) AS wilson_hi_micros
+        FROM a ORDER BY arm
       """))
   )
 }
