@@ -105,7 +105,25 @@ object Plans {
       "forecast_snaive_mae",
       "jaccard_prefix_join", "attribution_last_touch", "cusum_changepoint",
       "rfm_segments", "gini_by_segment", "pmi_top_bigrams",
-      "interval_overlap_join", "bellman_ford_3", "contingency_chi2")
+      "interval_overlap_join", "bellman_ford_3", "contingency_chi2",
+      // round-9 continuation: robust trend/means (Mann-Kendall, Theil-Sen,
+      // trimmed/winsorized), audit + retrieval-fusion analytics, then the
+      // final batch — distributed BPE training/apply, linear skyline,
+      // item-item CF, data-derived k-core, weekly cohorts, Wilson A/B,
+      // bigram novelty/next-word, linear attribution, matryoshka recall
+      "mann_kendall_trend", "theil_sen_slope", "trimmed_mean_by_type",
+      "benford_digit_audit", "vocab_growth_curve", "decayed_popularity",
+      "bounce_rate_daily", "feature_scaling_minmax", "rrf_fusion_topk",
+      "mmr_diversify_topk", "tokenizer_fertility", "filter_clause_aggs",
+      "bpe_learn_merges", "bpe_vocab_apply", "pareto_frontier_docs",
+      "copurchase_cosine", "kcore_3", "cohort_retention_weekly",
+      "ab_conversion_wilson", "doc_novelty_bigram", "bigram_next_word",
+      "attribution_linear", "ann_recall_matryoshka",
+      // round-9 continuation 2: point-in-time SCD2 feature join (carry-
+      // forward form), split-conformal coverage, centroid drift monitor
+      // (streaming_pareto_frontier stays out — eager drain)
+      "pit_feature_join", "conformal_interval_eval",
+      "embedding_drift_halves")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

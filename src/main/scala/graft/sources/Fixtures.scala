@@ -123,6 +123,33 @@ object Fixtures {
     path.toString
   }
 
+  /** Multi-file copy of `documents` (`n` range-partitioned parquet files
+    * over doc_id) so `maxFilesPerTrigger=1` feeds the corpus to a
+    * streaming query in n real micro-batches. Same identity-key +
+    * atomic-rename discipline as the embedding stream copy. */
+  def ensureDocStreamFiles(spark: SparkSession, dir: String,
+                           n: Int = 3): String = synchronized {
+    val src = Paths.get(dir, "documents.parquet")
+    val key = md5Hex(
+      dir + "|docs|" + n + "|" + Files.getLastModifiedTime(src).toMillis +
+        "|" + Files.size(src))
+    val path: Path = Paths.get(s"/dev/shm/graft-docstream/$key")
+    if (!Files.exists(path)) {
+      val tmp = Paths.get(path.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      graft.Tables(spark, dir).documents
+        .repartitionByRange(n, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.createDirectories(path.getParent)
+      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            | _: java.nio.file.AccessDeniedException =>
+          delete(tmp)
+      }
+    }
+    path.toString
+  }
+
   /** Multi-file copy of the distinct part-name token domain (tok, cnt)
     * for the streaming edit-distance twin: `n` range-partitioned parquet
     * files so `maxFilesPerTrigger=1` feeds the token universe in n real

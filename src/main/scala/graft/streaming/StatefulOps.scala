@@ -474,4 +474,63 @@ object StatefulOps {
           }
       }
   }
+
+  /** Incremental 2-D Pareto frontier (skyline) maintenance — the
+    * streaming twin of `pareto_frontier_docs`, per language. State per
+    * key is the CURRENT FRONTIER ONLY (never the history): a new point
+    * is dropped if any member dominates it, otherwise inserted and the
+    * members it dominates evicted. The fold is arrival-order independent
+    * — after any sequence of inserts the state equals skyline(all points
+    * seen) exactly, across any batch split (SkylineSpec property) — so
+    * unlike the CEP automaton this op needs NO cross-batch ordering
+    * contract at all. State size = frontier size (typically ≪ corpus;
+    * worst case an antichain). Each batch re-emits the key's frontier
+    * tagged with a per-key batch sequence number; the drain keeps the
+    * highest-seq emission per key.
+    */
+  private[graft] def dominates(ax: Long, ay: Long, bx: Long, by: Long): Boolean =
+    ax >= bx && ay >= by && (ax > bx || ay > by)
+
+  private[graft] def skylineInsert(f: Vector[(Long, Long, Long)],
+                                   p: (Long, Long, Long)): Vector[(Long, Long, Long)] =
+    if (f.exists(q => dominates(q._2, q._3, p._2, p._3))) f
+    else f.filterNot(q => dominates(p._2, p._3, q._2, q._3)) :+ p
+
+  class SkylineProcessor
+      extends StatefulProcessor[String, (String, Long, Long, Long),
+        (String, Long, Long, Long, Long)] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    @transient private var frontier: ValueState[Vector[(Long, Long, Long)]] = _
+    @transient private var seq: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      frontier = getHandle.getValueState[Vector[(Long, Long, Long)]](
+        "frontier", ExpressionEncoder[Vector[(Long, Long, Long)]](), TTLConfig.NONE)
+      seq = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Long, Long, Long)],
+                                 timerValues: TimerValues): Iterator[(String, Long, Long, Long, Long)] = {
+      var f = if (frontier.exists()) frontier.get() else Vector.empty
+      // deterministic fold order inside the batch is NOT required for the
+      // final state (order-independent), but sort anyway so per-batch
+      // EMISSIONS are replay-stable too
+      rows.toSeq.sortBy(r => (r._2, r._3, r._4)).foreach { r =>
+        f = skylineInsert(f, (r._2, r._3, r._4))
+      }
+      val s = (if (seq.exists()) seq.get() else 0L) + 1L
+      frontier.update(f); seq.update(s)
+      f.iterator.map { case (id, x, y) => (key, s, id, x, y) }
+    }
+  }
+
+  /** Wire [[SkylineProcessor]] over (lang, doc_id, x, y) rows. */
+  def skylineByKey(df: DataFrame): Dataset[(String, Long, Long, Long, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SkylineProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }

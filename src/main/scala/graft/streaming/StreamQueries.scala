@@ -1319,6 +1319,63 @@ object StreamQueries {
         FROM c a, c b
         WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
         ORDER BY tok_a, tok_b
+      """)),
+
+    // ---- streaming incremental Pareto frontier (round-9) ----------------
+    // Online multi-objective curation: the per-language document skyline
+    // (n_tokens × n_vocab) maintained INCREMENTALLY via transformWithState
+    // — state is only the current frontier (insert-or-drop + evict-
+    // dominated), never the corpus. The fold is arrival-order independent
+    // across ANY batch split (SkylineSpec property), so this op carries
+    // no cross-batch ordering contract; the 3-file range-partitioned
+    // copy + maxFilesPerTrigger=1 makes the incrementality real in the
+    // graded run. Each batch re-emits a key's frontier with a per-key
+    // sequence number; the drain keeps the highest-seq emission per
+    // lang, which equals the batch skyline — the same two-window oracle
+    // as pareto_frontier_docs, partitioned by lang.
+    Reg("streaming_pareto_frontier",
+      (s, dir) => {
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import org.apache.spark.sql.expressions.Window
+          val path = graft.sources.Fixtures.ensureDocStreamFiles(s, dir, n = 3)
+          val schema = s.read.parquet(path).schema // footer-only probe
+          val t = graft.text.TextOps.tokens(col("text"))
+          val pts = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(path)
+            .select(col("lang"), col("doc_id").cast("long"),
+              size(t).cast("long"), size(array_distinct(t)).cast("long"))
+          val out = StatefulOps.skylineByKey(pts)
+            .toDF("lang", "seq", "doc_id", "n_tokens", "n_vocab")
+          drain(out, "update")
+            .withColumn("max_seq", max(col("seq")).over(
+              Window.partitionBy(col("lang"))))
+            .filter(col("seq") === col("max_seq"))
+            .select(col("lang"), col("doc_id"), col("n_tokens"), col("n_vocab"))
+            .orderBy(col("lang"), col("n_tokens").desc, col("doc_id"))
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang,
+                          len(string_split(trim(text), ' ')) AS n_tokens,
+                          len(list_distinct(string_split(trim(text), ' '))) AS n_vocab
+                   FROM documents),
+        w AS (SELECT *,
+                     max(n_vocab) OVER (PARTITION BY lang ORDER BY n_tokens DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_longer,
+                     max(n_vocab) OVER (PARTITION BY lang, n_tokens) AS best_tie
+              FROM d)
+        SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_vocab AS BIGINT) AS n_vocab
+        FROM w
+        WHERE (best_longer IS NULL OR best_longer < n_vocab)
+          AND best_tie = n_vocab
+        ORDER BY lang, n_tokens DESC, doc_id
       """))
   )
 

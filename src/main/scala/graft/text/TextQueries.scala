@@ -2011,6 +2011,118 @@ object TextQueries {
           UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM b2
           UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM b3)
         ORDER BY iter
+      """)),
+
+    // ---- BPE vocabulary after applying the learned merges (round-9) -----
+    // The ENCODE side of bpe_learn_merges: apply the same 3 learned
+    // merges to the word dict and report the resulting subword vocabulary
+    // with corpus frequencies and where each symbol ranks — the table a
+    // tokenizer ships. Shares the training queries' exact machinery
+    // (fold merge, broadcast argmax), then one explode + hash agg over
+    // the merged dict. Total order: freq DESC then symbol.
+    Reg("bpe_vocab_apply",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .withColumn("syms",
+            expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        def pairCounts(syms: org.apache.spark.sql.DataFrame) = syms
+          .select(col("freq"), explode(expr(
+            "transform(slice(syms, 1, size(syms) - 1), (x, i) -> struct(x AS a, syms[i + 1] AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+        def best(pc: org.apache.spark.sql.DataFrame) = pc
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        def merge(syms: org.apache.spark.sql.DataFrame,
+                  b: org.apache.spark.sql.DataFrame) = syms
+          .crossJoin(broadcast(b.select(col("a"), col("b"))))
+          .withColumn("syms", expr(
+            """aggregate(syms, CAST(array() AS ARRAY<STRING>),
+               (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b
+                           THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
+                           ELSE concat(acc, array(x)) END)"""))
+          .select(col("word"), col("freq"), col("syms"))
+          .localCheckpoint()
+        val s1 = words.localCheckpoint()
+        val s2 = merge(s1, best(pairCounts(s1)))
+        val s3 = merge(s2, best(pairCounts(s2)))
+        val s4 = merge(s3, best(pairCounts(s3)))
+        s4.select(col("freq"), explode(col("syms")).as("sym"))
+          .groupBy(col("sym"))
+          .agg(sum(col("freq")).as("occurrences"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("occurrences").desc, col("sym"))).cast("long"))
+          .select(col("rank"), col("sym"), col("occurrences"))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH RECURSIVE
+        tok AS (SELECT string_split(trim(text), ' ') AS ws FROM documents),
+        w AS (SELECT w AS word, count(*) AS freq
+              FROM (SELECT unnest(ws) AS w FROM tok) WHERE w <> '' GROUP BY 1),
+        s1 AS (SELECT word, freq,
+                      list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+               FROM w),
+        p1 AS (SELECT s['a'] AS a, s['b'] AS b, sum(freq) AS cnt FROM (
+                 SELECT freq, unnest(list_transform(range(1, len(syms)),
+                        i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+                 FROM s1) GROUP BY 1, 2),
+        b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        r1(word, freq, n, pos, out) AS (
+          SELECT word, freq, len(syms), 1, CAST([] AS VARCHAR[]) FROM s1
+          UNION ALL
+          SELECT r.word, r.freq, r.n,
+                 CASE WHEN s.syms[r.pos] = b1.a AND s.syms[r.pos+1] = b1.b
+                      THEN r.pos + 2 ELSE r.pos + 1 END,
+                 CASE WHEN s.syms[r.pos] = b1.a AND s.syms[r.pos+1] = b1.b
+                      THEN list_append(r.out, b1.a || b1.b)
+                      ELSE list_append(r.out, s.syms[r.pos]) END
+          FROM r1 r JOIN s1 s USING (word) CROSS JOIN b1
+          WHERE r.pos <= r.n),
+        s2 AS (SELECT word, freq, out AS syms FROM r1 WHERE pos = n + 1),
+        p2 AS (SELECT s['a'] AS a, s['b'] AS b, sum(freq) AS cnt FROM (
+                 SELECT freq, unnest(list_transform(range(1, len(syms)),
+                        i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+                 FROM s2) GROUP BY 1, 2),
+        b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        r2(word, freq, n, pos, out) AS (
+          SELECT word, freq, len(syms), 1, CAST([] AS VARCHAR[]) FROM s2
+          UNION ALL
+          SELECT r.word, r.freq, r.n,
+                 CASE WHEN s.syms[r.pos] = b2.a AND s.syms[r.pos+1] = b2.b
+                      THEN r.pos + 2 ELSE r.pos + 1 END,
+                 CASE WHEN s.syms[r.pos] = b2.a AND s.syms[r.pos+1] = b2.b
+                      THEN list_append(r.out, b2.a || b2.b)
+                      ELSE list_append(r.out, s.syms[r.pos]) END
+          FROM r2 r JOIN s2 s USING (word) CROSS JOIN b2
+          WHERE r.pos <= r.n),
+        s3 AS (SELECT word, freq, out AS syms FROM r2 WHERE pos = n + 1),
+        p3 AS (SELECT s['a'] AS a, s['b'] AS b, sum(freq) AS cnt FROM (
+                 SELECT freq, unnest(list_transform(range(1, len(syms)),
+                        i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+                 FROM s3) GROUP BY 1, 2),
+        b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+        r3(word, freq, n, pos, out) AS (
+          SELECT word, freq, len(syms), 1, CAST([] AS VARCHAR[]) FROM s3
+          UNION ALL
+          SELECT r.word, r.freq, r.n,
+                 CASE WHEN s.syms[r.pos] = b3.a AND s.syms[r.pos+1] = b3.b
+                      THEN r.pos + 2 ELSE r.pos + 1 END,
+                 CASE WHEN s.syms[r.pos] = b3.a AND s.syms[r.pos+1] = b3.b
+                      THEN list_append(r.out, b3.a || b3.b)
+                      ELSE list_append(r.out, s.syms[r.pos]) END
+          FROM r3 r JOIN s3 s USING (word) CROSS JOIN b3
+          WHERE r.pos <= r.n),
+        s4 AS (SELECT word, freq, out AS syms FROM r3 WHERE pos = n + 1),
+        v AS (SELECT sym, sum(freq) AS occurrences FROM (
+                SELECT freq, unnest(syms) AS sym FROM s4) GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, sym) AS BIGINT) AS rank,
+               sym, CAST(occurrences AS BIGINT) AS occurrences
+        FROM v ORDER BY rank
       """))
   )
 }

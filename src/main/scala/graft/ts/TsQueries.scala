@@ -2845,6 +2845,192 @@ object TsQueries {
                     / (CAST(1 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / CAST(n_users AS DOUBLE))
                     * 1000000) AS BIGINT) AS wilson_hi_micros
         FROM a ORDER BY arm
+      """)),
+
+    // ---- linear multi-touch attribution (round-9) ------------------------
+    // The equal-credit sibling of attribution_last_touch: every click/view
+    // in the 24 h before a purchase shares the purchase value equally.
+    // The touch count per purchase is ONE time-RANGE window over the
+    // µs-epoch key (user-partitioned, [now−24 h, now) exclusive of the
+    // purchase row itself) — no purchases⋈touches range join, same
+    // discipline as the last-touch window pass. Credit is an integral
+    // division of cents; unattributed purchases keep the full value with
+    // the 0-touch sentinel.
+    Reg("attribution_linear",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-86400000000L, -1L)
+        Tables(s, dir).events
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("n_touches", coalesce( // empty frame → NULL in both engines
+            sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L)).over(w),
+            lit(0L)))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            date_format(col("ts"), fmt).as("purchase_ts"),
+            round(col("value") * 100).cast("long").as("value_cents"),
+            col("n_touches"),
+            expr("CASE WHEN n_touches > 0 THEN CAST(round(value * 100) AS BIGINT) div n_touches ELSE 0 END")
+              .as("credit_per_touch_cents"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""
+        WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
+        t AS (SELECT *,
+                     sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY us
+                             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS n_touches
+              FROM e)
+        SELECT event_id AS purchase_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               CAST(coalesce(n_touches, 0) AS BIGINT) AS n_touches,
+               CAST(CASE WHEN n_touches > 0
+                         THEN CAST(round(value * 100) AS BIGINT) // n_touches
+                         ELSE 0 END AS BIGINT) AS credit_per_touch_cents
+        FROM t WHERE event_type = 'purchase' ORDER BY purchase_id
+      """)),
+
+    // ---- point-in-time feature join against the SCD2 dimension ----------
+    // The feature-store correctness operation (training-data leakage
+    // guard): each purchase joined to the user-state dimension version
+    // valid AT the purchase instant — [valid_from, valid_to) semantics
+    // over the scd2_user_state versions. NOT a range join: version rows
+    // and purchase rows UNION into one user-partitioned stream ordered by
+    // (µs, kind, event_id) — version before query at the same instant, so
+    // a purchase that itself changes state sees the NEW version — and one
+    // last(..., ignoreNulls) carry-forward pass attaches the state; the
+    // asof-window discipline, linear, co-partitioned by user. The oracle
+    // cross-checks with the explicit interval predicate, proving the
+    // carry-forward ≡ interval-membership equivalence.
+    Reg("pit_feature_join",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val ev = Tables(s, dir).events
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val vord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val versions = ev
+          .withColumn("prev", lag(col("event_type"), 1).over(vord))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("version", row_number().over(vord).cast("long"))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            lit(0L).as("kind"), col("event_id"),
+            col("event_type").as("v_state"), col("version").as("v_version"),
+            unix_micros(col("ts")).as("v_from_us"))
+        val queries = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            lit(1L).as("kind"), col("event_id"),
+            lit(null).cast("string").as("v_state"),
+            lit(null).cast("long").as("v_version"),
+            lit(null).cast("long").as("v_from_us"))
+        versions.union(queries)
+          .withColumn("state", last(col("v_state"), ignoreNulls = true).over(ord))
+          .withColumn("version", last(col("v_version"), ignoreNulls = true).over(ord))
+          .withColumn("from_us", last(col("v_from_us"), ignoreNulls = true).over(ord))
+          .filter(col("kind") === 1L)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            date_format(timestamp_micros(col("us")), fmt).as("purchase_ts"),
+            col("state").as("state_at_purchase"), col("version"),
+            expr("(us - from_us) div 60000000").as("state_age_mins"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""
+        WITH o AS (SELECT user_id, ts, event_id, event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS prev
+                   FROM events),
+        chg AS (SELECT user_id, ts, event_id, event_type FROM o
+                WHERE prev IS NULL OR prev <> event_type),
+        v AS (SELECT user_id, event_type, ts,
+                     CAST(row_number() OVER w AS BIGINT) AS version,
+                     lead(ts) OVER w AS valid_to_ts
+              FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT p.event_id AS purchase_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               v.event_type AS state_at_purchase, v.version,
+               CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 60000000 AS BIGINT)
+                 AS state_age_mins
+        FROM events p JOIN v ON p.user_id = v.user_id
+                            AND v.ts <= p.ts
+                            AND (p.ts < v.valid_to_ts OR v.valid_to_ts IS NULL)
+        WHERE p.event_type = 'purchase'
+        ORDER BY purchase_id
+      """)),
+
+    // ---- conformal prediction interval evaluation (round-9) -------------
+    // Split-conformal calibration of the seasonal-naive forecaster
+    // (Vovk et al., public method): on the first-half calendar days the
+    // absolute hourly residuals are collected, q̂ = the ⌈(n+1)·0.9⌉-th
+    // smallest (RANK-selected order statistic, integer ceil formula
+    // ((n+1)·9+9) div 10 clamped to n — never percentile interpolation),
+    // then the second half reports empirical coverage of |err| ≤ q̂ in
+    // permille — the 90% marginal-coverage guarantee under
+    // exchangeability, checked. Everything integer cents on the
+    // forecast_snaive hourly-mean machinery (same hour-yesterday
+    // equi-join, never lag(24) over a gapped series); q̂ is a per-type
+    // broadcast. One agg + one co-partitioned self-join + one rank
+    // window + one final agg.
+    Reg("conformal_interval_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables(s, dir).events
+          .groupBy(col("event_type"),
+            unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+          .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)").as("mean_c"))
+          .localCheckpoint() // both sides of the self-join + split reuse
+        val resid = hourly.as("cur")
+          .join(hourly.as("prev"),
+            col("cur.event_type") === col("prev.event_type") &&
+              col("cur.hour_us") === col("prev.hour_us") + lit(86400000000L))
+          .select(col("cur.event_type").as("event_type"), col("cur.hour_us").as("hour_us"),
+            abs(col("cur.mean_c") - col("prev.mean_c")).as("aerr"))
+          .withColumn("is_cal", (col("hour_us") < lit(1705276800000000L)).cast("long")) // 2024-01-15
+        val cal = resid.filter(col("is_cal") === 1L)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("aerr"), col("hour_us"))).cast("long"))
+          .withColumn("n_cal", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        val qhat = cal
+          .filter(col("rk") === least(expr("((n_cal + 1) * 9 + 9) div 10"), col("n_cal")))
+          .select(col("event_type"), col("n_cal"), col("aerr").as("qhat_c"))
+        resid.filter(col("is_cal") === 0L)
+          .join(broadcast(qhat), "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_eval"),
+            max(col("qhat_c")).as("qhat_cents"),
+            expr("sum(CASE WHEN aerr <= qhat_c THEN 1000L ELSE 0L END) div count(*)")
+              .as("coverage_pm"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH hourly AS (SELECT event_type,
+                               epoch_us(date_trunc('hour', ts)) AS hour_us,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                                 // count(*) AS mean_c
+                        FROM events GROUP BY 1, 2),
+        resid AS (SELECT c.event_type, c.hour_us, abs(c.mean_c - p.mean_c) AS aerr,
+                         CASE WHEN c.hour_us < 1705276800000000 THEN 1 ELSE 0 END AS is_cal
+                  FROM hourly c JOIN hourly p
+                    ON c.event_type = p.event_type
+                   AND c.hour_us = p.hour_us + 86400000000),
+        cal AS (SELECT *,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY aerr, hour_us) AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS n_cal
+                FROM resid WHERE is_cal = 1),
+        qhat AS (SELECT event_type, n_cal, aerr AS qhat_c FROM cal
+                 WHERE rk = least(((n_cal + 1) * 9 + 9) // 10, n_cal))
+        SELECT r.event_type, CAST(max(q.n_cal) AS BIGINT) AS n_cal,
+               count(*) AS n_eval,
+               CAST(max(q.qhat_c) AS BIGINT) AS qhat_cents,
+               CAST(sum(CASE WHEN r.aerr <= q.qhat_c THEN 1000 ELSE 0 END)
+                    // count(*) AS BIGINT) AS coverage_pm
+        FROM resid r JOIN qhat q USING (event_type)
+        WHERE r.is_cal = 0
+        GROUP BY 1 ORDER BY event_type
       """))
   )
 }

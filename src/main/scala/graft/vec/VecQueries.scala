@@ -1332,6 +1332,135 @@ object VecQueries {
         UNION ALL
         SELECT qid, 3, p3_nid, CAST(p3_rel AS BIGINT), CAST(p3_obj AS BIGINT) FROM p3
         ORDER BY qid, step
+      """)),
+
+    // ---- ANN accuracy contract: recall@3 of Matryoshka vs brute ---------
+    // Closes the recall family over the two-STAGE retriever (the others
+    // grade single-stage indexes): how much truth the truncated-16-dim
+    // shortlist loses before the full-dim re-rank can recover it. Same
+    // contract as ann_recall_lsh — 25% md5 query sample, session-shared
+    // brute ground truth, hit counting by (qid, nid) equi-join.
+    Reg("ann_recall_matryoshka",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
+          .select(col("qid"), col("nid"))
+        val mat = VecOps.matryoshkaTopK(emb, planes = 4, mDims = 16,
+            shortlist = 8, k = 3).filter(keep)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(mat, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(16) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        cand AS (SELECT a.vec_id AS qid, a.embedding AS qe,
+                        b.vec_id AS nid, b.embedding AS ne,
+                        list_sum(list_transform(range(1, 17),
+                          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS d16
+                 FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+                 WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        short AS (SELECT qid, nid, qe, ne,
+                         row_number() OVER (PARTITION BY qid ORDER BY d16 DESC, nid) AS r16
+                  FROM cand),
+        scored AS (SELECT qid, nid,
+                          list_sum(list_transform(range(1, 65),
+                            i -> qe[i]::DOUBLE * ne[i]::DOUBLE)) AS d
+                   FROM short WHERE r16 <= 8),
+        mr AS (SELECT qid, nid, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM scored),
+        mat AS (SELECT qid, nid FROM mr WHERE rank <= 3),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(m.nid) AS n_hit
+        FROM brute b LEFT JOIN mat m ON b.qid = m.qid AND b.nid = m.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- embedding drift between corpus halves (round-9) ----------------
+    // The model-monitoring primitive: split the corpus by a deterministic
+    // md5 hash, compute each label's per-half centroid, and report the
+    // cross-half centroid cosine — a drifting embedding space pulls the
+    // halves apart. Float discipline: per-element round(v·10⁶) FIRST
+    // (deterministic per value), then INTEGER sums and integral-division
+    // means — never a float mean, whose summation order diverges across
+    // engines; the final cosine divides exact int64 dot/norms in double
+    // (norm product would overflow int64). Shapes: one explode to
+    // (label, half, dim), one hash agg, a 64-row-per-label reshape — all
+    // linear, centroid relation is output-sized (labels × dims).
+    Reg("embedding_drift_halves",
+      (s, dir) => {
+        val half = graft.text.TextOps.hash60(concat(lit("dr_"),
+          col("vec_id").cast("string"))) % 2
+        val cent = Tables(s, dir).embeddings
+          .withColumn("half", half)
+          .select(col("label"), col("half"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("label"), col("half"), col("dim"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)")).as("sum_u"))
+          .withColumn("mean_u", expr("sum_u div n"))
+        cent.groupBy(col("label"), col("dim"))
+          .agg(max(when(col("half") === 0, col("mean_u"))).as("a"),
+            max(when(col("half") === 1, col("mean_u"))).as("b"),
+            max(when(col("half") === 0, col("n"))).as("n_a"),
+            max(when(col("half") === 1, col("n"))).as("n_b"))
+          .groupBy(col("label"))
+          .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+            sum(col("a") * col("b")).as("dot"),
+            sum(col("a") * col("a")).as("na"),
+            sum(col("b") * col("b")).as("nb"))
+          .select(col("label"), col("n_a"), col("n_b"),
+            expr("CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000) AS BIGINT)")
+              .as("drift_cosine_micros"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH h AS (SELECT label,
+                          ('0x' || substr(md5('dr_' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS half,
+                          embedding
+                   FROM embeddings),
+        e AS (SELECT label, half, generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding) AS v
+              FROM h),
+        cent AS (SELECT label, half, dim, count(*) AS n,
+                        CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_u
+                 FROM e GROUP BY 1, 2, 3),
+        m AS (SELECT label, half, dim, n, sum_u // n AS mean_u FROM cent),
+        p AS (SELECT label, dim,
+                     max(CASE WHEN half = 0 THEN mean_u END) AS a,
+                     max(CASE WHEN half = 1 THEN mean_u END) AS b,
+                     max(CASE WHEN half = 0 THEN n END) AS n_a,
+                     max(CASE WHEN half = 1 THEN n END) AS n_b
+              FROM m GROUP BY 1, 2),
+        g AS (SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+                     CAST(sum(a * b) AS BIGINT) AS dot,
+                     CAST(sum(a * a) AS BIGINT) AS na,
+                     CAST(sum(b * b) AS BIGINT) AS nb
+              FROM p GROUP BY 1)
+        SELECT label, n_a, n_b,
+               CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000) AS BIGINT)
+                 AS drift_cosine_micros
+        FROM g ORDER BY label
       """))
   )
 }

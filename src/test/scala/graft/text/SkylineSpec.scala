@@ -45,4 +45,33 @@ class SkylineSpec extends AnyFunSuite {
     assert(windowed(pts) == Set((5, 5), (3, 7)))
     assert(naive(pts) == Set((5, 5), (3, 7)))
   }
+
+  test("incremental skylineInsert fold == full skyline under ANY batch split") {
+    // the law streaming_pareto_frontier's state maintenance rests on:
+    // folding points one at a time (state = frontier only) reaches the
+    // same frontier as computing the skyline of everything at once,
+    // whatever order / batching the stream delivers
+    val pt = for (x <- Gen.choose(0, 8); y <- Gen.choose(0, 8)) yield (x, y)
+    val ptsGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, pt).map(_.toVector))
+    samples(ptsGen, 300).zipWithIndex.foreach { case (pts, i) =>
+      // a deterministic shuffle per case: rotate by i
+      val rotated = if (pts.isEmpty) pts else pts.drop(i % pts.length) ++ pts.take(i % pts.length)
+      val folded = rotated.foldLeft(Vector.empty[(Long, Long, Long)]) { (f, p) =>
+        graft.streaming.StatefulOps.skylineInsert(
+          f, (f.length.toLong, p._1.toLong, p._2.toLong))
+      }
+      // compare point SETS (ids differ); duplicates collapse to the same
+      // (x, y) in both representations for Set comparison, but first
+      // assert multiplicity: #frontier members == #input points that are
+      // on the naive frontier is NOT an invariant for duplicates of the
+      // same point arriving in different batches — the fold keeps every
+      // copy, exactly like the two-window query does
+      val naiveSet = naive(pts)
+      assert(folded.map(q => (q._2.toInt, q._3.toInt)).toSet == naiveSet,
+        s"diverged on $pts (rotated $rotated)")
+      val dupCount = pts.count(p => naiveSet.contains(p))
+      assert(folded.length == dupCount,
+        s"multiplicity diverged on $pts: fold=${folded.length} expected=$dupCount")
+    }
+  }
 }
