@@ -211,6 +211,19 @@ object ScaleDemo {
         cent = graft.vec.VecOps.lloydStep(emb, cent, snap = true)
       graft.vec.VecOps.semDedupKeep(emb, cent, tau = 0.45).count()
     })
+    // round-9 continuation: k-core peeling and item-item CF share the
+    // basket-keyed co-purchase self-join (Σ basket², linear in baskets;
+    // 10 disjoint subgraphs at 10× — and kcore's DATA-DERIVED k holds
+    // automatically under sharding because disjoint copies preserve the
+    // degree distribution, the property a hardcoded k would not have);
+    // BPE training cost is one explode+agg per iteration over the WORD
+    // DICT, which the suffixed copies grow ~10× — the vocab-not-corpus
+    // scaling the operator's 100 TB story rests on; the streaming
+    // skyline's state stays frontier-sized however the corpus grows.
+    for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
+         q <- Seq("kcore_3", "copurchase_cosine", "bpe_learn_merges",
+           "streaming_pareto_frontier"))
+      time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
     spark.stop()
   }
 }

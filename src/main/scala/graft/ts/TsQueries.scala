@@ -3031,6 +3031,264 @@ object TsQueries {
         FROM resid r JOIN qhat q USING (event_type)
         WHERE r.is_cal = 0
         GROUP BY 1 ORDER BY event_type
+      """)),
+
+    // ---- SAX symbolization + top motif (round-9) ------------------------
+    // Symbolic Aggregate approXimation (Lin et al. 2003, public method),
+    // the rank-based variant: per event type the 30 daily means quantize
+    // to letters a-d by NTILE(4) over (mean, day) — rank-based, so no
+    // Gaussian breakpoint floats and the tie order is total — and
+    // concatenate in day order into the SAX word; then the most frequent
+    // 3-letter motif (count DESC, lexicographic tie). The per-type
+    // word build is a calendar-bounded collect_list (30 elements — the
+    // event_seq_regex discipline); motif extraction explodes ≤ 28
+    // positions per type. One day-grain agg + two tiny windows.
+    Reg("sax_daily_symbols",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables(s, dir).events
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)").as("mean_c"))
+          .withColumn("letter", expr("chr(96 + ntile(4) OVER " +
+            "(PARTITION BY event_type ORDER BY mean_c, day))"))
+        val words = daily.groupBy(col("event_type"))
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(day, letter)))," +
+            " x -> x.letter), '')").as("sax_word"))
+        val motifs = words
+          .select(col("event_type"), col("sax_word"),
+            explode(expr("transform(sequence(1, length(sax_word) - 2)," +
+              " i -> substring(sax_word, i, 3))")).as("motif"))
+          .groupBy(col("event_type"), col("sax_word"), col("motif"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("n").desc, col("motif"))))
+          .filter(col("rk") === 1)
+        motifs.select(col("event_type"), col("sax_word"),
+            col("motif").as("top_motif"), col("n").as("motif_count"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                                // count(*) AS mean_c
+                       FROM events GROUP BY 1, 2),
+        lett AS (SELECT event_type, day,
+                        chr(CAST(96 + ntile(4) OVER (PARTITION BY event_type
+                                                     ORDER BY mean_c, day) AS INT)) AS letter
+                 FROM daily),
+        words AS (SELECT event_type,
+                         string_agg(letter, '' ORDER BY day) AS sax_word
+                  FROM lett GROUP BY 1),
+        m AS (SELECT event_type, sax_word,
+                     substr(sax_word, CAST(i AS INT), 3) AS motif
+              FROM (SELECT event_type, sax_word,
+                           unnest(range(1, len(sax_word) - 1)) AS i
+                    FROM words)),
+        c AS (SELECT event_type, sax_word, motif, count(*) AS n
+              FROM m GROUP BY 1, 2, 3),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY n DESC, motif) AS rk
+              FROM c)
+        SELECT event_type, sax_word, motif AS top_motif, n AS motif_count
+        FROM r WHERE rk = 1 ORDER BY event_type
+      """)),
+
+    // ---- robust (median/IQR) feature scaling (round-9) ------------------
+    // feature_scaling_minmax's outlier-immune sibling: center on the
+    // rank-selected lower median, scale by the discrete-order-statistic
+    // IQR. The centered value is SIGNED, and integer division of
+    // negatives is a cross-engine trap (Spark div truncates toward zero,
+    // DuckDB // floors) — so the scaled value is computed as
+    // sign · (|c − med|·10⁶ div iqr): every division non-negative,
+    // identical both engines. Same one-window-shuffle-then-map shape as
+    // the minmax twin.
+    Reg("feature_scaling_robust",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val seg = Window.partitionBy(col("event_type"))
+        val ord = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("event_id"))
+        val e = Tables(s, dir).events
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("n", count(lit(1)).over(seg))
+          .withColumn("rk", row_number().over(ord).cast("long"))
+          .localCheckpoint() // feeds the stats AND the scaled output
+        val stats = e
+          .groupBy(col("event_type"))
+          .agg(max(when(col("rk") === expr("(n + 1) div 2"), col("cents"))).as("med"),
+            max(when(col("rk") === expr("(n + 3) div 4"), col("cents"))).as("q1"),
+            max(when(col("rk") === expr("(3 * n + 3) div 4"), col("cents"))).as("q3"))
+          .withColumn("iqr", col("q3") - col("q1"))
+        e.join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"), col("cents"),
+            col("med"), col("iqr"),
+            expr("""CASE WHEN iqr = 0 THEN 0L
+                    WHEN cents >= med THEN ((cents - med) * 1000000) div iqr
+                    ELSE -(((med - cents) * 1000000) div iqr) END""").as("robust_ppm"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        w AS (SELECT *,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents, event_id) AS rk
+              FROM e),
+        stats AS (SELECT event_type,
+                         max(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS med,
+                         max(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS q1,
+                         max(CASE WHEN rk = (3 * n + 3) // 4 THEN cents END) AS q3
+                  FROM w GROUP BY 1)
+        SELECT w.event_id, w.event_type, w.cents, s.med,
+               CAST(s.q3 - s.q1 AS BIGINT) AS iqr,
+               CAST(CASE WHEN s.q3 - s.q1 = 0 THEN 0
+                         WHEN w.cents >= s.med
+                           THEN ((w.cents - s.med) * 1000000) // (s.q3 - s.q1)
+                         ELSE -(((s.med - w.cents) * 1000000) // (s.q3 - s.q1))
+                    END AS BIGINT) AS robust_ppm
+        FROM w JOIN stats s USING (event_type)
+        ORDER BY event_id
+      """)),
+
+    // ---- Markov stationary distribution, 3 power iterations (round-9) ---
+    // Where does the event-type chain settle? Power iteration over the
+    // row-normalized transition matrix in integer millionths: each step's
+    // contribution is (v_from · n_fromto) div row_total — the PageRank
+    // integer-division discipline, so partial-agg order can't change a
+    // single unit. The matrix relation is |types|² rows (bounded by the
+    // type vocabulary, broadcastable forever); 3 unrolled join+agg
+    // stages. Mass lost to flooring stays lost (deterministic) — the
+    // oracle replays the identical floor arithmetic.
+    Reg("markov_stationary_3",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val edges = Tables(s, dir).events
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_total", sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))))
+          .localCheckpoint() // loop invariant
+        val nTypes = edges.select(col("from_type")).distinct()
+          .agg(count(lit(1)).as("k"))
+        var v = edges.select(col("from_type").as("t")).distinct()
+          .crossJoin(broadcast(nTypes))
+          .select(col("t"), expr("1000000L div k").as("ppm"))
+        for (_ <- 1 to 3) {
+          v = edges.join(v, col("from_type") === col("t"))
+            .select(col("to_type"), expr("(ppm * n) div row_total").as("c"))
+            .groupBy(col("to_type")).agg(sum(col("c")).as("ppm"))
+            .select(col("to_type").as("t"), col("ppm"))
+        }
+        v.select(col("t").as("event_type"), col("ppm").as("stationary_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH t AS (SELECT user_id, event_type,
+                          lead(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+                   FROM events),
+        e AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+              FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        m AS (SELECT *, sum(n) OVER (PARTITION BY from_type) AS row_total FROM e),
+        k AS (SELECT count(DISTINCT from_type) AS k FROM m),
+        v0 AS (SELECT DISTINCT from_type AS t, 1000000 // k.k AS ppm FROM m, k),
+        v1 AS (SELECT m.to_type AS t, CAST(sum((v0.ppm * m.n) // m.row_total) AS BIGINT) AS ppm
+               FROM m JOIN v0 ON m.from_type = v0.t GROUP BY 1),
+        v2 AS (SELECT m.to_type AS t, CAST(sum((v1.ppm * m.n) // m.row_total) AS BIGINT) AS ppm
+               FROM m JOIN v1 ON m.from_type = v1.t GROUP BY 1),
+        v3 AS (SELECT m.to_type AS t, CAST(sum((v2.ppm * m.n) // m.row_total) AS BIGINT) AS ppm
+               FROM m JOIN v2 ON m.from_type = v2.t GROUP BY 1)
+        SELECT t AS event_type, ppm AS stationary_ppm
+        FROM v3 ORDER BY event_type
+      """)),
+
+    // ---- banded dynamic time warping, click vs view (round-9) -----------
+    // Sakoe-Chiba banded DTW (r = 3) between the click and view daily
+    // mean series — the time-series similarity measure alignment-shifted
+    // series need where pointwise distance fails. Two radically different
+    // formulations, one hash: the Spark side runs the whole DP as a
+    // NESTED `aggregate` HOF fold (outer over rows, inner over columns —
+    // codegen'd, zero joins, zero shuffles beyond the two daily aggs;
+    // sound because the series are calendar-bounded, the mann_kendall
+    // discipline), while the oracle walks ANTI-DIAGONALS in a recursive
+    // CTE carrying two diagonals (age 0/1 tags), the only recursion
+    // whose per-step frontier a SQL engine can express. Integer cents
+    // costs; the 10^15 sentinel stands in for +∞ outside the band
+    // (band cells always have a real predecessor, and 60 steps × step
+    // magnitude cannot reach the sentinel). Cross-checked against an
+    // independent reference DP.
+    Reg("dtw_banded_click_view",
+      (s, dir) => {
+        val daily = Tables(s, dir).events
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)").as("mean_c"))
+        val series = daily.groupBy(col("event_type"))
+          .agg(expr("transform(array_sort(collect_list(struct(day, mean_c))), x -> x.mean_c)")
+            .as("seq"))
+        val one = series.groupBy()
+          .agg(max(when(col("event_type") === "click", col("seq"))).as("a"),
+            max(when(col("event_type") === "view", col("seq"))).as("b"))
+        one.selectExpr("size(a) AS n_a", "size(b) AS n_b",
+          """element_at(
+               aggregate(sequence(1, size(a)),
+                 transform(b, x -> CAST(1000000000000000 AS BIGINT)),
+                 (prev, i) -> aggregate(sequence(1, size(b)),
+                   CAST(array() AS ARRAY<BIGINT>),
+                   (row, j) -> concat(row, array(
+                     CASE WHEN abs(i - j) > 3 THEN CAST(1000000000000000 AS BIGINT)
+                          WHEN i = 1 AND j = 1 THEN abs(element_at(a, 1) - element_at(b, 1))
+                          ELSE abs(element_at(a, i) - element_at(b, j)) + least(
+                            element_at(prev, j),
+                            CASE WHEN j > 1 THEN element_at(prev, j - 1)
+                                 ELSE CAST(1000000000000000 AS BIGINT) END,
+                            CASE WHEN j > 1 THEN element_at(row, j - 1)
+                                 ELSE CAST(1000000000000000 AS BIGINT) END)
+                     END)))),
+               size(b)) AS dtw_cost""")
+      },
+      Some("""
+        WITH RECURSIVE
+        daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                           // count(*) AS mean_c
+                  FROM events WHERE event_type IN ('click','view')
+                  GROUP BY 1, 2),
+        a AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, mean_c AS v
+              FROM daily WHERE event_type = 'click'),
+        b AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS j, mean_c AS v
+              FROM daily WHERE event_type = 'view'),
+        nn AS (SELECT (SELECT max(i) FROM a) AS n, (SELECT max(j) FROM b) AS m),
+        dp(d, i, j, cost, age) AS (
+          SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+                 abs(a.v - b.v), CAST(0 AS BIGINT)
+          FROM a, b WHERE a.i = 1 AND b.j = 1
+          UNION ALL
+          SELECT * FROM (
+            SELECT r.d + 1, r.i, r.j, r.cost, CAST(1 AS BIGINT)
+            FROM dp r, nn WHERE r.age = 0 AND r.d < nn.n + nn.m
+            UNION ALL
+            SELECT r2.d + 1, c.i, c.j, c.step + min(r2.cost), CAST(0 AS BIGINT)
+            FROM (SELECT a.i, b.j, abs(a.v - b.v) AS step, a.i + b.j AS dg
+                  FROM a, b WHERE abs(a.i - b.j) <= 3 AND a.i + b.j >= 3) c
+            JOIN dp r2 ON (
+                 (r2.age = 0 AND ((r2.i = c.i - 1 AND r2.j = c.j)
+                                  OR (r2.i = c.i AND r2.j = c.j - 1)))
+              OR (r2.age = 1 AND r2.i = c.i - 1 AND r2.j = c.j - 1))
+            JOIN nn ON true
+            WHERE r2.d + 1 = c.dg AND r2.d < nn.n + nn.m
+            GROUP BY r2.d, c.i, c.j, c.step
+          )
+        )
+        SELECT CAST(nn.n AS INT) AS n_a, CAST(nn.m AS INT) AS n_b,
+               dp.cost AS dtw_cost
+        FROM dp, nn WHERE dp.i = nn.n AND dp.j = nn.m AND dp.age = 0
       """))
   )
 }

@@ -55,7 +55,10 @@ class RegistrySpec extends AnyFunSuite {
       "kmv_difference_bounds", "triangle_count",
       // single global-aggregate row; its only ORDER BYs are inside
       // list(... ORDER BY rk) aggregates, which the strip removes
-      "zipf_slope_corpus")
+      "zipf_slope_corpus",
+      // one (n_a, n_b, dtw_cost) row by construction — the DP's single
+      // terminal cell (round-9)
+      "dtw_banded_click_view")
     val offenders = noOrder.filterNot(exempt)
     assert(offenders.isEmpty,
       s"oracles without ORDER BY (row order is engine-arbitrary): $offenders")

@@ -199,7 +199,41 @@ class PlanShapeSpec extends SparkSpec {
     // binning stays map-side over one fact scan
     "profile_histogram_by_group" -> (3, 1),
     // per-user collect_list agg + sort, same as the other CEP queries
-    "event_seq_quantified" -> (2, 0))
+    "event_seq_quantified" -> (2, 0),
+    // round-9 continuation (kcore/bpe/markov/conformal/robust-scaler
+    // localCheckpoint eagerly and are deliberately not listed)
+    // basket self-join (orderkey exchange per side) + pair agg + two
+    // broadcast count joins + top-k sort; the 3rd broadcast is AQE's
+    // pre-planned option on the distinct'd li side
+    "copurchase_cosine" -> (7, 3),
+    // the linear skyline: ONE global-sort exchange, zero joins — the
+    // entire point vs the quadratic NOT-EXISTS form; must never grow one
+    "pareto_frontier_docs" -> (1, 0),
+    // explode → per-doc bigram window (doc_id exchange) → corpus agg +
+    // bigram-keyed join-back + per-doc agg + sort; corpus counts
+    // broadcast at fixture scale
+    "doc_novelty_bigram" -> (4, 1),
+    // explode → doc window + (w, nxt) agg + per-w rank window + sort
+    "bigram_next_word" -> (4, 0),
+    // first-week agg + (user,wk) distinct + user join + (cohort,offset)
+    // distinct-count expansion + broadcast sizes + sort
+    "cohort_retention_weekly" -> (7, 2),
+    // per-user conv agg + per-arm agg + sort; Wilson math is pure
+    // projection — no exchange may ever come from it
+    "ab_conversion_wilson" -> (3, 0),
+    // ONE user-partitioned µs-RANGE window + output sort — the
+    // no-range-join contract; a purchases⋈touches join would add joins
+    "attribution_linear" -> (2, 0),
+    // version+query union rides ONE user exchange for both window passes
+    // (lag-dedup and carry-forward) + output sort — the no-range-join
+    // contract, same as attribution
+    "pit_feature_join" -> (3, 0),
+    // daily agg + ntile/word windows on the type key + motif agg/rank
+    // riding the same exchange + sort
+    "sax_daily_symbols" -> (3, 0),
+    // explode → (label,half,dim) agg → reshape/label aggs + sort; the
+    // centroid relation is output-sized so no broadcast is needed
+    "embedding_drift_halves" -> (4, 0))
 
   test("join_null_safe_props: <=> is a hash join, never a nested loop") {
     val df = SparkEntry.queries("join_null_safe_props")(spark, sf("sf0.001"))
