@@ -123,7 +123,7 @@ object Plans {
       // forward form), split-conformal coverage, centroid drift monitor
       // (streaming_pareto_frontier stays out — eager drain)
       "pit_feature_join", "conformal_interval_eval",
-      "embedding_drift_halves")
+      "embedding_drift_halves", "dtw_banded_click_view")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -2123,6 +2123,85 @@ object TextQueries {
         SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, sym) AS BIGINT) AS rank,
                sym, CAST(occurrences AS BIGINT) AS occurrences
         FROM v ORDER BY rank
+      """)),
+
+    // ---- TextRank keyword extraction (round-9) --------------------------
+    // Mihalcea & Tarau 2004 (public method): PageRank over the word
+    // co-occurrence graph (words within distance ≤ 2 in a document are
+    // edges, weight = co-occurrence count). The ±2 window join is TWO
+    // SHIFTED EQUI-JOINS on (doc_id, pos + k) — never a position-range
+    // theta join. The walk reuses pagerank_weighted's integer-millionth
+    // discipline verbatim (contribution (s·w) div totw, damping as
+    // 150000 + (850·Σ) div 1000 — order-independent sums, zero float).
+    // Output: every word's final score + rank (the keyword table).
+    Reg("textrank_keywords",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables(s, dir).documents
+          .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+          .filter(col("w") =!= "")
+        val shifted = (1 to 2).map { k =>
+          toks.as("a").join(
+            toks.select(col("doc_id"), (col("pos") - k).as("pos"), col("w").as("w2")).as("b"),
+            Seq("doc_id", "pos"))
+            .select(col("w"), col("w2"))
+        }.reduce(_ union _)
+        val e0 = shifted.filter(col("w") =!= col("w2"))
+          .select(least(col("w"), col("w2")).as("src"), greatest(col("w"), col("w2")).as("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("wt"))
+        val edges = e0.select(col("src"), col("dst"), col("wt"))
+          .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("wt")))
+          .localCheckpoint()
+        val totw = edges.groupBy(col("src")).agg(sum(col("wt")).as("totw"))
+          .localCheckpoint()
+        var score = totw.select(col("src").as("node"), lit(1000000L).as("score"))
+        for (_ <- 1 to 3) {
+          score = edges.join(totw, "src")
+            .join(score, edges("src") === score("node"))
+            .select(col("dst"), expr("(score * wt) div totw").as("c"))
+            .groupBy(col("dst"))
+            .agg(expr("CAST(150000 + (850 * sum(c)) div 1000 AS BIGINT)").as("score"))
+            .select(col("dst").as("node"), col("score"))
+        }
+        score
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("node"))).cast("long"))
+          .select(col("rank"), col("node").as("word"), col("score"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH p AS (SELECT doc_id, unnest(ws) AS w,
+                          generate_subscripts(ws, 1) AS pos
+                   FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                         FROM documents)),
+        pairs AS (
+          SELECT a.w, b.w AS w2 FROM p a JOIN p b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          UNION ALL
+          SELECT a.w, b.w FROM p a JOIN p b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 2),
+        e0 AS (SELECT least(w, w2) AS src, greatest(w, w2) AS dst,
+                      count(*) AS wt
+               FROM pairs WHERE w <> '' AND w2 <> '' AND w <> w2
+               GROUP BY 1, 2),
+        e AS (SELECT src, dst, wt FROM e0 UNION ALL SELECT dst, src, wt FROM e0),
+        tw AS (SELECT src, CAST(sum(wt) AS BIGINT) AS totw FROM e GROUP BY 1),
+        s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM tw),
+        i1 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum((s.score * e.wt) // t.totw)) // 1000 AS BIGINT) AS score
+               FROM e JOIN tw t ON e.src = t.src JOIN s0 s ON e.src = s.node
+               GROUP BY e.dst),
+        i2 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum((s.score * e.wt) // t.totw)) // 1000 AS BIGINT) AS score
+               FROM e JOIN tw t ON e.src = t.src JOIN i1 s ON e.src = s.node
+               GROUP BY e.dst),
+        i3 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum((s.score * e.wt) // t.totw)) // 1000 AS BIGINT) AS score
+               FROM e JOIN tw t ON e.src = t.src JOIN i2 s ON e.src = s.node
+               GROUP BY e.dst)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, node) AS BIGINT) AS rank,
+               node AS word, score
+        FROM i3 ORDER BY rank
       """))
   )
 }

@@ -1461,6 +1461,81 @@ object VecQueries {
                CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000) AS BIGINT)
                  AS drift_cosine_micros
         FROM g ORDER BY label
+      """)),
+
+    // ---- k-center coreset selection, 3 greedy rounds (round-9) ----------
+    // Gonzalez's greedy farthest-point coreset (public method) — the
+    // diversity-maximizing subset selection a training-data curator runs
+    // before labeling/budgeting: start from the md5-min seed, then 3× —
+    // every unselected point's MAX similarity to the selected set (the
+    // k-center guard), pick the point MINIMIZING it (the farthest), add.
+    // Per round: one broadcast join of the ≤3-row selected set against
+    // the corpus + one hash agg — linear, never all-pairs; the argmin
+    // row flows forward as a broadcast one-row relation (the BPE
+    // pattern, nothing touches the driver). Dots are the same
+    // left-to-right fold as cosine_topk_brute (bit-identical to the
+    // oracle's list_sum); the guard rounds 4dp only at OUTPUT.
+    Reg("coreset_kcenter",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val seed = emb
+          .withColumn("h", graft.text.TextOps.hash60(
+            concat(lit("cs_"), col("vec_id").cast("string"))))
+          .orderBy(col("h"), col("vec_id")).limit(1)
+          .select(col("vec_id").as("sid"), col("embedding").as("semb"),
+            lit(1L).as("sel_rank"), lit(null).cast("double").as("guard"))
+          .localCheckpoint()
+        var selected = seed
+        for (r <- 2 to 4) {
+          val scored = emb
+            .join(broadcast(selected.select(col("sid"))), col("vec_id") === col("sid"), "left_anti")
+            .crossJoin(broadcast(selected.select(col("semb").as("other"))))
+            .select(col("vec_id"), VecOps.dot(col("embedding"), col("other")).as("d"))
+            .groupBy(col("vec_id")).agg(max(col("d")).as("maxd"))
+          val next = scored.orderBy(col("maxd").asc, col("vec_id")).limit(1)
+            .join(emb, "vec_id")
+            .select(col("vec_id").as("sid"), col("embedding").as("semb"),
+              lit(r.toLong).as("sel_rank"), col("maxd").as("guard"))
+          selected = selected.union(next).localCheckpoint()
+        }
+        selected.select(col("sel_rank"), col("sid").as("vec_id"),
+            round(col("guard"), 4).as("max_sim_at_selection"))
+          .orderBy("sel_rank")
+      },
+      Some(s"""
+        WITH h AS (SELECT vec_id, embedding,
+                          ('0x' || substr(md5('cs_' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                   FROM embeddings),
+        s1 AS (SELECT vec_id, embedding FROM h ORDER BY h, vec_id LIMIT 1),
+        c2 AS (SELECT a.vec_id, max($duckDot) AS maxd
+               FROM embeddings a JOIN s1 b ON a.vec_id <> b.vec_id
+               GROUP BY 1),
+        n2 AS (SELECT c.vec_id, e.embedding, c.maxd FROM c2 c
+               JOIN embeddings e ON c.vec_id = e.vec_id
+               ORDER BY c.maxd ASC, c.vec_id LIMIT 1),
+        sel2 AS (SELECT vec_id, embedding FROM s1
+                 UNION ALL SELECT vec_id, embedding FROM n2),
+        c3 AS (SELECT a.vec_id, max($duckDot) AS maxd
+               FROM embeddings a JOIN sel2 b ON true
+               WHERE a.vec_id NOT IN (SELECT vec_id FROM sel2)
+               GROUP BY 1),
+        n3 AS (SELECT c.vec_id, e.embedding, c.maxd FROM c3 c
+               JOIN embeddings e ON c.vec_id = e.vec_id
+               ORDER BY c.maxd ASC, c.vec_id LIMIT 1),
+        sel3 AS (SELECT vec_id, embedding FROM sel2
+                 UNION ALL SELECT vec_id, embedding FROM n3),
+        c4 AS (SELECT a.vec_id, max($duckDot) AS maxd
+               FROM embeddings a JOIN sel3 b ON true
+               WHERE a.vec_id NOT IN (SELECT vec_id FROM sel3)
+               GROUP BY 1),
+        n4 AS (SELECT c.vec_id, c.maxd FROM c4 c
+               ORDER BY c.maxd ASC, c.vec_id LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
+               CAST(NULL AS DOUBLE) AS max_sim_at_selection FROM s1
+        UNION ALL SELECT 2, vec_id, round(maxd, 4) FROM n2
+        UNION ALL SELECT 3, vec_id, round(maxd, 4) FROM n3
+        UNION ALL SELECT 4, vec_id, round(maxd, 4) FROM n4
+        ORDER BY sel_rank
       """))
   )
 }
