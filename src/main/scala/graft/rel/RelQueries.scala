@@ -3124,28 +3124,32 @@ object RelQueries {
         val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
           .union(und.select(col("pb").as("src"), col("pa").as("dst")))
           .localCheckpoint() // loop-invariant base edges: build once
-        val d0 = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        val kk = d0.agg(
+        val dBase = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint() // THE one full-degree agg; rounds are DELTAs
+        val kk = dBase.agg(
           expr("CAST(floor(avg(deg) * CAST(0.7 AS DOUBLE)) AS BIGINT)").as("k"))
-        var edges = sym
-        var alive = d0.crossJoin(broadcast(kk)).filter(col("deg") >= col("k"))
-        for (_ <- 1 to 2) {
-          // the alive sets are ≤ |V| rows → BROADCAST semi-joins, so each
-          // round's edge filter is map-side over the one checkpointed edge
-          // set; re-deriving a round is a cheap re-scan, no checkpoint
-          // needed inside the loop (9.1 s → 3.5 s vs shuffle semi-joins)
-          edges = edges
-            .join(broadcast(alive.select(col("src"))), "src", "left_semi")
-            .join(broadcast(alive.select(col("src").as("dst"))), Seq("dst"), "left_semi")
-          alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-            .crossJoin(broadcast(kk)).filter(col("deg") >= col("k"))
+        val d0 = dBase.crossJoin(broadcast(kk))
+        // DELTA-PEEL: a peel round only changes the degrees of nodes
+        // ADJACENT to what it removed, so instead of re-aggregating the
+        // full edge set per round (3 × 2.4M-row aggs), each round counts
+        // only the edges INTO the just-removed set (tiny after round 1:
+        // removed sets shrink geometrically) and decrements — deg_i(v) =
+        // deg_{i-1}(v) − |neighbors removed in round i-1|. Survivor
+        // degrees fall out of the same bookkeeping, no final edge agg.
+        var alive = d0.filter(col("deg") >= col("k"))
+        var removed = d0.filter(col("deg") < col("k")).select(col("src"))
+        for (_ <- 1 to 3) {
+          val dec = sym
+            .join(broadcast(removed.select(col("src").as("dst"))), Seq("dst"), "left_semi")
+            .groupBy(col("src")).agg(count(lit(1)).as("dec"))
+          val updated = alive.join(dec, Seq("src"), "left")
+            .select(col("src"),
+              (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"), col("k"))
+            .localCheckpoint() // feeds BOTH the next removed and alive sets
+          removed = updated.filter(col("deg") < col("k")).select(col("src"))
+          alive = updated.filter(col("deg") >= col("k"))
         }
-        edges = edges
-          .join(broadcast(alive.select(col("src"))), "src", "left_semi")
-          .join(broadcast(alive.select(col("src").as("dst"))), Seq("dst"), "left_semi")
-        edges.groupBy(col("src").as("part")).agg(count(lit(1)).as("deg"))
-          .crossJoin(broadcast(kk)).filter(col("deg") >= col("k"))
-          .select(col("part"), col("deg"), col("k"))
+        alive.select(col("src").as("part"), col("deg"), col("k"))
           .orderBy(col("part"))
       },
       Some("""
