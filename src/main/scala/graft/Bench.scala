@@ -85,7 +85,12 @@ object Bench {
     // median to rep-1 — the round-3 judge adjudicated exactly this and
     // re-ran at 900 s. The interleaved schedule still bounds a blown
     // budget (every query keeps its rep-1 time).
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toDouble
+    // default budget SCALES with registry size (VERDICT r9 #1): 272
+    // queries × 3 reps at this host's slow phase no longer fits a fixed
+    // 900 s (the r9 driver run hit 948 s wall and degraded medians to
+    // single slow-phase readings). ~2 s/query/rep covers the observed
+    // slow-phase per-rep cost (quiet ≈ 0.67 s/q) with margin; the floor
+    // keeps small SPARK_GRAFT_BENCH_ONLY runs on the old behavior.
     val benchT0 = System.nanoTime()
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     // local-iteration filter (the driver never sets it): comma-separated
@@ -94,6 +99,8 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble)
+      .getOrElse(math.max(900.0, named.size * reps * 2.0))
     val times = scala.collection.mutable.LinkedHashMap(
       named.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer[Double]() }: _*)
     for (rep <- 1 to reps; (name, fn) <- named) {
@@ -136,12 +143,24 @@ object Bench {
       f""","cal_q":${jstr(calName)},"cal_first":$calFirst%.3f,"cal_last":$calLast%.3f,"cal_quiet_ref":$calQuietRefS,"cal_ratio":$calRatio%.3f""" +
         f""","cal2_q":${jstr(cal2Name)},"cal2_first":$cal2First%.3f,"cal2_last":$cal2Last%.3f,"cal2_quiet_ref":$cal2QuietRefS,"cal2_ratio":$cal2Ratio%.3f"""
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Truncation-proof tail summary (VERDICT r9 #1): the full errs/reps1
+    // maps sit BEFORE the per-query map and get cut by the driver's 2 KB
+    // tail archive, so the tail repeats the health COUNTERS (an early-
+    // alphabet error reports -1 and silently LOWERS the total — n_errs>0
+    // is the only tail-visible signal), whether the wall blew the rep
+    // budget, and the 5 slowest medians for at-a-glance hotspot triage.
+    val wallS = (System.nanoTime() - benchT0) / 1e9
+    val slow5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => f"${jstr(k)}:$v%.3f" }.mkString("{", ",", "}")
+    val tailJson =
+      f""","n_errs":${errs.size},"n_reps1":${singleRep.size},"budget_s":$budgetS%.0f,"wall_s":$wallS%.1f,"over_budget":${wallS > budgetS},"slowest":$slow5"""
     // Field order is deliberate: the driver archives only the LAST ~2 KB
     // of stdout (BENCH_r05.json's "tail"), so the headline "value" goes at
     // the END of the line — anything before the per-query map is what gets
-    // truncated away. errs/reps1 sit before "queries" for the same reason;
-    // the calibration fields sit AFTER it so they survive the truncation.
-    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir"$errJson,"queries":$qs$calJson,"value":$total}""")
+    // truncated away. Full errs/reps1 detail sits before "queries"; the
+    // calibration fields and the counter tail sit AFTER it so they
+    // survive the truncation.
+    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir"$errJson,"queries":$qs$calJson$tailJson,"value":$total}""")
     spark.stop()
   }
 }

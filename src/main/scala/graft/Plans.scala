@@ -123,7 +123,14 @@ object Plans {
       // forward form), split-conformal coverage, centroid drift monitor
       // (streaming_pareto_frontier stays out — eager drain)
       "pit_feature_join", "conformal_interval_eval",
-      "embedding_drift_halves", "dtw_banded_click_view")
+      "embedding_drift_halves", "dtw_banded_click_view",
+      // round-9 stragglers the r9 dump omitted (ADVICE r9 #4): an
+      // in-query localCheckpoint runs eagerly at CONSTRUCTION time (a
+      // bounded cost, same as listed peers kcore_3/bpe_learn_merges) but
+      // never blocks explain — so the exclusion criterion is strictly
+      // "streaming eager drains only", now applied consistently
+      "textrank_keywords", "sax_daily_symbols", "feature_scaling_robust",
+      "markov_stationary_3", "coreset_kcenter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -3126,8 +3126,14 @@ object RelQueries {
           .localCheckpoint() // loop-invariant base edges: build once
         val dBase = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
           .localCheckpoint() // THE one full-degree agg; rounds are DELTAs
+        // k clamped to >= 1: at degenerate density (avg degree < 1.43 the
+        // floor gives 0) a k = 0 peel would keep residual-degree-0
+        // survivors on the Spark side while the oracle's e3-src projection
+        // drops them — clamping (mirrored in the oracle kk CTE) makes
+        // deg-0 nodes non-survivors in BOTH formulations.
         val kk = dBase.agg(
-          expr("CAST(floor(avg(deg) * CAST(0.7 AS DOUBLE)) AS BIGINT)").as("k"))
+          expr("greatest(CAST(floor(avg(deg) * CAST(0.7 AS DOUBLE)) AS BIGINT)," +
+            " CAST(1 AS BIGINT))").as("k"))
         val d0 = dBase.crossJoin(broadcast(kk))
         // DELTA-PEEL: a peel round only changes the degrees of nodes
         // ADJACENT to what it removed, so instead of re-aggregating the
@@ -3138,9 +3144,16 @@ object RelQueries {
         // degrees fall out of the same bookkeeping, no final edge agg.
         var alive = d0.filter(col("deg") >= col("k"))
         var removed = d0.filter(col("deg") < col("k")).select(col("src"))
-        for (_ <- 1 to 3) {
+        for (round <- 1 to 3) {
+          // broadcast hint gated to round >= 2: the ROUND-1 removed set is
+          // ALL sub-threshold nodes — O(|V|) worst case, not guaranteed
+          // broadcast-safe at a 100× catalog. From round 2 on the removed
+          // set shrinks geometrically (only freshly-sub-threshold nodes),
+          // so the hint is sound there; round 1 lets AQE pick the side.
+          val remKeys = removed.select(col("src").as("dst"))
           val dec = sym
-            .join(broadcast(removed.select(col("src").as("dst"))), Seq("dst"), "left_semi")
+            .join(if (round >= 2) broadcast(remKeys) else remKeys,
+              Seq("dst"), "left_semi")
             .groupBy(col("src")).agg(count(lit(1)).as("dec"))
           val updated = alive.join(dec, Seq("src"), "left")
             .select(col("src"),
@@ -3160,7 +3173,8 @@ object RelQueries {
         sym AS (SELECT pa AS src, pb AS dst FROM und
                 UNION ALL SELECT pb, pa FROM und),
         d0 AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
-        kk AS (SELECT CAST(floor(avg(deg) * CAST(0.7 AS DOUBLE)) AS BIGINT) AS k FROM d0),
+        kk AS (SELECT greatest(CAST(floor(avg(deg) * CAST(0.7 AS DOUBLE)) AS BIGINT),
+                               CAST(1 AS BIGINT)) AS k FROM d0),
         a1 AS (SELECT src FROM d0, kk WHERE deg >= k),
         e1 AS (SELECT s.src, s.dst FROM sym s
                WHERE s.src IN (SELECT src FROM a1) AND s.dst IN (SELECT src FROM a1)),

@@ -737,6 +737,86 @@ object TextQueries {
         ORDER BY lang, rank
       """)),
 
+    // ---- BM25 ranked retrieval (round-10, VERDICT r9 #4) ----------------
+    // The classic lexical-retrieval scorer (Robertson et al., TREC-3;
+    // Lucene's idf floor variant so every weight is positive):
+    //   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    // with k1 = 1.2, b = 0.75, idf = ln((N+1)/(df+0.5)). INTEGER
+    // DISCIPLINE: k1/b enter as exact rationals — multiplying the
+    // tf-part through by 10·avgdl = 10·totT/N gives
+    //   tfpart = 22·tf·totT / (10·tf·totT + 3·totT + 9·dl·N)
+    // all-BIGINT and exact (every operand non-negative, so Spark's div
+    // and DuckDB's // agree); idf's ln is the ONE float op, immediately
+    // rounded to micros — its argument (2N+2)/(2df+1) is an IEEE-exact
+    // division of exact integers, so both engines feed ln the identical
+    // double and only a 1-ulp-at-a-rounding-boundary coincidence could
+    // diverge (≤ 31 distinct df values; swept at all three sfs). Query =
+    // {dup, spark, join}: one rare term (df 25/500 at sf0.01 — idf
+    // dominates) and two common ones (length normalization dominates).
+    // Shapes: one token agg, tiny broadcast df/corpus sides, top-k via
+    // orderBy+limit (TakeOrderedAndProject — no global sort at scale).
+    // At ~10^12-token corpora the tfpart numerator 22·tf·totT·10⁶
+    // outgrows int64 — promote to DECIMAL(38,0) (the pmi_top_bigrams
+    // precedent); int64 is exact through ~10^10 tokens.
+    Reg("bm25_topk_docs",
+      (s, dir) => {
+        val tok = Tables(s, dir).documents
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val corpus = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("tot_tokens"))
+        val tf = tok.filter(col("w").isin("dup", "spark", "join"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfr), "w")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(corpus))
+          .withColumn("idf_um", expr(
+            "CAST(round(ln(CAST(2 * n_docs + 2 AS DOUBLE) /" +
+              " CAST(2 * df + 1 AS DOUBLE)) * CAST(1000000 AS DOUBLE))" +
+              " AS BIGINT)"))
+          .withColumn("tfpart_um", expr(
+            "(22L * tf * tot_tokens * 1000000L) div" +
+              " (10L * tf * tot_tokens + 3L * tot_tokens + 9L * dl * n_docs)"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("dl")).as("dl"),
+            expr("sum((idf_um * tfpart_um) div 1000000L)").as("score_um"),
+            count(lit(1)).as("n_terms_hit"))
+          .orderBy(col("score_um").desc, col("doc_id"))
+          .limit(15)
+          .withColumn("rank", row_number().over(Window
+            .orderBy(col("score_um").desc, col("doc_id"))))
+          .select(col("rank"), col("doc_id"), col("dl"),
+            col("score_um"), col("n_terms_hit"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_tokens
+                   FROM dl),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+               WHERE w IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+        dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT t.doc_id, d.dl,
+                      CAST(round(ln(CAST(2 * c.n_docs + 2 AS DOUBLE) /
+                                    CAST(2 * f.df + 1 AS DOUBLE))
+                                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS idf_um,
+                      (22 * t.tf * c.tot_tokens * 1000000) //
+                        (10 * t.tf * c.tot_tokens + 3 * c.tot_tokens
+                         + 9 * d.dl * c.n_docs) AS tfpart_um
+               FROM tf t JOIN dfr f USING (w) JOIN dl d USING (doc_id), corpus c),
+        agg AS (SELECT doc_id, CAST(max(dl) AS BIGINT) AS dl,
+                       CAST(sum((idf_um * tfpart_um) // 1000000) AS BIGINT) AS score_um,
+                       count(*) AS n_terms_hit
+                FROM sc GROUP BY 1),
+        r AS (SELECT *, row_number() OVER (ORDER BY score_um DESC, doc_id) AS rank
+              FROM agg)
+        SELECT rank, doc_id, dl, score_um, n_terms_hit
+        FROM r WHERE rank <= 15 ORDER BY rank
+      """)),
+
     // ---- rolling-hash document fingerprint (winnowing-style min/max) ----
     Reg("doc_fingerprint",
       (s, dir) => TextOps.explodedShingles(Tables(s, dir).documents, 3)

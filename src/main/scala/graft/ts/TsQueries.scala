@@ -2244,6 +2244,103 @@ object TsQueries {
         FROM j GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- Holt (level+trend) forecast evaluation (round-10, VERDICT r9
+    // #5) ------------------------------------------------------------------
+    // The standard rung above seasonal-naive: double exponential
+    // smoothing (Holt 1957, public) with α = β = 1/2 — the one smoothing
+    // constant that keeps the recurrence EXACT in integer cents, because
+    // each update is a single halving:
+    //   l_t = (y_t + l_{t-1} + b_{t-1}) / 2,  b_t = (l_t − l_{t-1} + b_{t-1}) / 2
+    // init l_2 = y_2, b_2 = y_2 − y_1 (classic two-point init). The
+    // halved quantity is SIGNED (downtrends), so each division goes
+    // through sign·(|x| div 2) on BOTH engines (the
+    // feature_scaling_robust rule: Spark div truncates toward zero,
+    // DuckDB // floors). Train on all but the last 7 days of each
+    // type's daily series, forecast ŷ_{n+h} = l + h·b for h = 1..7,
+    // report MAE + signed bias beside forecast_snaive_mae (same output
+    // discipline). Two radically different formulations, one hash: the
+    // Spark side runs the recurrence as a codegen'd `aggregate` HOF fold
+    // over the calendar-bounded daily array (zero joins past the daily
+    // agg — the dtw/mann_kendall discipline), the oracle walks t in a
+    // recursive CTE carrying (l, b). Both sides are generated from the
+    // SAME sign-split halving template below, so the arithmetic cannot
+    // drift apart.
+    {
+      def sdiv2(x: String, di: String) =
+        s"(CASE WHEN ($x) >= 0 THEN ($x) $di 2 ELSE -((-($x)) $di 2) END)"
+      // Spark fold: state st = struct(l, b); step consumes element t
+      val lS = sdiv2("element_at(seq, t) + st.l + st.b", "div")
+      val bS = sdiv2(s"$lS - st.l + st.b", "div")
+      // DuckDB recursion: row r = (t, l, b); step consumes seq[t+1]
+      val yD = "g.seq[CAST(r.t + 1 AS INT)]"
+      val lD = sdiv2(s"$yD + r.l + r.b", "//")
+      val bD = sdiv2(s"$lD - r.l + r.b", "//")
+      Reg("forecast_holt_mae",
+        (s, dir) => {
+          val daily = Tables(s, dir).events
+            .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+            .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)")
+              .as("mean_c"))
+          val series = daily.groupBy(col("event_type"))
+            .agg(expr("transform(array_sort(collect_list(struct(day, mean_c)))," +
+              " x -> x.mean_c)").as("seq"))
+            .filter(size(col("seq")) >= 10) // ≥ 3 train points + 7 eval
+          series
+            .withColumn("fin", expr(
+              s"""aggregate(sequence(3, size(seq) - 7),
+                   named_struct('l', element_at(seq, 2),
+                                'b', element_at(seq, 2) - element_at(seq, 1)),
+                   (st, t) -> named_struct('l', $lS, 'b', $bS))"""))
+            .select(col("event_type"), size(col("seq")).as("n_days"),
+              expr("fin.l").as("level_c"), expr("fin.b").as("trend_c"),
+              col("seq"))
+            .select(col("event_type"), col("n_days"), col("level_c"),
+              col("trend_c"), explode(expr("sequence(1, 7)")).as("h"), col("seq"))
+            .withColumn("pred_c", col("level_c") + col("h") * col("trend_c"))
+            .withColumn("actual_c", expr("element_at(seq, size(seq) - 7 + h)"))
+            .groupBy(col("event_type"))
+            .agg(max(col("n_days")).as("n_days"),
+              max(col("level_c")).as("level_c"),
+              max(col("trend_c")).as("trend_c"),
+              expr("sum(abs(actual_c - pred_c)) div 7").as("mae_cents"),
+              sum(col("actual_c") - col("pred_c")).as("err_sum_cents"))
+            .orderBy("event_type")
+        },
+        Some(s"""
+          WITH RECURSIVE
+          daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                             // count(*) AS mean_c
+                    FROM events GROUP BY 1, 2),
+          s AS (SELECT event_type, list(mean_c ORDER BY day) AS seq
+                FROM daily GROUP BY 1),
+          g AS (SELECT event_type, seq, len(seq) AS n FROM s WHERE len(seq) >= 10),
+          r(event_type, t, l, b) AS (
+            SELECT event_type, CAST(2 AS BIGINT), CAST(seq[2] AS BIGINT),
+                   CAST(seq[2] - seq[1] AS BIGINT)
+            FROM g
+            UNION ALL
+            SELECT r.event_type, r.t + 1, $lD, $bD
+            FROM r JOIN g USING (event_type)
+            WHERE r.t < g.n - 7),
+          fin AS (SELECT r.event_type, r.l, r.b
+                  FROM r JOIN g USING (event_type) WHERE r.t = g.n - 7),
+          ev AS (SELECT g.event_type, g.n AS n_days, f.l AS level_c,
+                        f.b AS trend_c, unnest(range(1, 8)) AS h, g.seq AS seq
+                 FROM g JOIN fin f USING (event_type)),
+          p AS (SELECT event_type, n_days, level_c, trend_c,
+                       level_c + h * trend_c AS pred_c,
+                       seq[CAST(n_days - 7 + h AS INT)] AS actual_c
+                FROM ev)
+          SELECT event_type, max(n_days) AS n_days,
+                 CAST(max(level_c) AS BIGINT) AS level_c,
+                 CAST(max(trend_c) AS BIGINT) AS trend_c,
+                 CAST(sum(abs(actual_c - pred_c)) // 7 AS BIGINT) AS mae_cents,
+                 CAST(sum(actual_c - pred_c) AS BIGINT) AS err_sum_cents
+          FROM p GROUP BY 1 ORDER BY event_type
+        """))
+    },
+
     // ---- marketing attribution: last-touch within 24 h (round-9) --------
     // For every purchase, the ad-tech question: which click/view gets the
     // credit? Last-touch = the most recent touch event by the same user
@@ -3055,6 +3152,11 @@ object TsQueries {
           .agg(expr("array_join(transform(array_sort(collect_list(struct(day, letter)))," +
             " x -> x.letter), '')").as("sax_word"))
         val motifs = words
+          // length < 3 guard: Spark's sequence(1, len-2) runs DESCENDING
+          // when len-2 < 1 ([1,0], [1,0,-1] — the shingles trap), emitting
+          // phantom "motifs", while the oracle's end-exclusive
+          // range(1, len-1) is empty. Filter so both engines emit nothing.
+          .filter(length(col("sax_word")) >= 3)
           .select(col("event_type"), col("sax_word"),
             explode(expr("transform(sequence(1, length(sax_word) - 2)," +
               " i -> substring(sax_word, i, 3))")).as("motif"))
@@ -3235,6 +3337,14 @@ object TsQueries {
         val one = series.groupBy()
           .agg(max(when(col("event_type") === "click", col("seq"))).as("a"),
             max(when(col("event_type") === "view", col("seq"))).as("b"))
+          // oracle-parity guard: the recursive-CTE oracle produces a row
+          // only when the DP reaches terminal cell (n, m) — impossible if
+          // either series is empty or the lengths differ by more than the
+          // band radius 3 (terminal outside the band). The HOF fold would
+          // instead surface the 10^15 sentinel (or nulls), so emit zero
+          // rows in exactly the cases the oracle does.
+          .filter(expr("a IS NOT NULL AND b IS NOT NULL" +
+            " AND abs(size(a) - size(b)) <= 3"))
         one.selectExpr("size(a) AS n_a", "size(b) AS n_b",
           """element_at(
                aggregate(sequence(1, size(a)),
