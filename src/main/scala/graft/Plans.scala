@@ -130,7 +130,11 @@ object Plans {
       // never blocks explain — so the exclusion criterion is strictly
       // "streaming eager drains only", now applied consistently
       "textrank_keywords", "sax_daily_symbols", "feature_scaling_robust",
-      "markov_stationary_3", "coreset_kcenter")
+      "markov_stationary_3", "coreset_kcenter",
+      // round-10: BM25 lexical retrieval, Holt forecaster, A-ES weighted
+      // sampling, t-digest quantile sketch
+      "bm25_topk_docs", "forecast_holt_mae", "weighted_sample_aes",
+      "tdigest_clusters")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1175,6 +1175,53 @@ object TextQueries {
     // threshold. At 100 TB the counts agg map-side combines and the total
     // is a scalar — nothing driver-side, nothing quadratic. The ratio is
     // integer `div` (identical floor semantics to DuckDB `//`).
+    // ---- A-ES weighted sampling without replacement (round-10) ----------
+    // Efraimidis–Spirakis (2006, public): each item draws u ∈ (0,1) and
+    // keeps key u^(1/w); the k largest keys are a weighted sample without
+    // replacement — THE distributed weighted-sampling primitive (one
+    // map + one top-k, mergeable across partitions, no sequential
+    // reservoir). Determinism: u comes from the md5-based hash60 of a
+    // salted doc_id ((hv+1)/2^60 — the +1 keeps u > 0, the 2^60 divisor
+    // is a power of two so the division is IEEE-exact), and the k-largest
+    // u^(1/w) are selected as the k-SMALLEST −ln(u)/w (same order,
+    // log-domain): −ln(u) is rounded to integer nanos immediately (the
+    // one float op; its input is bit-identical on both engines) and the
+    // /w happens in integer space (·10⁶ div w, everything non-negative).
+    // Weight = token count, so long documents are proportionally more
+    // likely — the curation-sampling shape. Top-20 via orderBy+limit
+    // (TakeOrderedAndProject); at 100 TB the same two-stage top-k holds.
+    Reg("weighted_sample_aes",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("w"),
+            TextOps.hash60(concat(lit("aes:"), col("doc_id").cast("string")))
+              .as("hv"))
+          .withColumn("nln_nano", expr(
+            "CAST(round(-ln(CAST(hv + 1 AS DOUBLE) /" +
+              " CAST(1152921504606846976 AS DOUBLE))" +
+              " * CAST(1000000000 AS DOUBLE)) AS BIGINT)"))
+          .withColumn("priority", expr("(nln_nano * 1000000L) div w"))
+          .orderBy(col("priority"), col("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(Window
+            .orderBy(col("priority"), col("doc_id"))))
+          .select(col("rank"), col("doc_id"), col("w"), col("priority"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS w,
+                          ('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+                   FROM documents),
+        p AS (SELECT doc_id, w,
+                     (CAST(round(-ln(CAST(hv + 1 AS DOUBLE) /
+                                     CAST(1152921504606846976 AS DOUBLE))
+                                 * CAST(1000000000 AS DOUBLE)) AS BIGINT)
+                      * 1000000) // w AS priority
+              FROM d),
+        r AS (SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rank
+              FROM p)
+        SELECT rank, doc_id, w, priority FROM r WHERE rank <= 20 ORDER BY rank
+      """)),
+
     Reg("heavy_hitter_tokens",
       (s, dir) => {
         val counts = Tables(s, dir).documents

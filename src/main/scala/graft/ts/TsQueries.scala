@@ -1361,6 +1361,71 @@ object TsQueries {
         ORDER BY month
       """)),
 
+    // ---- t-digest quantile sketch clusters (round-10) -------------------
+    // Completes the sketch shelf (HLL/KMV/CMS/bloom/bitmap) with the
+    // MERGEABLE QUANTILE sketch: Dunning's t-digest (public), built here
+    // with the k₁ scale function — a value's cluster is
+    //   floor(δ · (asin(2q−1)/π + 1/2)),  q = (rank − ½)/n,  δ = 32
+    // whose slope 1/(π√(q(1−q))) is steepest at the tails, so extreme-
+    // quantile clusters hold O(1) points (p99/p999 stay sharp) while
+    // mid-mass clusters hold ≤ ⌈πn/2δ⌉ — the defining t-digest size
+    // bound, asserted by TDigestSpec along with the rank-error and
+    // merge contracts. The digest is the OUTPUT relation (cluster →
+    // count/min/max/centroid): two digests merge by re-clustering their
+    // centroid multiset, which is how a 1000-executor tree-merge would
+    // combine per-partition digests. Determinism: q is exact rational →
+    // 2q−1 is the identical double both engines; asin (libm vs
+    // StrictMath) is the one non-correctly-rounded op, guarded by the
+    // immediate floor — only a value within 1 ulp of a cluster boundary
+    // could diverge (swept at all three sfs); centroid is integer cents
+    // through the sign-split div. Shape: one rank window + one hash agg.
+    Reg("tdigest_clusters",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("event_id"))
+        val wAll = Window.partitionBy(col("event_type"))
+        Tables(s, dir).events
+          .select(col("event_type"), col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("rk", row_number().over(wOrd).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("cluster", expr(
+            "CAST(floor(CAST(32 AS DOUBLE) * (" +
+              "asin((CAST(2 AS DOUBLE) * (CAST(rk AS DOUBLE)" +
+              " - CAST(0.5 AS DOUBLE)) / CAST(n AS DOUBLE))" +
+              " - CAST(1 AS DOUBLE)) / pi()" +
+              " + CAST(0.5 AS DOUBLE))) AS BIGINT)"))
+          .groupBy(col("event_type"), col("cluster"))
+          .agg(count(lit(1)).as("n_pts"),
+            min(col("cents")).as("min_c"), max(col("cents")).as("max_c"),
+            expr("CASE WHEN sum(cents) >= 0 THEN sum(cents) div count(*)" +
+              " ELSE -((-sum(cents)) div count(*)) END").as("centroid_c"))
+          .orderBy("event_type", "cluster")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, event_id,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        rk AS (SELECT event_type, cents,
+                      CAST(row_number() OVER (PARTITION BY event_type
+                        ORDER BY cents, event_id) AS BIGINT) AS rk,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM e),
+        cl AS (SELECT event_type, cents,
+                      CAST(floor(CAST(32 AS DOUBLE) * (
+                        asin((CAST(2 AS DOUBLE) * (CAST(rk AS DOUBLE)
+                          - CAST(0.5 AS DOUBLE)) / CAST(n AS DOUBLE))
+                          - CAST(1 AS DOUBLE)) / pi()
+                        + CAST(0.5 AS DOUBLE))) AS BIGINT) AS cluster
+               FROM rk)
+        SELECT event_type, cluster, count(*) AS n_pts,
+               min(cents) AS min_c, max(cents) AS max_c,
+               CAST(CASE WHEN sum(cents) >= 0 THEN sum(cents) // count(*)
+                    ELSE -((-sum(cents)) // count(*)) END AS BIGINT) AS centroid_c
+        FROM cl GROUP BY 1, 2 ORDER BY event_type, cluster
+      """)),
+
     // ---- robust outliers: median absolute deviation (MAD) ---------------
     // The robust twin of zscore_outliers: mean/σ move with the outliers
     // they hunt; median/MAD do not. Two exact-median passes (per-type
