@@ -472,6 +472,60 @@ object StreamQueries {
         ORDER BY p_id, c_ts, c_val
       """)),
 
+    // ---- stream-stream interval OVERLAP join (round-10) -----------------
+    // The streaming twin of batch `interval_overlap_join` (the one
+    // mechanical streaming twin left on NEXT's list): two DERIVED
+    // interval streams — each purchase opens a 10-min processing window
+    // [p_ts, p_ts+10m], each error a 5-min blast window [e_ts, e_ts+5m]
+    // — joined on per-user interval OVERLAP. For fixed-duration
+    // intervals the overlap predicate p_ts ≤ e_ts+5m ∧ e_ts ≤ p_ts+10m
+    // is EXACTLY a two-sided event-time band e_ts ∈ [p_ts−5m, p_ts+10m],
+    // which is the condition class Spark's stream-stream join can bound
+    // state with — the same banding idea that hour-bucketizes the batch
+    // op, except here the watermark (not a bucket key) bounds the
+    // candidate set, and state eviction replaces bucket pruning. Emitted
+    // overlap_us is integer µs (least/greatest of exact micros). Inner
+    // join: matches emit as found; 1-hour watermarks on both sides bound
+    // two-sided state exactly as in the sibling joins.
+    Reg("streaming_interval_overlap",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        val p = readEventsStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val e = readEventsStream(s, dir).filter(col("event_type") === "error")
+          .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+            col("ts").as("e_ts"))
+          .withWatermark("e_ts", "1 hour")
+        val joined = p.join(e,
+          col("p_user") === col("e_user") &&
+            col("e_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+            col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+        drainAppend(joined, partitions = 1)
+          .select(col("p_id"), col("e_id"), col("p_user").as("user_id"),
+            date_format(col("p_ts"), fmt).as("p_start_ts"),
+            date_format(col("e_ts"), fmt).as("e_start_ts"),
+            (least(unix_micros(col("p_ts")) + 600000000L,
+              unix_micros(col("e_ts")) + 300000000L) -
+              greatest(unix_micros(col("p_ts")),
+                unix_micros(col("e_ts")))).as("overlap_us"))
+          .orderBy("p_id", "e_id")
+      },
+      Some("""
+        SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_start_ts,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS e_start_ts,
+               least(epoch_us(p.ts) + 600000000, epoch_us(e.ts) + 300000000)
+                 - greatest(epoch_us(p.ts), epoch_us(e.ts)) AS overlap_us
+        FROM events p JOIN events e
+          ON p.user_id = e.user_id
+         AND p.event_type = 'purchase' AND e.event_type = 'error'
+         AND e.ts >= p.ts - INTERVAL 5 MINUTES
+         AND e.ts <= p.ts + INTERVAL 10 MINUTES
+        ORDER BY p_id, e_id
+      """)),
+
     // ---- stream-stream LEFT OUTER interval join -------------------------
     // The attribution query users actually run: purchases WITH OR WITHOUT
     // a prior click within 5 minutes. Matches emit as found; a purchase

@@ -1175,6 +1175,71 @@ object TextQueries {
     // threshold. At 100 TB the counts agg map-side combines and the total
     // is a scalar — nothing driver-side, nothing quadratic. The ratio is
     // integer `div` (identical floor semantics to DuckDB `//`).
+    // ---- bigram-LM perplexity quality scoring (round-10) ----------------
+    // The CCNet/Gopher-style LM quality filter rung the curation funnel
+    // was missing: score every document by its cross-entropy under an
+    // add-one-smoothed corpus bigram model — boilerplate-ish docs made of
+    // high-probability transitions score low, token-salad scores high.
+    //   nll(doc) = Σ_bigrams −ln( (c₂(w₁,w₂)+1) / (c₁(w₁)+V) )
+    // Determinism: each term's ln takes the IEEE-exact double quotient of
+    // two exact integers, rounds to integer MICROS immediately, and the
+    // per-doc total is an INTEGER sum — so the corpus-wide aggregation
+    // order cannot perturb the hash (the float-sum rule). V (vocab size)
+    // and the count tables are data-derived. Scale shape: bigrams are a
+    // map-side array transform (no position join — the textrank shifted-
+    // join lesson doesn't even apply, the array is per-row); the count
+    // tables are ≤ V² rows → broadcast back; one groupBy(doc) ends it.
+    // Per-token normalization as avg_nll_um = nll div n (non-negative).
+    Reg("lm_perplexity_score",
+      (s, dir) => {
+        val bi = Tables(s, dir).documents
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          // one-token guard: Spark's sequence(1, 0) runs DESCENDING (the
+          // shingles trap) where DuckDB's end-exclusive range is empty
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 1)," +
+              " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        val v = Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .agg(countDistinct(col("w")).as("vocab"))
+        val nll = c2.join(c1, "w1").crossJoin(broadcast(v))
+          .withColumn("nll_um", expr(
+            "CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE))" +
+              " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+          .select(col("w1"), col("w2"), col("nll_um"))
+        bi.join(broadcast(nll), Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_um")).as("nll_sum_um"),
+            expr("sum(nll_um) div count(*)").as("avg_nll_um"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                        i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+               FROM t),
+        bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS vocab FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)),
+        nll AS (SELECT c2.w1, c2.w2,
+                       CAST(round(-ln(CAST(c2.c2 + 1 AS DOUBLE) /
+                                      CAST(c1.c1 + v.vocab AS DOUBLE))
+                                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS nll_um
+                FROM c2 JOIN c1 USING (w1), v)
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               CAST(sum(n.nll_um) AS BIGINT) AS nll_sum_um,
+               CAST(sum(n.nll_um) // count(*) AS BIGINT) AS avg_nll_um
+        FROM bg JOIN nll n ON bg.w1 = n.w1 AND bg.w2 = n.w2
+        GROUP BY 1 ORDER BY doc_id
+      """)),
+
     // ---- A-ES weighted sampling without replacement (round-10) ----------
     // Efraimidis–Spirakis (2006, public): each item draws u ∈ (0,1) and
     // keeps key u^(1/w); the k largest keys are a weighted sample without
