@@ -224,6 +224,20 @@ object ScaleDemo {
          q <- Seq("kcore_3", "copurchase_cosine", "bpe_learn_merges",
            "streaming_pareto_frontier"))
       time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
+    // round-10 operators: BM25 (one token agg + broadcast df sides — the
+    // suffixed copies 10× the vocabulary, so the corpus stats decade
+    // while the query-term postings stay copy-0-sized); bigram-LM
+    // perplexity (count tables grow with VOCAB², not corpus² — the
+    // suffixed copies are the worst case, 100× the bigram table, which
+    // is exactly why the count join is NOT hint-broadcast); t-digest
+    // (per-type rank window: the honest cost is the per-partition sort,
+    // linear per type — the 100 TB form builds per-partition digests and
+    // tree-merges, the contract TDigestSpec proves); A-ES sampling
+    // (map + top-k, the cheapest possible scale shape).
+    for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
+         q <- Seq("bm25_topk_docs", "lm_perplexity_score",
+           "tdigest_clusters", "weighted_sample_aes"))
+      time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
     spark.stop()
   }
 }

@@ -1212,7 +1212,12 @@ object TextQueries {
             "CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE))" +
               " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
           .select(col("w1"), col("w2"), col("nll_um"))
-        bi.join(broadcast(nll), Seq("w1", "w2"))
+        // NO forced broadcast on the count side: ≤ V² rows is tiny at the
+        // 31-word fixture (AQE will broadcast it), but a realistic 1M-type
+        // vocabulary makes the bigram table ~10¹² candidates — the 100 TB
+        // plan is a plain shuffle join on (w1, w2), and AQE picks the
+        // broadcast automatically whenever the table actually is small
+        bi.join(nll, Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_um")).as("nll_sum_um"),
             expr("sum(nll_um) div count(*)").as("avg_nll_um"))
@@ -2317,6 +2322,135 @@ object TextQueries {
         FROM v ORDER BY rank
       """)),
 
+    // ---- unigram-LM Viterbi segmentation (round-10) ---------------------
+    // The SentencePiece-family rung beside BPE: segment every dictionary
+    // word into the minimum-cost sequence of subword units under a
+    // unigram LM (Kudo 2018, public method), units = corpus chars +
+    // char-bigrams with cost −ln(count/total) in integer MICROS (each ln
+    // takes an IEEE-exact integer quotient and rounds immediately — the
+    // lm_perplexity discipline). The Viterbi DP is a per-word linear
+    // fold: v[i] = min(v[i−1] + c1[i]·1024 + 1, v[i−2] + c2[i−1]·1024 + 1)
+    // — the ·1024+1 folds the piece count into the objective, so the
+    // argmin is lexicographic (cost, n_pieces) and the OUTPUT
+    // (cost = v div 1024, pieces = v mod 1024) is unique even when two
+    // segmentations tie on raw cost. Scale shape: the DP runs over the
+    // WORD DICTIONARY (the BPE vocab-not-corpus argument), cost tables
+    // are unit-inventory-sized, per-word arrays built by two
+    // posexplode+collect passes. Two radically different formulations,
+    // one hash: Spark folds the per-word cost arrays in one codegen
+    // `aggregate`; the oracle walks positions in a recursive CTE
+    // carrying (p2, p1) — the holt template at word grain.
+    Reg("unigram_viterbi_segment",
+      (s, dir) => {
+        val dict = Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .localCheckpoint() // feeds unit counts AND the per-word arrays
+        val chars = dict
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+            .as("u"))
+          .groupBy(col("u")).agg(sum(col("freq")).as("cnt"))
+        val t1 = chars.agg(sum(col("cnt")).as("tot"))
+        val cost1 = chars.crossJoin(broadcast(t1)).select(col("u"), expr(
+          "CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))" +
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT)").as("c"))
+        val bigrams = dict.filter(length(col("word")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(2, length(word)), i -> substring(word, i - 1, 2))"))
+            .as("u"))
+          .groupBy(col("u")).agg(sum(col("freq")).as("cnt"))
+        val t2 = bigrams.agg(sum(col("cnt")).as("tot"))
+        val cost2 = bigrams.crossJoin(broadcast(t2)).select(col("u"), expr(
+          "CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))" +
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT)").as("c"))
+        val a1 = dict
+          .select(col("word"), explode(expr("sequence(1, length(word))")).as("i"))
+          .withColumn("u", expr("substring(word, i, 1)"))
+          .join(cost1, "u")
+          .groupBy(col("word"))
+          .agg(expr("transform(array_sort(collect_list(struct(i, c)))," +
+            " x -> x.c)").as("c1"))
+        val a2 = dict.filter(length(col("word")) >= 2)
+          .select(col("word"), explode(expr("sequence(2, length(word))")).as("i"))
+          .withColumn("u", expr("substring(word, i - 1, 2)"))
+          .join(cost2, "u")
+          .groupBy(col("word"))
+          .agg(expr("transform(array_sort(collect_list(struct(i, c)))," +
+            " x -> x.c)").as("c2"))
+        dict.join(a1, "word")
+          .join(a2, Seq("word"), "left")
+          .withColumn("c2", coalesce(col("c2"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+          .withColumn("v", expr(
+            """aggregate(sequence(1, size(c1)),
+                 named_struct('p2', CAST(1000000000000000 AS BIGINT),
+                              'p1', CAST(0 AS BIGINT)),
+                 (st, i) -> named_struct('p2', st.p1,
+                   'p1', least(st.p1 + element_at(c1, i) * 1024 + 1,
+                     CASE WHEN i >= 2
+                          THEN st.p2 + element_at(c2, i - 1) * 1024 + 1
+                          ELSE CAST(1000000000000000 AS BIGINT) END)),
+                 st -> st.p1)"""))
+          .select(col("word"), col("freq"), length(col("word")).as("n_chars"),
+            expr("v % 1024").as("n_pieces"), expr("v div 1024").as("cost_um"))
+          .orderBy("word")
+      },
+      Some("""
+        WITH RECURSIVE
+        tok AS (SELECT string_split(trim(text), ' ') AS ws FROM documents),
+        w AS (SELECT w AS word, count(*) AS freq
+              FROM (SELECT unnest(ws) AS w FROM tok) WHERE w <> '' GROUP BY 1),
+        ch AS (SELECT u, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                 SELECT freq, unnest(list_transform(range(1, len(word) + 1),
+                        i -> word[i])) AS u FROM w) GROUP BY 1),
+        t1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM ch),
+        cost1 AS (SELECT u, CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c
+                  FROM ch, t1),
+        bg AS (SELECT u, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                 SELECT freq, unnest(list_transform(range(2, len(word) + 1),
+                        i -> substr(word, CAST(i - 1 AS INT), 2))) AS u
+                 FROM w WHERE len(word) >= 2) GROUP BY 1),
+        t2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM bg),
+        cost2 AS (SELECT u, CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c
+                  FROM bg, t2),
+        a1 AS (SELECT word, list(c ORDER BY i) AS c1 FROM (
+                 SELECT w.word, i.i, c1.c
+                 FROM w, unnest(range(1, len(w.word) + 1)) AS i(i)
+                 JOIN cost1 c1 ON c1.u = substr(w.word, CAST(i.i AS INT), 1))
+               GROUP BY 1),
+        a2 AS (SELECT word, list(c ORDER BY i) AS c2 FROM (
+                 SELECT w.word, i.i, c2.c
+                 FROM w, unnest(range(2, len(w.word) + 1)) AS i(i)
+                 JOIN cost2 c2 ON c2.u = substr(w.word, CAST(i.i - 1 AS INT), 2)
+                 WHERE len(w.word) >= 2)
+               GROUP BY 1),
+        g AS (SELECT w.word, w.freq, len(w.word) AS n, a1.c1,
+                     coalesce(a2.c2, CAST([] AS BIGINT[])) AS c2
+              FROM w JOIN a1 USING (word) LEFT JOIN a2 USING (word)),
+        r(word, i, p2, p1) AS (
+          SELECT word, CAST(0 AS BIGINT), CAST(1000000000000000 AS BIGINT),
+                 CAST(0 AS BIGINT)
+          FROM g
+          UNION ALL
+          SELECT r.word, r.i + 1, r.p1,
+                 least(r.p1 + g.c1[CAST(r.i + 1 AS INT)] * 1024 + 1,
+                       CASE WHEN r.i + 1 >= 2
+                            THEN r.p2 + g.c2[CAST(r.i AS INT)] * 1024 + 1
+                            ELSE CAST(1000000000000000 AS BIGINT) END)
+          FROM r JOIN g USING (word)
+          WHERE r.i < g.n),
+        fin AS (SELECT r.word AS word, r.p1 AS v FROM r JOIN g USING (word)
+                WHERE r.i = g.n)
+        SELECT g.word AS word, g.freq, CAST(g.n AS INT) AS n_chars,
+               f.v % 1024 AS n_pieces, f.v // 1024 AS cost_um
+        FROM g JOIN fin f ON g.word = f.word
+        ORDER BY g.word
+      """))
+
+    ,
     // ---- TextRank keyword extraction (round-9) --------------------------
     // Mihalcea & Tarau 2004 (public method): PageRank over the word
     // co-occurrence graph (words within distance ≤ 2 in a document are
