@@ -233,7 +233,25 @@ class PlanShapeSpec extends SparkSpec {
     "sax_daily_symbols" -> (3, 0),
     // explode → (label,half,dim) agg → reshape/label aggs + sort; the
     // centroid relation is output-sized so no broadcast is needed
-    "embedding_drift_halves" -> (4, 0))
+    "embedding_drift_halves" -> (4, 0),
+    // round-10 (viterbi localCheckpoints eagerly and is not listed):
+    // token agg chain (dl / corpus / tf / df) + doc-length shuffle join
+    // (dl is NOT broadcastable at scale) + score agg + top-k; df and the
+    // one-row corpus broadcast, plus AQE's pre-planned option
+    "bm25_topk_docs" -> (7, 3),
+    // daily agg + per-type series agg + final agg; the Viterbi-style
+    // fold is pure projection — no exchange may ever come from it
+    "forecast_holt_mae" -> (3, 0),
+    // bigram count aggs (c2/c1/vocab) + the (w1,w2) count join-back
+    // (deliberately NOT hint-broadcast — AQE chooses at fixture scale)
+    // + per-doc agg + sort
+    "lm_perplexity_score" -> (7, 3),
+    // ONE type exchange shared by the rank window and the cluster agg +
+    // output sort; the asin/floor clustering is pure projection
+    "tdigest_clusters" -> (2, 0),
+    // map + TakeOrderedAndProject: ZERO exchanges — the whole point;
+    // the rank window runs on the ≤20-row post-limit relation
+    "weighted_sample_aes" -> (0, 0))
 
   test("join_null_safe_props: <=> is a hash join, never a nested loop") {
     val df = SparkEntry.queries("join_null_safe_props")(spark, sf("sf0.001"))
