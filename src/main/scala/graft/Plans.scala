@@ -134,7 +134,8 @@ object Plans {
       // round-10: BM25 lexical retrieval, Holt forecaster, A-ES weighted
       // sampling, t-digest quantile sketch
       "bm25_topk_docs", "forecast_holt_mae", "weighted_sample_aes",
-      "tdigest_clusters", "lm_perplexity_score", "unigram_viterbi_segment")
+      "tdigest_clusters", "lm_perplexity_score", "unigram_viterbi_segment",
+      "hybrid_bm25_vec_rrf")
       // streaming_interval_overlap stays out — eager drain
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -1221,6 +1221,111 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
+    // ---- hybrid lexical+semantic retrieval: BM25 ⊕ vector RRF (round-10)
+    // The retrieval stack's capstone, wiring VERDICT r9 #4's "natural
+    // consumer" together: the LEXICAL arm is the bm25_topk_docs integer
+    // pipeline (same rational k1/b arithmetic, query {dup, spark, join})
+    // and the SEMANTIC arm is cosine-to-anchor (vec_id 0's embedding,
+    // broadcast one-row — a LINEAR scan per query, not the brute pair
+    // join), each truncated to its top-50 BEFORE fusion (bounded-
+    // candidate RRF, the production hybrid-search shape — rank depth is
+    // the knob, not corpus size), fused by reciprocal rank 10⁶ div
+    // (60+r) over a full-outer doc_id join. doc_id ≡ vec_id by fixture
+    // construction (FIXTURES.md: both 0..N-1).
+    Reg("hybrid_bm25_vec_rrf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.DotF32.register(s)
+        val tok = Tables(s, dir).documents
+          .select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val corpus = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("tot_tokens"))
+        val tf = tok.filter(col("w").isin("dup", "spark", "join"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val lex = tf.join(broadcast(dfr), "w").join(dl, "doc_id")
+          .crossJoin(broadcast(corpus))
+          .withColumn("idf_um", expr(
+            "CAST(round(ln(CAST(2 * n_docs + 2 AS DOUBLE) /" +
+              " CAST(2 * df + 1 AS DOUBLE)) * CAST(1000000 AS DOUBLE))" +
+              " AS BIGINT)"))
+          .withColumn("tfpart_um", expr(
+            "(22L * tf * tot_tokens * 1000000L) div" +
+              " (10L * tf * tot_tokens + 3L * tot_tokens + 9L * dl * n_docs)"))
+          .groupBy(col("doc_id"))
+          .agg(expr("sum((idf_um * tfpart_um) div 1000000L)").as("score_um"))
+          .orderBy(col("score_um").desc, col("doc_id")).limit(50)
+          .withColumn("r_lex", row_number().over(Window
+            .orderBy(col("score_um").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r_lex"))
+        val emb = Tables(s, dir).embeddings
+        val anchor = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val vec = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(anchor))
+          .select(col("vec_id").as("doc_id"),
+            expr("dot_f32(embedding, qe)").as("d"))
+          .orderBy(col("d").desc, col("doc_id")).limit(50)
+          .withColumn("r_vec", row_number().over(Window
+            .orderBy(col("d").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r_vec"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + r_vec)"), lit(0L))).as("rrf_x1e6"),
+            when(col("r_lex").isNotNull && col("r_vec").isNotNull, lit("both"))
+              .when(col("r_lex").isNotNull, lit("lex")).otherwise(lit("vec"))
+              .as("sources"))
+          .orderBy(col("rrf_x1e6").desc, col("doc_id")).limit(10)
+          .withColumn("rank", row_number().over(Window
+            .orderBy(col("rrf_x1e6").desc, col("doc_id"))))
+          .select(col("rank"), col("doc_id"), col("rrf_x1e6"), col("sources"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_tokens
+                   FROM dl),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+               WHERE w IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+        dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT t.doc_id,
+                      CAST(round(ln(CAST(2 * c.n_docs + 2 AS DOUBLE) /
+                                    CAST(2 * f.df + 1 AS DOUBLE))
+                                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS idf_um,
+                      (22 * t.tf * c.tot_tokens * 1000000) //
+                        (10 * t.tf * c.tot_tokens + 3 * c.tot_tokens
+                         + 9 * d.dl * c.n_docs) AS tfpart_um
+               FROM tf t JOIN dfr f USING (w) JOIN dl d USING (doc_id), corpus c),
+        agg AS (SELECT doc_id,
+                       CAST(sum((idf_um * tfpart_um) // 1000000) AS BIGINT) AS score_um
+                FROM sc GROUP BY 1),
+        lex AS (SELECT doc_id, r_lex FROM (
+                  SELECT doc_id, row_number() OVER (ORDER BY score_um DESC, doc_id) AS r_lex
+                  FROM agg) WHERE r_lex <= 50),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        vd AS (SELECT e.vec_id AS doc_id,
+                      list_sum(list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) AS d
+               FROM embeddings e, q WHERE e.vec_id <> 0),
+        vec AS (SELECT doc_id, r_vec FROM (
+                  SELECT doc_id, row_number() OVER (ORDER BY d DESC, doc_id) AS r_vec
+                  FROM vd) WHERE r_vec <= 50),
+        f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                     coalesce(1000000 // (60 + l.r_lex), 0)
+                       + coalesce(1000000 // (60 + v.r_vec), 0) AS rrf_x1e6,
+                     CASE WHEN l.doc_id IS NOT NULL AND v.doc_id IS NOT NULL THEN 'both'
+                          WHEN l.doc_id IS NOT NULL THEN 'lex' ELSE 'vec' END AS sources
+              FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id),
+        r AS (SELECT *, row_number() OVER (ORDER BY rrf_x1e6 DESC, doc_id) AS rank
+              FROM f)
+        SELECT rank, doc_id, CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6, sources
+        FROM r WHERE rank <= 10 ORDER BY rank
+      """)),
+
     // ---- MMR result diversification (round-9) ---------------------------
     // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98,
     // public): greedily re-rank each query's int8 top-10 so picks trade
