@@ -1292,6 +1292,43 @@ object TextQueries {
         SELECT rank, doc_id, w, priority FROM r WHERE rank <= 20 ORDER BY rank
       """)),
 
+    // ---- stratified sampling: exact k per stratum (round-10) ------------
+    // Completes the sampling family (uniform md5 corpus sample, weighted
+    // A-ES): exactly k = 5 docs per (lang, source-parity) stratum, chosen
+    // by salted md5 order — the deterministic stand-in for per-stratum
+    // uniform draws, and the shape quota-sampling pipelines run (train/
+    // eval splits balanced over metadata cells). One rank window per
+    // stratum (partition-parallel, state O(1)) + the filter; no global
+    // sort. At 100 TB the per-stratum rank is the textbook two-stage
+    // top-k — each stratum's candidates reduce before the final pick.
+    Reg("stratified_sample_docs",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"), col("par"))
+          .orderBy(col("hv"), col("doc_id"))
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(substring(source, 4, 10) AS BIGINT) % 2").as("par"),
+            TextOps.hash60(concat(lit("strat:"), col("doc_id").cast("string")))
+              .as("hv"))
+          .withColumn("pick", row_number().over(w))
+          .filter(col("pick") <= 5)
+          .select(col("lang"), col("par"), col("pick"), col("doc_id"))
+          .orderBy("lang", "par", "pick")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang,
+                          CAST(substr(source, 4, 10) AS BIGINT) % 2 AS par,
+                          ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+                   FROM documents),
+        r AS (SELECT lang, par, doc_id,
+                     row_number() OVER (PARTITION BY lang, par
+                                        ORDER BY hv, doc_id) AS pick
+              FROM d)
+        SELECT lang, par, pick, doc_id
+        FROM r WHERE pick <= 5
+        ORDER BY lang, par, pick
+      """)),
+
     Reg("heavy_hitter_tokens",
       (s, dir) => {
         val counts = Tables(s, dir).documents

@@ -1361,6 +1361,69 @@ object TsQueries {
         ORDER BY month
       """)),
 
+    // ---- cross-type Pearson correlation matrix (round-10) ---------------
+    // Which metrics move together? Pairwise Pearson r over the five
+    // types' daily-mean series — the monitoring primitive beside
+    // autocorr_daily_lag (self) and ols_trend_daily (vs time). Exactness:
+    // the six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    // int64 sums of integer cents (never a float aggregation); the final
+    // r = (nΣxy−ΣxΣy)/√((nΣx²−Σx²ₛ)(nΣy²−Σy²ₛ)) is then +,−,×,÷,sqrt on
+    // identical doubles — every op IEEE-correctly-rounded, so both
+    // engines produce the bit-identical double (the Wilson discipline)
+    // before the micros rounding. The variance product is computed in
+    // DOUBLE (int64 would overflow at ~10¹³·10¹³). Zero-variance series
+    // emit sentinel 0. Shapes: day-grain agg, day-keyed self-join
+    // (|days|·C(5,2) rows), one pair agg — co-partitioned on the day key.
+    Reg("pearson_corr_types",
+      (s, dir) => {
+        val daily = Tables(s, dir).events
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)")
+            .as("mean_c"))
+        val j = daily.as("a").join(daily.as("b"),
+          col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+            col("a.mean_c").as("x"), col("b.mean_c").as("y"))
+        j.groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("ta"), col("tb"), col("n").as("n_days"),
+            expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END""").as("corr_um"))
+          .orderBy("ta", "tb")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                                // count(*) AS mean_c
+                       FROM events GROUP BY 1, 2),
+        p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                     a.mean_c AS x, b.mean_c AS y
+              FROM daily a JOIN daily b
+                ON a.day = b.day AND a.event_type < b.event_type),
+        st AS (SELECT ta, tb, count(*) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM p GROUP BY 1, 2)
+        SELECT ta, tb, n AS n_days,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+               THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS corr_um
+        FROM st ORDER BY ta, tb
+      """)),
+
     // ---- t-digest quantile sketch clusters (round-10) -------------------
     // Completes the sketch shelf (HLL/KMV/CMS/bloom/bitmap) with the
     // MERGEABLE QUANTILE sketch: Dunning's t-digest (public), built here
