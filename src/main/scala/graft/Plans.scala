@@ -135,7 +135,8 @@ object Plans {
       // sampling, t-digest quantile sketch
       "bm25_topk_docs", "forecast_holt_mae", "weighted_sample_aes",
       "tdigest_clusters", "lm_perplexity_score", "unigram_viterbi_segment",
-      "hybrid_bm25_vec_rrf", "stratified_sample_docs", "pearson_corr_types")
+      "hybrid_bm25_vec_rrf", "stratified_sample_docs", "pearson_corr_types",
+      "feature_hashing_vec", "mann_whitney_u")
       // streaming_interval_overlap stays out — eager drain
     val spark = SparkSession.builder()
       .master("local[4]")

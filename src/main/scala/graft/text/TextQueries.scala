@@ -1292,6 +1292,56 @@ object TextQueries {
         SELECT rank, doc_id, w, priority FROM r WHERE rank <= 20 ORDER BY rank
       """)),
 
+    // ---- feature hashing (hashing-trick vectorization) (round-10) -------
+    // Weinberger et al. 2009 (public): vectorize each document into a
+    // FIXED 64-dim space with no vocabulary table — bucket =
+    // hash60(token) mod 64, sign = the hash's next bit (the signed trick
+    // that makes collisions cancel in expectation). THE scalable
+    // vectorizer: stateless, map-side, dimension independent of vocab
+    // size — the preprocessing rung in front of any hashed linear model
+    // at 100 TB. All-integer output per doc: nnz (distinct non-zero
+    // buckets), l1 norm of signed counts, and the argmax bucket with
+    // deterministic (|v| desc, bucket) tie-break.
+    Reg("feature_hashing_vec",
+      (s, dir) => {
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(abs(col("v")).desc, col("bucket"))
+        Tables(s, dir).documents
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+          .filter(col("t") =!= "")
+          .withColumn("hv", TextOps.hash60(col("t")))
+          .select(col("doc_id"), expr("hv % 64").as("bucket"),
+            expr("CASE WHEN (hv div 64) % 2 = 1 THEN 1L ELSE -1L END").as("sgn"))
+          .groupBy(col("doc_id"), col("bucket"))
+          .agg(sum(col("sgn")).as("v"))
+          .filter(col("v") =!= 0)
+          .withColumn("rk", row_number().over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nnz"), sum(abs(col("v"))).as("l1_norm"),
+            max(when(col("rk") === 1, col("bucket"))).as("top_bucket"),
+            max(when(col("rk") === 1, col("v"))).as("top_value"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+                     FROM documents),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+              FROM tok WHERE t <> ''),
+        b AS (SELECT doc_id, hv % 64 AS bucket,
+                     CASE WHEN (hv // 64) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+              FROM h),
+        agg AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+                FROM b GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY abs(v) DESC, bucket) AS rk
+              FROM agg)
+        SELECT doc_id, count(*) AS nnz, CAST(sum(abs(v)) AS BIGINT) AS l1_norm,
+               CAST(max(CASE WHEN rk = 1 THEN bucket END) AS BIGINT) AS top_bucket,
+               max(CASE WHEN rk = 1 THEN v END) AS top_value
+        FROM r GROUP BY 1 ORDER BY doc_id
+      """)),
+
     // ---- stratified sampling: exact k per stratum (round-10) ------------
     // Completes the sampling family (uniform md5 corpus sample, weighted
     // A-ES): exactly k = 5 docs per (lang, source-parity) stratum, chosen

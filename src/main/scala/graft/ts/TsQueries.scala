@@ -1361,6 +1361,81 @@ object TsQueries {
         ORDER BY month
       """)),
 
+    // ---- Mann-Whitney U rank test, all type pairs (round-10) ------------
+    // The NONPARAMETRIC two-sample test beside contingency_chi2 and
+    // ab_conversion_wilson: does type A's value distribution
+    // stochastically dominate type B's? Rank-based, so the statistic is
+    // EXACT INTEGER arithmetic end-to-end: tied values take the average
+    // rank, kept integral by working in DOUBLED ranks — for a distinct
+    // value with cnt ties after cum_prev smaller rows, 2·avgrank =
+    // 2·cum_prev + cnt + 1 — so R₁ and U₁ are exact int64 (never a
+    // float rank sum). The z normalization (untied-variance form,
+    // documented) is then one ÷,×,sqrt chain on identical doubles →
+    // bit-identical, rounded to micros. Shapes: values collapse to the
+    // DISTINCT-cents grain first (bounded domain — the window walks
+    // distinct values, not rows), 10-row pair relation broadcast via two
+    // equi-joins (never an OR-condition nested loop), one pair-keyed
+    // window + agg.
+    Reg("mann_whitney_u",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir).events
+          .select(col("event_type").as("t"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val types = e.select(col("t")).distinct()
+        val pairs = types.as("x").join(types.as("y"), col("x.t") < col("y.t"))
+          .select(col("x.t").as("ta"), col("y.t").as("tb"))
+        val m = e.join(broadcast(pairs), col("t") === col("ta"))
+          .unionByName(e.join(broadcast(pairs), col("t") === col("tb")))
+        val g = m.groupBy(col("ta"), col("tb"), col("c"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("t") === col("ta"), 1L).otherwise(0L)).as("cnt1"))
+        val w = Window.partitionBy(col("ta"), col("tb")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("cum_prev", coalesce(sum(col("cnt")).over(w), lit(0L)))
+          .groupBy(col("ta"), col("tb"))
+          .agg(sum(col("cnt1")).as("n1"),
+            sum(col("cnt") - col("cnt1")).as("n2"),
+            sum(col("cnt1") * (lit(2L) * col("cum_prev") + col("cnt") + lit(1L)))
+              .as("r1_2x"))
+          .select(col("ta"), col("tb"), col("n1"), col("n2"),
+            expr("r1_2x - n1 * (n1 + 1)").as("u1_2x"),
+            expr("""CAST(round(CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                    / (CAST(2 AS DOUBLE)
+                       * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                              * CAST(n1 + n2 + 1 AS DOUBLE)
+                              / CAST(12 AS DOUBLE)))
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("z_um"))
+          .orderBy("ta", "tb")
+      },
+      Some("""
+        WITH e AS (SELECT event_type AS t,
+                          CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        ty AS (SELECT DISTINCT t FROM e),
+        pairs AS (SELECT x.t AS ta, y.t AS tb FROM ty x JOIN ty y ON x.t < y.t),
+        m AS (SELECT p.ta, p.tb, e.t, e.c FROM e JOIN pairs p ON e.t = p.ta
+              UNION ALL
+              SELECT p.ta, p.tb, e.t, e.c FROM e JOIN pairs p ON e.t = p.tb),
+        g AS (SELECT ta, tb, c, count(*) AS cnt,
+                     CAST(sum(CASE WHEN t = ta THEN 1 ELSE 0 END) AS BIGINT) AS cnt1
+              FROM m GROUP BY 1, 2, 3),
+        r AS (SELECT *, coalesce(sum(cnt) OVER (PARTITION BY ta, tb ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+              FROM g),
+        s AS (SELECT ta, tb, CAST(sum(cnt1) AS BIGINT) AS n1,
+                     CAST(sum(cnt - cnt1) AS BIGINT) AS n2,
+                     CAST(sum(cnt1 * (2 * cum_prev + cnt + 1)) AS BIGINT) AS r1_2x
+              FROM r GROUP BY 1, 2)
+        SELECT ta, tb, n1, n2, r1_2x - n1 * (n1 + 1) AS u1_2x,
+               CAST(round(CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                 / (CAST(2 AS DOUBLE)
+                    * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           * CAST(n1 + n2 + 1 AS DOUBLE)
+                           / CAST(12 AS DOUBLE)))
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS z_um
+        FROM s ORDER BY ta, tb
+      """)),
+
     // ---- cross-type Pearson correlation matrix (round-10) ---------------
     // Which metrics move together? Pairwise Pearson r over the five
     // types' daily-mean series — the monitoring primitive beside
