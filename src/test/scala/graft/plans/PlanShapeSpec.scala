@@ -251,7 +251,22 @@ class PlanShapeSpec extends SparkSpec {
     "tdigest_clusters" -> (2, 0),
     // map + TakeOrderedAndProject: ZERO exchanges — the whole point;
     // the rank window runs on the ≤20-row post-limit relation
-    "weighted_sample_aes" -> (0, 0))
+    "weighted_sample_aes" -> (0, 0),
+    // the bm25 arm's agg chain + doc-length join + per-arm top-k; the
+    // 4th broadcast is the one-row anchor embedding; the arm fuse is a
+    // full-outer over two ≤50-row relations (rides the arm exchanges)
+    "hybrid_bm25_vec_rrf" -> (7, 4),
+    // ONE stratum exchange for the rank window + output sort
+    "stratified_sample_docs" -> (2, 0),
+    // daily agg + day-keyed self-join (broadcast at fixture scale) +
+    // pair agg + sort; the r computation is pure projection
+    "pearson_corr_types" -> (4, 1),
+    // (doc,bucket) agg + per-doc window/agg riding one doc exchange + sort
+    "feature_hashing_vec" -> (3, 0),
+    // distinct-cents aggs + two pair equi-joins (broadcast 10-row pair
+    // relation would be free, but the type-distinct derivation shuffles)
+    // + pair-keyed window + final agg + sort
+    "mann_whitney_u" -> (7, 4))
 
   test("join_null_safe_props: <=> is a hash join, never a nested loop") {
     val df = SparkEntry.queries("join_null_safe_props")(spark, sf("sf0.001"))
