@@ -137,7 +137,8 @@ object Plans {
       "tdigest_clusters", "lm_perplexity_score", "unigram_viterbi_segment",
       "hybrid_bm25_vec_rrf", "stratified_sample_docs", "pearson_corr_types",
       "feature_hashing_vec", "mann_whitney_u")
-      // streaming_interval_overlap stays out — eager drain
+      // streaming_interval_overlap / streaming_stratified_sample stay
+      // out — eager drains
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

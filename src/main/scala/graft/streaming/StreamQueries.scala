@@ -526,6 +526,51 @@ object StreamQueries {
         ORDER BY p_id, e_id
       """)),
 
+    // ---- streaming stratified sampling: bounded heap as state (round-10)
+    // The sampling family's streaming rung, and a reuse proof for the
+    // custom typed Aggregator surface: the SAME bounded-heap
+    // [[graft.functions.TopKAggregator]] that powers the batch
+    // `topk_heap_parts_by_brand` runs here as STREAMING AGGREGATION
+    // STATE — per (event_type, user-parity) stratum the state is the 5
+    // smallest salted hashes seen so far (k ScoredIds, ~80 bytes/key,
+    // mergeable across micro-batches exactly like its map-side partials
+    // merge in batch — min-k-of-hashes is an order-independent sketch,
+    // the KMV argument, so ANY batch split yields the same sample).
+    // Hashes are 48-bit (12 md5 hex chars) so the Double score is exact
+    // (< 2⁵³); complete-mode drain emits the final sample. This is the
+    // deterministic streaming form of per-stratum uniform sampling —
+    // the balanced train/eval quota maintained INCREMENTALLY.
+    Reg("streaming_stratified_sample",
+      (s, dir) => {
+        val topk = udaf(new graft.functions.TopKAggregator(5),
+          org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+        val src = readEventsStream(s, dir)
+          .withColumn("hv", expr(
+            "CAST(conv(substring(md5(concat('ssamp:'," +
+              " CAST(event_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"))
+          .withColumn("par", expr("user_id % 2"))
+        val agg = src.groupBy(col("event_type"), col("par"))
+          .agg(topk(-col("hv").cast("double"), col("event_id")).as("top"))
+        drainComplete(agg)
+          .select(col("event_type"), col("par"),
+            posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("event_type"), col("par"),
+            (col("i") + 1).cast("int").as("pick"), col("t.id").as("event_id"),
+            (-col("t.score")).cast("long").as("hv"))
+          .orderBy("event_type", "par", "pick")
+      },
+      Some("""
+        WITH h AS (SELECT event_type, user_id % 2 AS par, event_id,
+                          ('0x' || substr(md5('ssamp:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+                   FROM events),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type, par
+                                           ORDER BY hv, event_id) AS pick
+              FROM h)
+        SELECT event_type, par, CAST(pick AS INT) AS pick, event_id, hv
+        FROM r WHERE pick <= 5
+        ORDER BY event_type, par, pick
+      """)),
+
     // ---- stream-stream LEFT OUTER interval join -------------------------
     // The attribution query users actually run: purchases WITH OR WITHOUT
     // a prior click within 5 minutes. Matches emit as found; a purchase
