@@ -238,6 +238,18 @@ object ScaleDemo {
          q <- Seq("bm25_topk_docs", "lm_perplexity_score",
            "tdigest_clusters", "weighted_sample_aes"))
       time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
+    // round-10 close: hybrid retrieval (bounded-candidate RRF — both
+    // arms truncate to top-50 BEFORE fusion, so the fuse is flat by
+    // construction and only the arm scans scale), Viterbi segmentation
+    // (DP over the WORD DICT — the 10× suffix-grown vocab is the only
+    // growth, the BPE vocab-not-corpus shape), feature hashing (pure
+    // map + doc agg, the fixed-dim vectorizer), Mann-Whitney (the
+    // window walks DISTINCT cents values per pair — a bounded domain
+    // that grows with value cardinality, not row count).
+    for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
+         q <- Seq("hybrid_bm25_vec_rrf", "unigram_viterbi_segment",
+           "feature_hashing_vec", "mann_whitney_u"))
+      time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
     spark.stop()
   }
 }
