@@ -2642,6 +2642,97 @@ object TsQueries {
         ORDER BY c.event_type
       """)),
 
+    // ---- Kaplan-Meier conversion-latency survival (round-10) ------------
+    // The survival-analysis rung the retention ladder was missing: how
+    // long from a user's FIRST event to their FIRST purchase, with
+    // right-censoring at a 48 h horizon (users who haven't converted
+    // within 48 h of arrival are censored, not counted as failures —
+    // the statistically honest read the naive conversion-rate query
+    // gets wrong). Product-limit estimator (Kaplan & Meier 1958,
+    // public): S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ), carried in LOG space as an
+    // integer sum of per-step micros — each step's ln((nᵢ−dᵢ)/nᵢ) has
+    // an IEEE-exact integer-quotient argument and is rounded to micros
+    // immediately (the validated bm25/perplexity discipline), so the
+    // cumulative survival is an exact integer sum cross-engine. Steps
+    // exist only where dᵢ ≥ 1, and nᵢ > dᵢ is guarded on both sides
+    // (an all-remaining-convert step would be ln 0). Shapes: two
+    // per-user aggs + one left join to build (duration, event) pairs,
+    // one hash agg to the ≤ 49-row hourly risk table, then ordered
+    // windows over that BOUNDED domain (single partition by design —
+    // the user_growth_daily discipline; the per-user joins upstream are
+    // the distributed part). n_total is a full-frame window over the
+    // same bounded table — NOT a crossJoin(broadcast(agg)) anchor,
+    // which would recompute the whole per-user pipeline as the
+    // broadcast side (the first cut did exactly that: 2x upstream
+    // work for one scalar already derivable from the rows at hand).
+    Reg("kaplan_meier_conversion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir).events
+        val firsts = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        val firstP = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("first_p"))
+        val u = firsts.join(firstP, Seq("user_id"), "left")
+          .withColumn("lat_us",
+            unix_micros(col("first_p")) - unix_micros(col("first_ts")))
+          .withColumn("ev",
+            when(col("first_p").isNotNull && col("lat_us") <= 172800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("dur_h",
+            when(col("ev") === 1L, expr("lat_us div 3600000000L"))
+              .otherwise(lit(48L)))
+        val t = u.groupBy(col("dur_h"))
+          .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+        val wAll = Window.orderBy(col("dur_h"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wPrev = Window.orderBy(col("dur_h"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy(col("dur_h"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t.withColumn("n_total", sum(col("d") + col("c")).over(wAll))
+          .withColumn("dropped",
+            coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+          .withColumn("at_risk", col("n_total") - col("dropped"))
+          .filter(col("d") >= 1L && col("at_risk") > col("d"))
+          .withColumn("term_um", expr(
+            "CAST(round(ln(CAST(at_risk - d AS DOUBLE) / CAST(at_risk AS DOUBLE))" +
+              " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+          .select(col("dur_h"), col("at_risk"), col("d").as("d_conv"),
+            col("c").as("c_cens"),
+            sum(col("term_um")).over(wCum).as("ln_surv_um"))
+          .orderBy("dur_h")
+      },
+      Some("""
+        WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        p AS (SELECT user_id, min(ts) AS first_p FROM events
+              WHERE event_type = 'purchase' GROUP BY 1),
+        u AS (SELECT f.user_id,
+                     CASE WHEN p.first_p IS NOT NULL
+                           AND epoch_us(p.first_p) - epoch_us(f.first_ts) <= 172800000000
+                          THEN 1 ELSE 0 END AS ev,
+                     CASE WHEN p.first_p IS NOT NULL
+                           AND epoch_us(p.first_p) - epoch_us(f.first_ts) <= 172800000000
+                          THEN (epoch_us(p.first_p) - epoch_us(f.first_ts)) // 3600000000
+                          ELSE 48 END AS dur_h
+              FROM f LEFT JOIN p USING (user_id)),
+        t AS (SELECT dur_h, sum(ev) AS d, sum(1 - ev) AS c FROM u GROUP BY 1),
+        r AS (SELECT *, sum(d + c) OVER () AS n_total,
+                     coalesce(sum(d + c) OVER (ORDER BY dur_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dropped
+              FROM t),
+        k AS (SELECT dur_h, n_total - dropped AS at_risk, d, c,
+                     CAST(round(ln(CAST(n_total - dropped - d AS DOUBLE) /
+                                   CAST(n_total - dropped AS DOUBLE))
+                                * CAST(1000000 AS DOUBLE)) AS BIGINT) AS term_um
+              FROM r WHERE d >= 1 AND n_total - dropped > d)
+        SELECT dur_h, CAST(at_risk AS BIGINT) AS at_risk,
+               CAST(d AS BIGINT) AS d_conv, CAST(c AS BIGINT) AS c_cens,
+               CAST(sum(term_um) OVER (ORDER BY dur_h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS ln_surv_um
+        FROM k ORDER BY dur_h
+      """)),
+
     // ---- interval OVERLAP join via hour-bucket banding (round-9) --------
     // Which user sessions were live during an error incident? An
     // interval×interval overlap join — the two-sided sibling of the

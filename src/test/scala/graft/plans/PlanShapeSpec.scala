@@ -266,7 +266,12 @@ class PlanShapeSpec extends SparkSpec {
     // distinct-cents aggs + two pair equi-joins (broadcast 10-row pair
     // relation would be free, but the type-distinct derivation shuffles)
     // + pair-keyed window + final agg + sort
-    "mann_whitney_u" -> (7, 4))
+    "mann_whitney_u" -> (7, 4),
+    // two per-user aggs (one exchange each) + broadcast left join +
+    // risk-table agg + ONE bounded-domain window exchange carrying all
+    // three windows (n_total full-frame, dropped, cumulative ln-surv);
+    // no scalar-anchor crossJoin — n_total derives from the rows at hand
+    "kaplan_meier_conversion" -> (4, 1))
 
   test("join_null_safe_props: <=> is a hash join, never a nested loop") {
     val df = SparkEntry.queries("join_null_safe_props")(spark, sf("sf0.001"))
