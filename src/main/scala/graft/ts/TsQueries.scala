@@ -2733,6 +2733,245 @@ object TsQueries {
         FROM k ORDER BY dur_h
       """)),
 
+    // ---- log-rank two-group survival comparison (round-10) --------------
+    // kaplan_meier_conversion's inferential sibling: does arm 0's
+    // conversion-latency survival curve differ from arm 1's? (Mantel
+    // 1966, public.) Same per-user duration/censoring derivation, arms
+    // split by pmod(user_id, 2) — the ab_conversion_wilson contract. At
+    // each event step: observed arm-0 conversions O₁ᵢ = d₁ᵢ (exact
+    // int), expected E₁ᵢ = dᵢ·n₁ᵢ/nᵢ and hypergeometric variance
+    // V₁ᵢ = dᵢ·(n₁ᵢ/nᵢ)·((nᵢ−n₁ᵢ)/nᵢ)·((nᵢ−dᵢ)/(nᵢ−1)) — each an
+    // IEEE-exact tree on exact-integer inputs, rounded to micros
+    // per step then integer-summed (the kaplan/bm25 discipline). The
+    // chi-square statistic (O−E)²/V is one identical double tree over
+    // those integer sums. Steps need only dᵢ ≥ 1 and nᵢ > 1 (V > 0
+    // whenever both arms are still at risk; verified non-zero at all
+    // three SFs). Same plan spine as kaplan_meier: per-user aggs +
+    // broadcast left join, ≤ 49-row risk table, one bounded-domain
+    // window exchange carrying all four windows, single-row output.
+    Reg("logrank_test_conversion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir).events
+        val firsts = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        val firstP = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("first_p"))
+        val u = firsts.join(firstP, Seq("user_id"), "left")
+          .withColumn("arm", pmod(col("user_id"), lit(2L)))
+          .withColumn("lat_us",
+            unix_micros(col("first_p")) - unix_micros(col("first_ts")))
+          .withColumn("ev",
+            when(col("first_p").isNotNull && col("lat_us") <= 172800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("dur_h",
+            when(col("ev") === 1L, expr("lat_us div 3600000000L"))
+              .otherwise(lit(48L)))
+        val t = u.groupBy(col("dur_h"))
+          .agg(sum(col("ev")).as("d"),
+            sum(when(col("arm") === 0L, col("ev")).otherwise(0L)).as("d1"),
+            count(lit(1)).as("tot"),
+            sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("tot1"))
+        val wPrev = Window.orderBy(col("dur_h"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.orderBy(col("dur_h"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t.withColumn("n_total", sum(col("tot")).over(wAll))
+          .withColumn("n1_total", sum(col("tot1")).over(wAll))
+          .withColumn("drop_all", coalesce(sum(col("tot")).over(wPrev), lit(0L)))
+          .withColumn("drop_1", coalesce(sum(col("tot1")).over(wPrev), lit(0L)))
+          .withColumn("n", col("n_total") - col("drop_all"))
+          .withColumn("n1", col("n1_total") - col("drop_1"))
+          .filter(col("d") >= 1L && col("n") > 1L)
+          .withColumn("e1_um", expr(
+            """CAST(round(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+               / CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)"""))
+          .withColumn("v1_um", expr(
+            """CAST(round(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+               * CAST(1000000 AS DOUBLE)) AS BIGINT)"""))
+          .groupBy()
+          .agg(count(lit(1)).as("n_steps"), sum(col("d1")).as("o1"),
+            sum(col("e1_um")).as("e1_um"), sum(col("v1_um")).as("v1_um"))
+          .select(col("n_steps"), col("o1"), col("e1_um"), col("v1_um"),
+            expr("""CAST(round((CAST(o1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                    - CAST(e1_um AS DOUBLE))
+                    * (CAST(o1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                    - CAST(e1_um AS DOUBLE))
+                    / (CAST(v1_um AS DOUBLE) * CAST(1000000 AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("chi2_um"))
+      },
+      Some("""
+        WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        p AS (SELECT user_id, min(ts) AS first_p FROM events
+              WHERE event_type = 'purchase' GROUP BY 1),
+        u AS (SELECT f.user_id, f.user_id % 2 AS arm,
+                     CASE WHEN p.first_p IS NOT NULL
+                           AND epoch_us(p.first_p) - epoch_us(f.first_ts) <= 172800000000
+                          THEN 1 ELSE 0 END AS ev,
+                     CASE WHEN p.first_p IS NOT NULL
+                           AND epoch_us(p.first_p) - epoch_us(f.first_ts) <= 172800000000
+                          THEN (epoch_us(p.first_p) - epoch_us(f.first_ts)) // 3600000000
+                          ELSE 48 END AS dur_h
+              FROM f LEFT JOIN p USING (user_id)),
+        t AS (SELECT dur_h, sum(ev) AS d,
+                     sum(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS d1,
+                     count(*) AS tot,
+                     sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS tot1
+              FROM u GROUP BY 1),
+        r AS (SELECT *, sum(tot) OVER () AS n_total, sum(tot1) OVER () AS n1_total,
+                     coalesce(sum(tot) OVER (ORDER BY dur_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS drop_all,
+                     coalesce(sum(tot1) OVER (ORDER BY dur_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS drop_1
+              FROM t),
+        k AS (SELECT d, d1, n_total - drop_all AS n, n1_total - drop_1 AS n1
+              FROM r WHERE d >= 1 AND n_total - drop_all > 1),
+        e AS (SELECT d, d1, n, n1,
+                     CAST(round(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                       / CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS e1_um,
+                     CAST(round(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                       * CAST(1000000 AS DOUBLE)) AS BIGINT) AS v1_um
+              FROM k),
+        s AS (SELECT count(*) AS n_steps, CAST(sum(d1) AS BIGINT) AS o1,
+                     CAST(sum(e1_um) AS BIGINT) AS e1_um,
+                     CAST(sum(v1_um) AS BIGINT) AS v1_um
+              FROM e)
+        SELECT n_steps, o1, e1_um, v1_um,
+               CAST(round((CAST(o1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                 - CAST(e1_um AS DOUBLE))
+                 * (CAST(o1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                 - CAST(e1_um AS DOUBLE))
+                 / (CAST(v1_um AS DOUBLE) * CAST(1000000 AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS chi2_um
+        FROM s
+      """)),
+
+    // ---- Kolmogorov-Smirnov two-sample test (round-10) ------------------
+    // The distribution-level two-sample test beside mann_whitney_u
+    // (which tests location): D = sup |F̂₁ − F̂₂| over the purchase-vs-
+    // click value ECDFs. EXACT INTEGER end-to-end: at the distinct-cents
+    // grain, the ECDF difference at value c is |c₁·n₂ − c₂·n₁| in units
+    // of 1/(n₁·n₂) — an int64 numerator (no float ECDF ever computed;
+    // c·n ≲ 10¹⁰ at sf0.1; at 100 TB carry the numerator in micros
+    // instead). The window walks DISTINCT CENTS, not rows — the
+    // mann_whitney_u bounded-domain discipline (≤ 49 002 values, set by
+    // the price domain, not corpus size); all five windows share ONE
+    // ordering → one exchange. The argmax value is tie-broken to the
+    // SMALLEST cents (total order); single-row output: D's integer
+    // numerator, the micros ratio, and the location where the supremum
+    // is attained.
+    Reg("ks_two_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir).events
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_type").as("t"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val g = e.groupBy(col("c"))
+          .agg(sum(when(col("t") === "purchase", 1L).otherwise(0L)).as("cnt1"),
+            sum(when(col("t") === "click", 1L).otherwise(0L)).as("cnt2"))
+        val wCum = Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        g.withColumn("c1", sum(col("cnt1")).over(wCum))
+          .withColumn("c2", sum(col("cnt2")).over(wCum))
+          .withColumn("n1", sum(col("cnt1")).over(wAll))
+          .withColumn("n2", sum(col("cnt2")).over(wAll))
+          .withColumn("d_num", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+          .withColumn("d_max", max(col("d_num")).over(wAll))
+          .filter(col("d_num") === col("d_max"))
+          .groupBy()
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            min(col("c")).as("c_at"), max(col("d_max")).as("d_num"))
+          .select(col("n1"), col("n2"), col("c_at"), col("d_num"),
+            expr("""CAST(round(CAST(d_num AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("ks_um"))
+      },
+      Some("""
+        WITH e AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS c
+                   FROM events WHERE event_type IN ('purchase', 'click')),
+        g AS (SELECT c,
+                     CAST(sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cnt1,
+                     CAST(sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cnt2
+              FROM e GROUP BY 1),
+        w AS (SELECT c,
+                     sum(cnt1) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+                     sum(cnt2) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+                     sum(cnt1) OVER () AS n1, sum(cnt2) OVER () AS n2
+              FROM g),
+        d AS (SELECT c, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                     CAST(abs(c1 * n2 - c2 * n1) AS BIGINT) AS d_num
+              FROM w),
+        m AS (SELECT *, max(d_num) OVER () AS d_max FROM d)
+        SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+               CAST(min(c) AS BIGINT) AS c_at, CAST(max(d_max) AS BIGINT) AS d_num,
+               CAST(round(CAST(max(d_max) AS DOUBLE)
+                 / (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ks_um
+        FROM m WHERE d_num = d_max
+      """)),
+
+    // ---- index-of-dispersion (Fano factor) per event type (round-10) ----
+    // Burstiness monitor: is each event type's hourly arrival process
+    // Poisson-like (Fano ≈ 1), regular (< 1), or bursty/clumped (> 1)?
+    // Fano = sample-var/mean of per-hour counts over the DENSE hour
+    // spine (hours where ANY event occurred — deterministic, mirrored;
+    // missing (type, hour) cells count 0 via the spine left join, which
+    // is what makes the statistic honest for sparse types). Exact:
+    // var/mean collapses to the pure-integer rational
+    // (n·Σc² − (Σc)²) / ((n−1)·Σc) — int64 sufficient statistics, one
+    // IEEE-exact quotient, rounded to micros. Shapes: one hour-grain
+    // agg, a |hours|×5 broadcast spine, left join, 5-row output.
+    Reg("dispersion_index_hourly",
+      (s, dir) => {
+        val eh = Tables(s, dir).events
+          .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+        val hours = eh.select(col("h")).distinct()
+        val types = eh.select(col("event_type")).distinct()
+        // cnts is calendar-bounded (|hours|·5 rows) → broadcast the
+        // probe side of the spine left join instead of shuffling both
+        val cnts = eh.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("cnt"))
+        hours.crossJoin(broadcast(types))
+          .join(broadcast(cnts), Seq("event_type", "h"), "left")
+          .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("n_events"),
+            sum(col("cnt") * col("cnt")).as("sc2"))
+          .select(col("event_type"), col("n_hours"), col("n_events"),
+            expr("""CAST(round((CAST(n_hours AS DOUBLE) * CAST(sc2 AS DOUBLE)
+                    - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                    / (CAST(n_hours - 1 AS DOUBLE) * CAST(n_events AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("fano_um"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH eh AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+        hours AS (SELECT DISTINCT h FROM eh),
+        types AS (SELECT DISTINCT event_type FROM eh),
+        cnts AS (SELECT event_type, h, count(*) AS cnt FROM eh GROUP BY 1, 2),
+        full_ AS (SELECT s.event_type, s.h, coalesce(c.cnt, 0) AS cnt
+                  FROM (SELECT t.event_type, hh.h
+                        FROM types t CROSS JOIN hours hh) s
+                  LEFT JOIN cnts c ON s.event_type = c.event_type AND s.h = c.h),
+        a AS (SELECT event_type, count(*) AS n_hours,
+                     CAST(sum(cnt) AS BIGINT) AS n_events,
+                     CAST(sum(cnt * cnt) AS BIGINT) AS sc2
+              FROM full_ GROUP BY 1)
+        SELECT event_type, n_hours, n_events,
+               CAST(round((CAST(n_hours AS DOUBLE) * CAST(sc2 AS DOUBLE)
+                 - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                 / (CAST(n_hours - 1 AS DOUBLE) * CAST(n_events AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS fano_um
+        FROM a ORDER BY event_type
+      """)),
+
     // ---- interval OVERLAP join via hour-bucket banding (round-9) --------
     // Which user sessions were live during an error incident? An
     // interval×interval overlap join — the two-sided sibling of the

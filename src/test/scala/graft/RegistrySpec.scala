@@ -58,7 +58,10 @@ class RegistrySpec extends AnyFunSuite {
       "zipf_slope_corpus",
       // one (n_a, n_b, dtw_cost) row by construction — the DP's single
       // terminal cell (round-9)
-      "dtw_banded_click_view")
+      "dtw_banded_click_view",
+      // single-row test statistics (round-10): log-rank chi-square and
+      // the KS supremum row
+      "logrank_test_conversion", "ks_two_sample")
     val offenders = noOrder.filterNot(exempt)
     assert(offenders.isEmpty,
       s"oracles without ORDER BY (row order is engine-arbitrary): $offenders")

@@ -271,7 +271,17 @@ class PlanShapeSpec extends SparkSpec {
     // risk-table agg + ONE bounded-domain window exchange carrying all
     // three windows (n_total full-frame, dropped, cumulative ln-surv);
     // no scalar-anchor crossJoin — n_total derives from the rows at hand
-    "kaplan_meier_conversion" -> (4, 1))
+    "kaplan_meier_conversion" -> (4, 1),
+    // same spine as kaplan_meier (two per-user aggs + broadcast left
+    // join + risk-table agg + one bounded-domain window exchange); the
+    // single-row chi-square agg collapses into the window's partition
+    "logrank_test_conversion" -> (4, 1),
+    // one distinct-cents agg exchange + the bounded-domain window's
+    // single-partition exchange carrying all five frames
+    "ks_two_sample" -> (2, 0),
+    // hour/type distincts + (type,h) counts agg + final agg + sort;
+    // both spine-join probe sides broadcast (calendar-bounded)
+    "dispersion_index_hourly" -> (5, 2))
 
   test("join_null_safe_props: <=> is a hash join, never a nested loop") {
     val df = SparkEntry.queries("join_null_safe_props")(spark, sf("sf0.001"))
