@@ -136,7 +136,12 @@ object Plans {
       "bm25_topk_docs", "forecast_holt_mae", "weighted_sample_aes",
       "tdigest_clusters", "lm_perplexity_score", "unigram_viterbi_segment",
       "hybrid_bm25_vec_rrf", "stratified_sample_docs", "pearson_corr_types",
-      "feature_hashing_vec", "mann_whitney_u")
+      "feature_hashing_vec", "mann_whitney_u",
+      // round-10 continuation: survival pair (KM + log-rank), KS test,
+      // Fano dispersion, word burstiness, simplified silhouette, HITS
+      "kaplan_meier_conversion", "logrank_test_conversion",
+      "ks_two_sample", "dispersion_index_hourly", "word_burstiness",
+      "silhouette_simplified", "hits_hubs_authorities")
       // streaming_interval_overlap / streaming_stratified_sample stay
       // out — eager drains
     val spark = SparkSession.builder()

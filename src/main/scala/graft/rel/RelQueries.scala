@@ -2005,6 +2005,95 @@ object RelQueries {
         SELECT node, label FROM l3 ORDER BY node
       """)),
 
+    // ---- HITS hubs & authorities, 3 iterations (round-10) ---------------
+    // Kleinberg's other classic beside the three PageRank variants: on
+    // the bipartite customer→brand purchase graph, a brand is an
+    // AUTHORITY if strong hubs buy it, a customer a HUB if they buy
+    // strong authorities — the mutual recursion that separates breadth
+    // of demand from volume (degree alone). L∞ normalization per half-
+    // step keeps scores in exact integer micros: raw scores are int64
+    // sums of micros, the divide-by-max is one exact-integer quotient
+    // rounded back to micros (the validated discipline) — no float
+    // eigenvector ever hashed. Shapes per iteration: edge⋈hub shuffle
+    // keyed by customer + 25-row brand agg (then BROADCAST back — the
+    // authority side never shuffles the edge list again), linear in
+    // |E|; per-iteration relations are localCheckpointed so the one-row
+    // max anchors read the materialized result instead of recomputing
+    // the iteration chain (the kcore/bpe discipline). Brand-side max
+    // uses a 25-row bounded window; hub-side max is a one-row broadcast
+    // anchor off the checkpoint.
+    Reg("hits_hubs_authorities",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, dir)
+        val edges = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.part, col("l_partkey") === col("p_partkey"))
+          .select(col("o_custkey").as("u"), col("p_brand").as("b")).distinct()
+          .localCheckpoint()
+        val wB = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        var hub = edges.select(col("u")).distinct()
+          .withColumn("h_um", lit(1000000L))
+        var auth: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 3) {
+          auth = edges.join(hub, "u").groupBy(col("b"))
+            .agg(sum(col("h_um")).as("raw"))
+            .withColumn("mx", max(col("raw")).over(wB))
+            .select(col("b"), expr(
+              """CAST(round(CAST(raw AS DOUBLE) / CAST(mx AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("a_um"))
+            .localCheckpoint()
+          val hraw = edges.join(broadcast(auth), "b").groupBy(col("u"))
+            .agg(sum(col("a_um")).as("raw"))
+            .localCheckpoint()
+          hub = hraw.crossJoin(broadcast(hraw.agg(max(col("raw")).as("mx"))))
+            .select(col("u"), expr(
+              """CAST(round(CAST(raw AS DOUBLE) / CAST(mx AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("h_um"))
+        }
+        val deg = edges.groupBy(col("b")).agg(count(lit(1)).as("n_customers"))
+        auth.join(broadcast(deg), "b")
+          .select(col("b").as("brand"), col("n_customers"),
+            col("a_um").as("auth_um"))
+          .orderBy("brand")
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT o_custkey AS u, p_brand AS b
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                                 JOIN part ON l_partkey = p_partkey),
+        h0 AS (SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS h_um FROM e),
+        ar1 AS (SELECT b, CAST(sum(h_um) AS BIGINT) AS raw
+                FROM e JOIN h0 USING (u) GROUP BY 1),
+        a1 AS (SELECT b, CAST(round(CAST(raw AS DOUBLE)
+                 / CAST((SELECT max(raw) FROM ar1) AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS a_um FROM ar1),
+        hr1 AS (SELECT u, CAST(sum(a_um) AS BIGINT) AS raw
+                FROM e JOIN a1 USING (b) GROUP BY 1),
+        h1 AS (SELECT u, CAST(round(CAST(raw AS DOUBLE)
+                 / CAST((SELECT max(raw) FROM hr1) AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS h_um FROM hr1),
+        ar2 AS (SELECT b, CAST(sum(h_um) AS BIGINT) AS raw
+                FROM e JOIN h1 USING (u) GROUP BY 1),
+        a2 AS (SELECT b, CAST(round(CAST(raw AS DOUBLE)
+                 / CAST((SELECT max(raw) FROM ar2) AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS a_um FROM ar2),
+        hr2 AS (SELECT u, CAST(sum(a_um) AS BIGINT) AS raw
+                FROM e JOIN a2 USING (b) GROUP BY 1),
+        h2 AS (SELECT u, CAST(round(CAST(raw AS DOUBLE)
+                 / CAST((SELECT max(raw) FROM hr2) AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS h_um FROM hr2),
+        ar3 AS (SELECT b, CAST(sum(h_um) AS BIGINT) AS raw
+                FROM e JOIN h2 USING (u) GROUP BY 1),
+        a3 AS (SELECT b, CAST(round(CAST(raw AS DOUBLE)
+                 / CAST((SELECT max(raw) FROM ar3) AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS a_um FROM ar3),
+        deg AS (SELECT b, count(*) AS n_customers FROM e GROUP BY 1)
+        SELECT a3.b AS brand, deg.n_customers, a3.a_um AS auth_um
+        FROM a3 JOIN deg ON a3.b = deg.b
+        ORDER BY brand
+      """)),
+
     // ---- multi-source BFS: hop distance from a seed set (round-9) -------
     // The third graph primitive beside PageRank and LPA: shortest hop
     // distance from all nation-1 customers to every graph node, bounded

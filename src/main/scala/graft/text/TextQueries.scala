@@ -563,6 +563,48 @@ object TextQueries {
         FROM mh m FULL JOIN sp s ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
       """)),
 
+    // ---- word burstiness / adaptation (round-10) ------------------------
+    // Church & Gale's corpus-linguistics observation (1995, public): a
+    // content word that occurs once in a document is far likelier to
+    // recur there than its corpus frequency predicts, while function
+    // words spread evenly. Two per-word measures over the 31-word
+    // vocabulary: burstiness = tf/df (mean occurrences per containing
+    // doc) and adaptation = P(k ≥ 2 | k ≥ 1) = df_multi/df — the signal
+    // a quality filter uses to tell topical words from boilerplate glue.
+    // Exact: all three sufficient statistics are int64 counts; the two
+    // ratios are exact-integer quotients rounded to micros. Shape: one
+    // (word, doc) hash agg → one word hash agg — two linear shuffles,
+    // output bounded by |vocab|.
+    Reg("word_burstiness",
+      (s, dir) => {
+        val perDoc = Tables(s, dir).documents
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("k"))
+        perDoc.groupBy(col("w"))
+          .agg(count(lit(1)).as("df"), sum(col("k")).as("tf"),
+            sum(when(col("k") >= 2L, 1L).otherwise(0L)).as("df_multi"))
+          .select(col("w"), col("df"), col("tf"), col("df_multi"),
+            expr("""CAST(round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("burst_um"),
+            expr("""CAST(round(CAST(df_multi AS DOUBLE) / CAST(df AS DOUBLE)
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("adapt_um"))
+          .orderBy("w")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        pd AS (SELECT w, doc_id, count(*) AS k FROM tok GROUP BY 1, 2),
+        a AS (SELECT w, count(*) AS df, CAST(sum(k) AS BIGINT) AS tf,
+                     CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df_multi
+              FROM pd GROUP BY 1)
+        SELECT w, df, tf, df_multi,
+               CAST(round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS burst_um,
+               CAST(round(CAST(df_multi AS DOUBLE) / CAST(df AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS adapt_um
+        FROM a ORDER BY w
+      """)),
+
     // ---- token statistics (counting + type-token ratio) -----------------
     Reg("token_stats",
       (s, dir) => {

@@ -522,6 +522,71 @@ object VecQueries {
     // sensitive, snapped ones only at a round() boundary), then the same
     // probe-2 search as ivf_ann_topk. The oracle replays both iterations
     // exactly, so the hash-match is independent of k-means quality.
+    // ---- simplified silhouette over the shared Lloyd clustering ---------
+    // The clustering-evaluation rung beside ivf_cell_balance (which
+    // watches SIZES, not separation): per-cluster cohesion via the
+    // simplified silhouette (Hruschka et al., public) — distances to
+    // CENTROIDS only, never member pairs, which is what makes silhouette
+    // computable at 100 TB (O(n·k) broadcast pass, the assignment shape,
+    // vs the classic O(n²) per-pair form). With L2-normalized vectors
+    // and cosine distance d = 1 − dot: a = 1 − dot₁ (own centroid),
+    // b = 1 − dot₂ (best other), s = (b − a)/b = (dot₁ − dot₂)/(1 − dot₂)
+    // — one identical double tree over the established dot contract,
+    // rounded to micros per vector then integer-aggregated per cluster.
+    // Reuses the session-shared 2-iter Lloyd centroids (same build the
+    // IVF/SemDeDup family grades against).
+    Reg("silhouette_simplified",
+      (s, dir) => {
+        graft.functions.DotF32.register(s)
+        val emb = Tables(s, dir).embeddings
+        val cent = VecOps.lloyd2CentroidsShared(emb, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
+        val ranked = emb.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cent))
+          .withColumn("cd", expr("dot_f32(embedding, ce)"))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= 2)
+        val top1 = ranked.filter(col("crank") === 1)
+          .select(col("vec_id"), col("cid"), col("cd").as("d1"))
+        val top2 = ranked.filter(col("crank") === 2)
+          .select(col("vec_id"), col("cd").as("d2"))
+        top1.join(top2, "vec_id")
+          .withColumn("s_um", expr(
+            """CAST(round((d1 - d2) / (CAST(1 AS DOUBLE) - d2)
+               * CAST(1000000 AS DOUBLE)) AS BIGINT)"""))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_members"), sum(col("s_um")).as("s_sum"),
+            min(col("s_um")).as("s_min_um"))
+          .select(col("cid"), col("n_members"),
+            expr("""CAST(round(CAST(s_sum AS DOUBLE)
+                    / CAST(n_members AS DOUBLE)) AS BIGINT)""").as("s_mean_um"),
+            col("s_min_um"))
+          .orderBy("cid")
+      },
+      Some(s"""
+        WITH $lloyd2Ctes,
+        ranked AS (
+          SELECT a.vec_id, b.cid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) AS cd,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN c2 b ON true),
+        t1 AS (SELECT vec_id, cid, cd AS d1 FROM ranked WHERE crank = 1),
+        t2 AS (SELECT vec_id, cd AS d2 FROM ranked WHERE crank = 2),
+        sil AS (SELECT t1.cid,
+                       CAST(round((t1.d1 - t2.d2) / (CAST(1 AS DOUBLE) - t2.d2)
+                         * CAST(1000000 AS DOUBLE)) AS BIGINT) AS s_um
+                FROM t1 JOIN t2 ON t1.vec_id = t2.vec_id)
+        SELECT cid, count(*) AS n_members,
+               CAST(round(CAST(sum(s_um) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS s_mean_um,
+               CAST(min(s_um) AS BIGINT) AS s_min_um
+        FROM sil GROUP BY 1 ORDER BY cid
+      """)),
+
     Reg("ivf_lloyd2_topk",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings

@@ -281,7 +281,15 @@ class PlanShapeSpec extends SparkSpec {
     "ks_two_sample" -> (2, 0),
     // hour/type distincts + (type,h) counts agg + final agg + sort;
     // both spine-join probe sides broadcast (calendar-bounded)
-    "dispersion_index_hourly" -> (5, 2))
+    "dispersion_index_hourly" -> (5, 2),
+    // (word, doc) agg + word agg + sort — two linear shuffles
+    "word_burstiness" -> (3, 0),
+    // broadcast centroid assignment (shared Lloyd build reads the
+    // InMemoryScan) + vec-keyed window + top1/top2 self-join + cluster
+    // agg + sort
+    "silhouette_simplified" -> (4, 2))
+    // hits_hubs_authorities stays out of the pin table: in-query
+    // localCheckpoints make its explain show only the tail plan
 
   test("join_null_safe_props: <=> is a hash join, never a nested loop") {
     val df = SparkEntry.queries("join_null_safe_props")(spark, sf("sf0.001"))
