@@ -141,7 +141,9 @@ object Plans {
       // Fano dispersion, word burstiness, simplified silhouette, HITS
       "kaplan_meier_conversion", "logrank_test_conversion",
       "ks_two_sample", "dispersion_index_hourly", "word_burstiness",
-      "silhouette_simplified", "hits_hubs_authorities")
+      "silhouette_simplified", "hits_hubs_authorities",
+      "seasonal_decompose_hourly")
+      // streaming_histogram_quantile stays out — eager drain
       // streaming_interval_overlap / streaming_stratified_sample stay
       // out — eager drains
     val spark = SparkSession.builder()

@@ -1212,6 +1212,60 @@ object StreamQueries {
         FROM est ORDER BY user_id
       """)),
 
+    // ---- streaming fixed-bin histogram → quantile read-out (round-10) ---
+    // The third mergeable-sketch semiring member beside streaming_cms_
+    // users (sum-fold) and streaming_hll_registers (max-fold): a
+    // fixed-bin histogram is ALSO additive across micro-batches, so the
+    // per-(type, bin) cell grid lives in the state store as an ordinary
+    // streaming aggregation — ≤ 5 types × 20 bins = 100 keys of
+    // CONSTANT state for an unbounded stream, and histograms from any
+    // partitioning of the input merge bin-wise (this is what t-digest
+    // is NOT: rank-based summaries aren't incremental, which is exactly
+    // why production streaming quantiles are histogram/KLL-shaped; the
+    // batch tdigest_clusters covers the mergeable-by-reclustering
+    // form). Bins are 25-currency-wide on exact cents (value domain
+    // [0, 500) → bins 0..19, deterministic on both engines). Quantile
+    // read-out runs batch-side after the drain: smallest bin whose
+    // cumulative count reaches the p50/p90 rank — the standard
+    // histogram-quantile estimator, exact integer comparisons only.
+    // Cell counts are monotone → last update per cell = max().
+    Reg("streaming_histogram_quantile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cellsS = readEventsStream(s, dir)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT) div 2500").as("bin"))
+          .groupBy(col("event_type"), col("bin")).count()
+        val bins = drain(cellsS, "update", partitions = 4)
+          .groupBy(col("event_type"), col("bin")).agg(max(col("count")).as("cnt"))
+        val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wa = Window.partitionBy(col("event_type"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        bins.withColumn("cum", sum(col("cnt")).over(wc))
+          .withColumn("total", sum(col("cnt")).over(wa))
+          .groupBy(col("event_type"))
+          .agg(max(col("total")).as("n"), count(lit(1)).as("n_bins"),
+            min(when(col("cum") * 2L >= col("total"), col("bin"))).as("p50_bin"),
+            min(when(col("cum") * 10L >= col("total") * 9L, col("bin"))).as("p90_bin"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH b AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) // 2500 AS bin,
+                          count(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+        w AS (SELECT *,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type) AS total
+              FROM b)
+        SELECT event_type, CAST(max(total) AS BIGINT) AS n, count(*) AS n_bins,
+               CAST(min(CASE WHEN cum * 2 >= total THEN bin END) AS BIGINT) AS p50_bin,
+               CAST(min(CASE WHEN cum * 10 >= total * 9 THEN bin END) AS BIGINT) AS p90_bin
+        FROM w GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- funnel-abandonment via EVENT-TIME TIMERS (round-9) -------------
     // The other half of streaming CEP: streaming_event_seq_cep counts
     // patterns that COMPLETE; this alarms patterns that DON'T complete

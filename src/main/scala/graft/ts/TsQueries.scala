@@ -2972,6 +2972,79 @@ object TsQueries {
         FROM a ORDER BY event_type
       """)),
 
+    // ---- classical additive seasonal decomposition (round-10) -----------
+    // y = trend + seasonal + residual over the hourly event-count
+    // series — the decomposition rung beside seasonality_hour_profile
+    // (which reads the seasonal shape only) and forecast_holt_mae
+    // (which models level+trend but not season). Classical method
+    // (Macaulay 1931, public; the STL ancestor): trend = centered
+    // 24-hour moving average over the DENSE hour spine (missing hours
+    // count 0 — a ROWS frame over a gappy series would silently span
+    // non-adjacent hours), seasonal(hod) = mean of the detrended
+    // series by hour-of-day, residual = remainder. Exactness: trend_um
+    // rounds the IEEE-exact sum24/24 quotient to micros; detrended
+    // values are then exact integers, so the seasonal means are
+    // exact-integer quotients rounded once and residuals pure integer
+    // arithmetic. Windows walk the CALENDAR-BOUNDED hour spine (~720
+    // rows/month — the user_growth_daily single-partition discipline;
+    // shard by month at 100 TB); hour counts and the 24-row seasonal
+    // table broadcast. Edge hours without a full 24-row frame are
+    // dropped (n_win = 24 guard) rather than decomposed against a
+    // truncated mean.
+    Reg("seasonal_decompose_hourly",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = Tables(s, dir).events
+          .select(expr("unix_micros(ts) div 3600000000").as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("y"))
+        val spine = cnt.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(explode(expr("sequence(lo, hi)")).as("h"))
+        val wMa = Window.orderBy(col("h")).rowsBetween(-12, 11)
+        val t3 = spine.join(broadcast(cnt), Seq("h"), "left")
+          .withColumn("y", coalesce(col("y"), lit(0L)))
+          .withColumn("n_win", count(lit(1)).over(wMa))
+          .withColumn("sum24", sum(col("y")).over(wMa))
+          .filter(col("n_win") === 24)
+          .withColumn("trend_um", expr(
+            """CAST(round(CAST(sum24 AS DOUBLE) / CAST(24 AS DOUBLE)
+               * CAST(1000000 AS DOUBLE)) AS BIGINT)"""))
+          .withColumn("detr_um", col("y") * 1000000L - col("trend_um"))
+          .withColumn("hod", pmod(col("h"), lit(24L)))
+        val seas = t3.groupBy(col("hod"))
+          .agg(sum(col("detr_um")).as("sd"), count(lit(1)).as("nd"))
+          .select(col("hod"), expr(
+            """CAST(round(CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE))
+               AS BIGINT)""").as("seas_um"))
+        t3.join(broadcast(seas), "hod")
+          .select(col("h"), col("y"), col("trend_um"), col("seas_um"),
+            (col("y") * 1000000L - col("trend_um") - col("seas_um")).as("resid_um"))
+          .orderBy("h")
+      },
+      Some("""
+        WITH cnt AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS y
+                     FROM events GROUP BY 1),
+        mm AS (SELECT min(h) AS lo, max(h) AS hi FROM cnt),
+        spine AS (SELECT unnest(range(lo, hi + 1)) AS h FROM mm),
+        hc AS (SELECT s.h, coalesce(c.y, 0) AS y
+               FROM spine s LEFT JOIN cnt c USING (h)),
+        tr AS (SELECT h, y, count(*) OVER w AS n_win,
+                      CAST(sum(y) OVER w AS BIGINT) AS sum24
+               FROM hc
+               WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        t2 AS (SELECT h, y,
+                      CAST(round(CAST(sum24 AS DOUBLE) / CAST(24 AS DOUBLE)
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS trend_um
+               FROM tr WHERE n_win = 24),
+        t3 AS (SELECT *, y * 1000000 - trend_um AS detr_um, h % 24 AS hod FROM t2),
+        seas AS (SELECT hod,
+                        CAST(round(CAST(sum(detr_um) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seas_um
+                 FROM t3 GROUP BY 1)
+        SELECT t3.h, CAST(t3.y AS BIGINT) AS y, t3.trend_um, seas.seas_um,
+               CAST(t3.y * 1000000 - t3.trend_um - seas.seas_um AS BIGINT) AS resid_um
+        FROM t3 JOIN seas USING (hod) ORDER BY t3.h
+      """)),
+
     // ---- interval OVERLAP join via hour-bucket banding (round-9) --------
     // Which user sessions were live during an error incident? An
     // interval×interval overlap join — the two-sided sibling of the

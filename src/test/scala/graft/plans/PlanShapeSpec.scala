@@ -287,7 +287,11 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast centroid assignment (shared Lloyd build reads the
     // InMemoryScan) + vec-keyed window + top1/top2 self-join + cluster
     // agg + sort
-    "silhouette_simplified" -> (4, 2))
+    "silhouette_simplified" -> (4, 2),
+    // hour agg + lo/hi single-row agg + calendar-bounded window + sort;
+    // hour counts, the spine anchor, and the 24-row seasonal table all
+    // broadcast
+    "seasonal_decompose_hourly" -> (4, 3))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
