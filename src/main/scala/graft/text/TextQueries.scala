@@ -1663,6 +1663,80 @@ object TextQueries {
         ORDER BY source
       """)),
 
+    // ---- Jensen-Shannon divergence: source vs corpus (round-10) ---------
+    // KL's bounded, symmetric sibling (Lin 1991, public) — the drift
+    // metric curation pipelines actually threshold on, because JS is
+    // finite even when a source MISSES vocabulary the corpus has
+    // (KL(corpus ‖ source) would be ∞ there; KL(source ‖ corpus) is
+    // blind to it). JS(Pₛ, P_c) = ½·KL(Pₛ ‖ M) + ½·KL(P_c ‖ M) with
+    // M = (Pₛ+P_c)/2, summed over the CORPUS vocabulary (sources × vocab
+    // base, missing source words enter with pₛ = 0 through the
+    // corpus-side term only). Same ordered-fold + final-rounding ln
+    // discipline as kl_divergence_sources; identical double trees both
+    // engines. Shapes: the KL aggs + one broadcast vocab×source base.
+    Reg("js_divergence_sources",
+      (s, dir) => {
+        val tok = Tables(s, dir).documents
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        val sc = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+        val ls = sc.groupBy(col("source")).agg(sum(col("cs")).as("ls"))
+        val cc = tok.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+        val lc = cc.agg(sum(col("cc")).as("lc"))
+        ls.crossJoin(broadcast(cc))
+          .join(sc, Seq("source", "w"), "left")
+          .withColumn("cs", coalesce(col("cs"), lit(0L)))
+          .crossJoin(broadcast(lc))
+          .withColumn("term", expr(
+            """CASE WHEN cs > 0
+                 THEN (CAST(cs AS DOUBLE) / ls)
+                      * ln((CAST(cs AS DOUBLE) / ls)
+                           / (((CAST(cs AS DOUBLE) / ls) + (CAST(cc AS DOUBLE) / lc))
+                              / CAST(2 AS DOUBLE)))
+                 ELSE CAST(0 AS DOUBLE) END
+               + (CAST(cc AS DOUBLE) / lc)
+                 * ln((CAST(cc AS DOUBLE) / lc)
+                      / (((CAST(cs AS DOUBLE) / ls) + (CAST(cc AS DOUBLE) / lc))
+                         / CAST(2 AS DOUBLE)))"""))
+          .groupBy(col("source"))
+          .agg(max(col("ls")).as("n_tokens"),
+            sort_array(collect_list(struct(col("w"), col("term")))).as("arr"))
+          .withColumn("js", expr(
+            "aggregate(arr, CAST(0 AS DOUBLE), (a, s) -> a + s.term)"))
+          .select(col("source"), col("n_tokens"),
+            expr("CAST(round(js * CAST(500000 AS DOUBLE)) AS BIGINT)").as("js_x1e6"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH tok AS (SELECT source, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        sc AS (SELECT source, w, count(*) AS cs FROM tok GROUP BY 1, 2),
+        ls AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ls FROM sc GROUP BY 1),
+        cc AS (SELECT w, count(*) AS cc FROM tok GROUP BY 1),
+        lc AS (SELECT CAST(sum(cc) AS BIGINT) AS lc FROM cc),
+        base AS (SELECT ls.source, ls.ls, cc.w, cc.cc, coalesce(sc.cs, 0) AS cs
+                 FROM ls CROSS JOIN cc
+                 LEFT JOIN sc ON sc.source = ls.source AND sc.w = cc.w),
+        terms AS (
+          SELECT source, ls, w,
+                 CASE WHEN cs > 0
+                   THEN (CAST(cs AS DOUBLE) / ls)
+                        * ln((CAST(cs AS DOUBLE) / ls)
+                             / (((CAST(cs AS DOUBLE) / ls) + (CAST(cc AS DOUBLE) / lc))
+                                / CAST(2 AS DOUBLE)))
+                   ELSE CAST(0 AS DOUBLE) END
+                 + (CAST(cc AS DOUBLE) / lc)
+                   * ln((CAST(cc AS DOUBLE) / lc)
+                        / (((CAST(cs AS DOUBLE) / ls) + (CAST(cc AS DOUBLE) / lc))
+                           / CAST(2 AS DOUBLE))) AS term
+          FROM base CROSS JOIN lc)
+        SELECT source, max(ls) AS n_tokens,
+               CAST(round(list_sum(list(term ORDER BY w)) * CAST(500000 AS DOUBLE))
+                 AS BIGINT) AS js_x1e6
+        FROM terms
+        GROUP BY source
+        ORDER BY source
+      """)),
+
     // ---- Zipf power-law fit over the corpus vocabulary -------------------
     // log-log OLS of token frequency vs rank — the classic corpus-health
     // diagnostic (natural corpora slope ≈ −1). Ranks are integers with a

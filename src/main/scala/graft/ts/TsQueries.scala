@@ -3045,6 +3045,125 @@ object TsQueries {
         FROM t3 JOIN seas USING (hod) ORDER BY t3.h
       """)),
 
+    // ---- cross-correlation function at lags −6..+6 h (round-10) ---------
+    // Does click activity LEAD purchases, and by how much? CCF between
+    // the hourly click and purchase count series — the lead/lag
+    // extension of series_correlation (zero lag) and autocorr_lag1
+    // (self). Both series live on the DENSE hour spine (0-filled, the
+    // seasonal_decompose discipline) so lag arithmetic shifts real
+    // hours, not row offsets over gaps. Per lag L: Pearson r of
+    // (xₜ, yₜ₊L) over the overlap, from six exact int64 sufficient
+    // statistics via a shifted EQUI-join (h₂ = h + L, a 13-row
+    // broadcast lag relation — never a theta join), then the
+    // pearson_corr_types identical-double-tree → micros discipline
+    // with the zero-variance sentinel. 13-row output.
+    Reg("cross_correlation_lags",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+        val cnt = e.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+        val spine = cnt.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(explode(expr("sequence(lo, hi)")).as("h"))
+        def series(t: String, cn: String) = spine
+          .join(broadcast(cnt.filter(col("event_type") === t)
+            .select(col("h"), col("c"))), Seq("h"), "left")
+          .select(col("h"), coalesce(col("c"), lit(0L)).as(cn))
+        val x = series("click", "x")
+        val y = series("purchase", "y")
+        x.crossJoin(broadcast(s.range(-6, 7).select(col("id").as("lag"))))
+          .withColumn("h2", col("h") + col("lag"))
+          .join(y.withColumnRenamed("h", "h2"), "h2")
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("lag"), col("n"),
+            expr("""CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                         * CAST(1000000 AS DOUBLE)) AS BIGINT) END""").as("r_um"))
+          .orderBy("lag")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+                   WHERE event_type IN ('click', 'purchase')),
+        cnt AS (SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2),
+        mm AS (SELECT min(h) AS lo, max(h) AS hi FROM cnt),
+        spine AS (SELECT unnest(range(lo, hi + 1)) AS h FROM mm),
+        x AS (SELECT s.h, coalesce(c.c, 0) AS x FROM spine s
+              LEFT JOIN (SELECT h, c FROM cnt WHERE event_type = 'click') c
+                USING (h)),
+        y AS (SELECT s.h, coalesce(c.c, 0) AS y FROM spine s
+              LEFT JOIN (SELECT h, c FROM cnt WHERE event_type = 'purchase') c
+                USING (h)),
+        j AS (SELECT l.lag, x.x, y.y
+              FROM x CROSS JOIN range(-6, 7) l(lag)
+              JOIN y ON y.h = x.h + l.lag),
+        a AS (SELECT lag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM j GROUP BY 1)
+        SELECT CAST(lag AS BIGINT) AS lag, n,
+               CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+               THEN CAST(0 AS BIGINT)
+               ELSE CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS r_um
+        FROM a ORDER BY lag
+      """)),
+
+    // ---- sequential pattern support: A-then-B per user (round-10) -------
+    // The first ascent of sequential pattern mining (Agrawal & Srikant
+    // 1995, public): for every ordered event-type pair (a, b), in how
+    // many users' histories does SOME a-event precede SOME b-event?
+    // "∃ a before b" collapses to the exact predicate
+    // min_ts(a) < max_ts(b) — so the whole mine is one per-(user, type)
+    // agg (≤ 5 rows/user) + a user-keyed self-join bounded by the
+    // type-domain square, never a scan of raw event pairs. n_both
+    // (users having both types) is the join's natural row count;
+    // support is the exact-integer quotient in micros. 20-row output.
+    Reg("seq_pattern_support",
+      (s, dir) => {
+        val u = Tables(s, dir).events
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(unix_micros(col("ts"))).as("mn"),
+            max(unix_micros(col("ts"))).as("mx"))
+        val a = u.select(col("user_id"), col("event_type").as("ta"), col("mn"))
+        val b = u.select(col("user_id"), col("event_type").as("tb"), col("mx"))
+        a.join(b, "user_id").filter(col("ta") =!= col("tb"))
+          .groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("n_both"),
+            sum(when(col("mn") < col("mx"), 1L).otherwise(0L)).as("n_seq"))
+          .select(col("ta"), col("tb"), col("n_both"), col("n_seq"),
+            expr("""CAST(round(CAST(n_seq AS DOUBLE) / CAST(n_both AS DOUBLE)
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("support_um"))
+          .orderBy("ta", "tb")
+      },
+      Some("""
+        WITH u AS (SELECT user_id, event_type,
+                          min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                   FROM events GROUP BY 1, 2)
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               count(*) AS n_both,
+               CAST(sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) AS BIGINT) AS n_seq,
+               CAST(round(CAST(sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS support_um
+        FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
     // ---- interval OVERLAP join via hour-bucket banding (round-9) --------
     // Which user sessions were live during an error incident? An
     // interval×interval overlap join — the two-sided sibling of the

@@ -291,7 +291,17 @@ class PlanShapeSpec extends SparkSpec {
     // hour agg + lo/hi single-row agg + calendar-bounded window + sort;
     // hour counts, the spine anchor, and the 24-row seasonal table all
     // broadcast
-    "seasonal_decompose_hourly" -> (4, 3))
+    "seasonal_decompose_hourly" -> (4, 3),
+    // the KL agg spine + the broadcast sources×vocab base join + the
+    // ordered-fold agg + sort
+    "js_divergence_sources" -> (7, 3),
+    // (type,h) agg + lag'd equi-join (spine/lag/series sides broadcast,
+    // calendar-bounded) + per-lag agg + sort — never a theta join
+    "cross_correlation_lags" -> (4, 4),
+    // one per-(user,type) agg + user-keyed self-join (planner picks
+    // broadcast at fixture scale; co-partitioned SMJ at scale) + pair
+    // agg + sort
+    "seq_pattern_support" -> (4, 1))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
