@@ -250,6 +250,24 @@ object ScaleDemo {
          q <- Seq("hybrid_bm25_vec_rrf", "unigram_viterbi_segment",
            "feature_hashing_vec", "mann_whitney_u"))
       time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
+    // round-10 continuation: survival analysis (two linear per-user aggs
+    // + a ≤ 49-row risk table — the window cost is DOMAIN-bounded, so
+    // 10× users only scale the aggs); KS (distinct-CENTS window: the
+    // value domain doesn't grow with the corpus, so the window is flat
+    // while the grain agg scales linearly — the mann_whitney shape);
+    // HITS (brand side is the SAME 25 values across shards → the
+    // authority relation stays 25 rows broadcast while the customer-
+    // keyed edge shuffle decades); silhouette (shares the corpus-scaled
+    // Lloyd build with semdedup — k ∝ n keeps cells constant-sized, and
+    // the O(n·k) flat assignment is the documented IVF escalation
+    // point); seasonal decomposition + burstiness + sequence support
+    // (calendar-/vocab-/type-domain-bounded windows over linear aggs).
+    for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
+         q <- Seq("kaplan_meier_conversion", "ks_two_sample",
+           "hits_hubs_authorities", "silhouette_simplified",
+           "seasonal_decompose_hourly", "word_burstiness",
+           "seq_pattern_support", "forecast_hw_mae"))
+      time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
     spark.stop()
   }
 }

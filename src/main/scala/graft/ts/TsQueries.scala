@@ -2544,6 +2544,123 @@ object TsQueries {
         """))
     },
 
+    // ---- Holt-Winters additive seasonal forecast (round-10) -------------
+    // The seasonal rung above forecast_holt_mae (Winters 1960, public),
+    // on the HOURLY count series where the fixture's seasonality
+    // actually lives (seasonality_hour_profile shows it; ~30 seasons of
+    // period m = 24 vs only 4 weekly ones at day grain). α = β = γ = ½
+    // keeps all three recurrences EXACT integer halvings (the holt
+    // discipline; signed → sign·(|x| div 2) on both engines):
+    //   l_t = ((y_t − s_{t−m}) + (l_{t−1} + b_{t−1})) / 2
+    //   b_t = ((l_t − l_{t−1}) + b_{t−1}) / 2
+    //   s_t = ((y_t − l_t) + s_{t−m}) / 2
+    // The seasonal state is a 24-slot QUEUE carried inside the fold
+    // state: Spark concat(slice(s, 2, 23), array(s_t)) ↔ DuckDB
+    // list_append(s[2:24], s_t) — the dtw precedent of list-valued
+    // recursion state. Init: l₀ = mean of season 1 (floor), b₀ = 0,
+    // sᵢ = yᵢ − l₀. Counts ride ×1000 for halving resolution (exact).
+    // Series live on the DENSE 0-filled hour spine (the
+    // seasonal_decompose discipline — a gappy series would misalign the
+    // seasonal queue). Train on all but the last 24 h, forecast
+    // ŷ(h) = l + h·b + s[h], report MAE + signed bias beside the holt
+    // and snaive evaluators. Both formulations generated from the ONE
+    // sign-split template so the arithmetic cannot drift.
+    {
+      def sdiv2(x: String, di: String) =
+        s"(CASE WHEN ($x) >= 0 THEN ($x) $di 2 ELSE -((-($x)) $di 2) END)"
+      // Spark fold: state st = struct(l, b, s ARRAY(24)); consumes seq[t]
+      val lS = sdiv2("(element_at(seq, t) - element_at(st.s, 1)) + (st.l + st.b)", "div")
+      val bS = sdiv2(s"($lS - st.l) + st.b", "div")
+      val sS = sdiv2(s"(element_at(seq, t) - $lS) + element_at(st.s, 1)", "div")
+      // DuckDB recursion: row r = (t, l, b, s LIST); consumes seq[t+1]
+      val yD = "g.seq[CAST(r.t + 1 AS INT)]"
+      val lD = sdiv2(s"($yD - r.s[1]) + (r.l + r.b)", "//")
+      val bD = sdiv2(s"($lD - r.l) + r.b", "//")
+      val sD = sdiv2(s"($yD - $lD) + r.s[1]", "//")
+      Reg("forecast_hw_mae",
+        (s, dir) => {
+          val eh = Tables(s, dir).events
+            .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+          val cnt = eh.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+          val spine = cnt.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+            .select(explode(expr("sequence(lo, hi)")).as("h"))
+          val types = eh.select(col("event_type")).distinct()
+          val series = spine.crossJoin(broadcast(types))
+            .join(broadcast(cnt), Seq("event_type", "h"), "left")
+            .withColumn("yk", coalesce(col("c"), lit(0L)) * 1000L)
+            .groupBy(col("event_type"))
+            .agg(expr("transform(array_sort(collect_list(struct(h, yk)))," +
+              " x -> x.yk)").as("seq"))
+            .filter(size(col("seq")) >= 72) // init 24 + >= 24 train + 24 eval
+          series
+            .withColumn("fin", expr(
+              s"""aggregate(sequence(25, size(seq) - 24),
+                   named_struct(
+                     'l', aggregate(slice(seq, 1, 24), 0L, (a, x) -> a + x) div 24,
+                     'b', 0L,
+                     's', transform(sequence(1, 24), i -> element_at(seq, i)
+                            - aggregate(slice(seq, 1, 24), 0L, (a, x) -> a + x) div 24)),
+                   (st, t) -> named_struct('l', $lS, 'b', $bS,
+                     's', concat(slice(st.s, 2, 23), array($sS))))"""))
+            .select(col("event_type"), size(col("seq")).as("n_hours"),
+              expr("fin.l").as("level_k"), expr("fin.b").as("trend_k"),
+              col("fin"), explode(expr("sequence(1, 24)")).as("h"), col("seq"))
+            .withColumn("pred_k",
+              col("level_k") + col("h") * col("trend_k")
+                + expr("element_at(fin.s, CAST(h AS INT))"))
+            .withColumn("actual_k", expr("element_at(seq, size(seq) - 24 + CAST(h AS INT))"))
+            .groupBy(col("event_type"))
+            .agg(max(col("n_hours")).as("n_hours"),
+              max(col("level_k")).as("level_k"),
+              max(col("trend_k")).as("trend_k"),
+              expr("sum(abs(actual_k - pred_k)) div 24").as("mae_k"),
+              sum(col("actual_k") - col("pred_k")).as("err_sum_k"))
+            .orderBy("event_type")
+        },
+        Some(s"""
+          WITH RECURSIVE
+          eh AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+          cnt AS (SELECT event_type, h, count(*) AS c FROM eh GROUP BY 1, 2),
+          mm AS (SELECT min(h) AS lo, max(h) AS hi FROM cnt),
+          spine AS (SELECT unnest(range(lo, hi + 1)) AS h FROM mm),
+          ty AS (SELECT DISTINCT event_type FROM eh),
+          full_ AS (SELECT t.event_type, s.h, coalesce(c.c, 0) * 1000 AS yk
+                    FROM spine s CROSS JOIN ty t
+                    LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = s.h),
+          se AS (SELECT event_type, list(yk ORDER BY h) AS seq FROM full_ GROUP BY 1),
+          g AS (SELECT event_type, seq, len(seq) AS n FROM se WHERE len(seq) >= 72),
+          ini AS (SELECT event_type,
+                         CAST(list_sum(seq[1:24]) AS BIGINT) // 24 AS l0
+                  FROM g),
+          r(event_type, t, l, b, s) AS (
+            SELECT g.event_type, CAST(24 AS BIGINT), ini.l0, CAST(0 AS BIGINT),
+                   list_transform(range(1, 25),
+                     i -> CAST(g.seq[CAST(i AS INT)] - ini.l0 AS BIGINT))
+            FROM g JOIN ini USING (event_type)
+            UNION ALL
+            SELECT r.event_type, r.t + 1, $lD, $bD,
+                   list_append(r.s[2:24], CAST($sD AS BIGINT))
+            FROM r JOIN g USING (event_type)
+            WHERE r.t < g.n - 24),
+          fin AS (SELECT r.event_type, r.l, r.b, r.s
+                  FROM r JOIN g USING (event_type) WHERE r.t = g.n - 24),
+          ev AS (SELECT g.event_type, g.n AS n_hours, f.l AS level_k,
+                        f.b AS trend_k, f.s AS s, unnest(range(1, 25)) AS h,
+                        g.seq AS seq
+                 FROM g JOIN fin f USING (event_type)),
+          p AS (SELECT event_type, n_hours, level_k, trend_k,
+                       level_k + h * trend_k + s[CAST(h AS INT)] AS pred_k,
+                       seq[CAST(n_hours - 24 + h AS INT)] AS actual_k
+                FROM ev)
+          SELECT event_type, max(n_hours) AS n_hours,
+                 CAST(max(level_k) AS BIGINT) AS level_k,
+                 CAST(max(trend_k) AS BIGINT) AS trend_k,
+                 CAST(sum(abs(actual_k - pred_k)) // 24 AS BIGINT) AS mae_k,
+                 CAST(sum(actual_k - pred_k) AS BIGINT) AS err_sum_k
+          FROM p GROUP BY 1 ORDER BY event_type
+        """))
+    },
+
     // ---- marketing attribution: last-touch within 24 h (round-9) --------
     // For every purchase, the ad-tech question: which click/view gets the
     // credit? Last-touch = the most recent touch event by the same user

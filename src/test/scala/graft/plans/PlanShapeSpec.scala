@@ -301,7 +301,11 @@ class PlanShapeSpec extends SparkSpec {
     // one per-(user,type) agg + user-keyed self-join (planner picks
     // broadcast at fixture scale; co-partitioned SMJ at scale) + pair
     // agg + sort
-    "seq_pattern_support" -> (4, 1))
+    "seq_pattern_support" -> (4, 1),
+    // (type,h) agg + per-type series agg + sort; spine anchor + counts
+    // broadcast — the whole HW recurrence is a codegen fold, zero
+    // exchanges of its own
+    "forecast_hw_mae" -> (3, 2))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
