@@ -143,7 +143,8 @@ object Plans {
       "ks_two_sample", "dispersion_index_hourly", "word_burstiness",
       "silhouette_simplified", "hits_hubs_authorities",
       "seasonal_decompose_hourly", "js_divergence_sources",
-      "cross_correlation_lags", "seq_pattern_support", "forecast_hw_mae")
+      "cross_correlation_lags", "seq_pattern_support", "forecast_hw_mae",
+      "psi_value_drift")
       // streaming_histogram_quantile stays out — eager drain
       // streaming_interval_overlap / streaming_stratified_sample stay
       // out — eager drains

@@ -266,7 +266,7 @@ object ScaleDemo {
          q <- Seq("kaplan_meier_conversion", "ks_two_sample",
            "hits_hubs_authorities", "silhouette_simplified",
            "seasonal_decompose_hourly", "word_burstiness",
-           "seq_pattern_support", "forecast_hw_mae"))
+           "seq_pattern_support", "forecast_hw_mae", "psi_value_drift"))
       time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
     spark.stop()
   }

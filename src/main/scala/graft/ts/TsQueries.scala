@@ -3281,6 +3281,89 @@ object TsQueries {
         GROUP BY 1, 2 ORDER BY 1, 2
       """)),
 
+    // ---- population stability index (PSI) value drift (round-10) --------
+    // THE industry drift gate (model-monitoring standard, public):
+    // PSI = Σ_bins (pᵢ − qᵢ)·ln(pᵢ/qᵢ) comparing each type's value
+    // distribution in the month's first half (baseline) vs second half
+    // (current) — the binned, deployment-shaped sibling of KL/JS
+    // (which compare unbinned unigram dists). Bins are the BASELINE's
+    // own deciles: ntile(10) over first-half cents, edges = max(c) per
+    // tile 1..9 — deterministic under ties because a value straddling
+    // a tile boundary is the lower tile's max under ANY ordering of
+    // its copies; both halves are then binned by counting edges
+    // strictly below c (an array filter over the broadcast 9-edge
+    // list, never a range join). Add-one smoothing (cᵢ+1 over n+10,
+    // documented, mirrored) keeps empty bins finite at sparse SFs.
+    // Each bin's term takes ln of an IEEE-exact quotient of exact
+    // integer products, rounds to micros immediately, then
+    // integer-sums (the validated discipline). Shapes: one ntile
+    // window per type over the baseline half (value-grain), 9-row
+    // edge relation broadcast, two linear binning aggs; 5-row output.
+    Reg("psi_value_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir).events
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+            expr("CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END").as("half"))
+        val base = e.filter(col("half") === 0)
+        val wN = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        val edges = base.withColumn("tile", ntile(10).over(wN))
+          .filter(col("tile") <= 9)
+          .groupBy(col("event_type"), col("tile")).agg(max(col("c")).as("edge"))
+          .groupBy(col("event_type"))
+          .agg(sort_array(collect_list(col("edge"))).as("edges"))
+        val binned = e.join(broadcast(edges), "event_type")
+          .withColumn("bin", expr("size(filter(edges, x -> c > x))"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("cp"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("cq"))
+        val tot = binned.groupBy(col("event_type"))
+          .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+        binned.join(broadcast(tot), "event_type")
+          .withColumn("term_um", expr(
+            """CAST(round(((CAST(cp + 1 AS DOUBLE) / CAST(np + 10 AS DOUBLE))
+               - (CAST(cq + 1 AS DOUBLE) / CAST(nq + 10 AS DOUBLE)))
+               * ln((CAST(cp + 1 AS DOUBLE) * CAST(nq + 10 AS DOUBLE))
+                    / (CAST(np + 10 AS DOUBLE) * CAST(cq + 1 AS DOUBLE)))
+               * CAST(1000000 AS DOUBLE)) AS BIGINT)"""))
+          .groupBy(col("event_type"))
+          .agg(max(col("np")).as("n_base"), max(col("nq")).as("n_cur"),
+            count(lit(1)).as("n_bins"), sum(col("term_um")).as("psi_um"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                          CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half
+                   FROM events),
+        base AS (SELECT event_type, c,
+                        ntile(10) OVER (PARTITION BY event_type ORDER BY c) AS tile
+                 FROM e WHERE half = 0),
+        ed AS (SELECT event_type, tile, max(c) AS edge FROM base
+               WHERE tile <= 9 GROUP BY 1, 2),
+        edges AS (SELECT event_type, list(edge ORDER BY edge) AS edges
+                  FROM ed GROUP BY 1),
+        binned AS (SELECT e.event_type,
+                          len(list_filter(g.edges, x -> e.c > x)) AS bin,
+                          CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                          CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cq
+                   FROM e JOIN edges g ON e.event_type = g.event_type
+                   GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(sum(cp) AS BIGINT) AS np,
+                       CAST(sum(cq) AS BIGINT) AS nq
+                FROM binned GROUP BY 1),
+        terms AS (SELECT b.event_type, t.np, t.nq,
+                         CAST(round(((CAST(cp + 1 AS DOUBLE) / CAST(np + 10 AS DOUBLE))
+                           - (CAST(cq + 1 AS DOUBLE) / CAST(nq + 10 AS DOUBLE)))
+                           * ln((CAST(cp + 1 AS DOUBLE) * CAST(nq + 10 AS DOUBLE))
+                                / (CAST(np + 10 AS DOUBLE) * CAST(cq + 1 AS DOUBLE)))
+                           * CAST(1000000 AS DOUBLE)) AS BIGINT) AS term_um
+                  FROM binned b JOIN tot t ON b.event_type = t.event_type)
+        SELECT event_type, max(np) AS n_base, max(nq) AS n_cur,
+               count(*) AS n_bins, CAST(sum(term_um) AS BIGINT) AS psi_um
+        FROM terms GROUP BY 1 ORDER BY event_type
+      """)),
+
     // ---- interval OVERLAP join via hour-bucket banding (round-9) --------
     // Which user sessions were live during an error incident? An
     // interval×interval overlap join — the two-sided sibling of the

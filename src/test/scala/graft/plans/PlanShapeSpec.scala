@@ -305,7 +305,11 @@ class PlanShapeSpec extends SparkSpec {
     // (type,h) agg + per-type series agg + sort; spine anchor + counts
     // broadcast — the whole HW recurrence is a codegen fold, zero
     // exchanges of its own
-    "forecast_hw_mae" -> (3, 2))
+    "forecast_hw_mae" -> (3, 2),
+    // baseline ntile window + edge aggs + two binning aggs + sort; the
+    // 9-edge list and per-type totals broadcast — binning is an array
+    // filter, never a range join
+    "psi_value_drift" -> (7, 3))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
