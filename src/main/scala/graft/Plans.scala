@@ -145,7 +145,8 @@ object Plans {
       "seasonal_decompose_hourly", "js_divergence_sources",
       "cross_correlation_lags", "seq_pattern_support", "forecast_hw_mae",
       "psi_value_drift")
-      // streaming_histogram_quantile stays out — eager drain
+      // streaming_histogram_quantile / streaming_psi_drift stay out —
+      // eager drains
       // streaming_interval_overlap / streaming_stratified_sample stay
       // out — eager drains
     val spark = SparkSession.builder()

@@ -1266,6 +1266,69 @@ object StreamQueries {
         FROM w GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- streaming PSI drift against a static baseline (round-10) -------
+    // The production shape of psi_value_drift: in deployment the
+    // baseline decile edges are a MODEL ARTIFACT (computed once from a
+    // reference window, then broadcast to the ingest stream), and the
+    // current-window histogram accumulates incrementally — so drift
+    // monitoring composes a stream-static broadcast join with the
+    // mergeable-histogram streaming state (≤ 50 (type, bin) keys,
+    // constant for an unbounded stream; counts monotone → max() per
+    // cell). Here the first half of the month is the baseline (edges
+    // localCheckpointed = the trained artifact), the streamed second
+    // half is the current window, and the PSI read-out runs batch-side
+    // after the drain. Binning the stream is a map-side array filter
+    // over the broadcast 9-edge list — no per-event shuffle beyond the
+    // histogram agg. Count-equivalent to the batch query by
+    // construction, so the SAME oracle grades both
+    // (TsQueries.psiOracle, shared verbatim — edits to both or
+    // neither).
+    Reg("streaming_psi_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = graft.Tables(s, dir).events
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+            expr("CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END").as("half"))
+        val base = e.filter(col("half") === 0)
+        val wN = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        val edges = base.withColumn("tile", ntile(10).over(wN))
+          .filter(col("tile") <= 9)
+          .groupBy(col("event_type"), col("tile")).agg(max(col("c")).as("edge"))
+          .groupBy(col("event_type"))
+          .agg(sort_array(collect_list(col("edge"))).as("edges"))
+          .localCheckpoint()
+        val curS = readEventsStream(s, dir)
+          .filter(expr("day(ts) > 15"))
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .join(broadcast(edges), "event_type")
+          .withColumn("bin", expr("size(filter(edges, x -> c > x))"))
+          .groupBy(col("event_type"), col("bin")).count()
+        val cur = drain(curS, "update", partitions = 4)
+          .groupBy(col("event_type"), col("bin")).agg(max(col("count")).as("cq"))
+        val bb = base.join(broadcast(edges), "event_type")
+          .withColumn("bin", expr("size(filter(edges, x -> c > x))"))
+          .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cp"))
+        val binned = bb.join(cur, Seq("event_type", "bin"), "full_outer")
+          .withColumn("cp", coalesce(col("cp"), lit(0L)))
+          .withColumn("cq", coalesce(col("cq"), lit(0L)))
+        val tot = binned.groupBy(col("event_type"))
+          .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+        binned.join(broadcast(tot), "event_type")
+          .withColumn("term_um", expr(
+            """CAST(round(((CAST(cp + 1 AS DOUBLE) / CAST(np + 10 AS DOUBLE))
+               - (CAST(cq + 1 AS DOUBLE) / CAST(nq + 10 AS DOUBLE)))
+               * ln((CAST(cp + 1 AS DOUBLE) * CAST(nq + 10 AS DOUBLE))
+                    / (CAST(np + 10 AS DOUBLE) * CAST(cq + 1 AS DOUBLE)))
+               * CAST(1000000 AS DOUBLE)) AS BIGINT)"""))
+          .groupBy(col("event_type"))
+          .agg(max(col("np")).as("n_base"), max(col("nq")).as("n_cur"),
+            count(lit(1)).as("n_bins"), sum(col("term_um")).as("psi_um"))
+          .orderBy("event_type")
+      },
+      Some(graft.ts.TsQueries.psiOracle)),
+
     // ---- funnel-abandonment via EVENT-TIME TIMERS (round-9) -------------
     // The other half of streaming CEP: streaming_event_seq_cep counts
     // patterns that COMPLETE; this alarms patterns that DON'T complete

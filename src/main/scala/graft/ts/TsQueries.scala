@@ -48,6 +48,45 @@ object TsQueries {
         FROM p ORDER BY purchase_id
       """
 
+  /** The PSI oracle, shared VERBATIM with the streaming twin
+    * (`streaming_psi_drift` in StreamQueries): the streaming path bins
+    * the second half incrementally against the same static baseline
+    * edges and is count-equivalent by construction, so one SQL grades
+    * both. Edits apply to both consumers or neither. (Defined before
+    * `all` — a forward reference from the Reg seq would read null at
+    * object init, the semdedupKeepOracle rule.) */
+  private[graft] val psiOracle: String = """
+        WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                          CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half
+                   FROM events),
+        base AS (SELECT event_type, c,
+                        ntile(10) OVER (PARTITION BY event_type ORDER BY c) AS tile
+                 FROM e WHERE half = 0),
+        ed AS (SELECT event_type, tile, max(c) AS edge FROM base
+               WHERE tile <= 9 GROUP BY 1, 2),
+        edges AS (SELECT event_type, list(edge ORDER BY edge) AS edges
+                  FROM ed GROUP BY 1),
+        binned AS (SELECT e.event_type,
+                          len(list_filter(g.edges, x -> e.c > x)) AS bin,
+                          CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                          CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cq
+                   FROM e JOIN edges g ON e.event_type = g.event_type
+                   GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(sum(cp) AS BIGINT) AS np,
+                       CAST(sum(cq) AS BIGINT) AS nq
+                FROM binned GROUP BY 1),
+        terms AS (SELECT b.event_type, t.np, t.nq,
+                         CAST(round(((CAST(cp + 1 AS DOUBLE) / CAST(np + 10 AS DOUBLE))
+                           - (CAST(cq + 1 AS DOUBLE) / CAST(nq + 10 AS DOUBLE)))
+                           * ln((CAST(cp + 1 AS DOUBLE) * CAST(nq + 10 AS DOUBLE))
+                                / (CAST(np + 10 AS DOUBLE) * CAST(cq + 1 AS DOUBLE)))
+                           * CAST(1000000 AS DOUBLE)) AS BIGINT) AS term_um
+                  FROM binned b JOIN tot t ON b.event_type = t.event_type)
+        SELECT event_type, max(np) AS n_base, max(nq) AS n_cur,
+               count(*) AS n_bins, CAST(sum(term_um) AS BIGINT) AS psi_um
+        FROM terms GROUP BY 1 ORDER BY event_type
+      """
+
   val all: Seq[Reg] = Seq(
 
     Reg("candles_1h",
@@ -3332,37 +3371,7 @@ object TsQueries {
             count(lit(1)).as("n_bins"), sum(col("term_um")).as("psi_um"))
           .orderBy("event_type")
       },
-      Some("""
-        WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
-                          CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half
-                   FROM events),
-        base AS (SELECT event_type, c,
-                        ntile(10) OVER (PARTITION BY event_type ORDER BY c) AS tile
-                 FROM e WHERE half = 0),
-        ed AS (SELECT event_type, tile, max(c) AS edge FROM base
-               WHERE tile <= 9 GROUP BY 1, 2),
-        edges AS (SELECT event_type, list(edge ORDER BY edge) AS edges
-                  FROM ed GROUP BY 1),
-        binned AS (SELECT e.event_type,
-                          len(list_filter(g.edges, x -> e.c > x)) AS bin,
-                          CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-                          CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cq
-                   FROM e JOIN edges g ON e.event_type = g.event_type
-                   GROUP BY 1, 2),
-        tot AS (SELECT event_type, CAST(sum(cp) AS BIGINT) AS np,
-                       CAST(sum(cq) AS BIGINT) AS nq
-                FROM binned GROUP BY 1),
-        terms AS (SELECT b.event_type, t.np, t.nq,
-                         CAST(round(((CAST(cp + 1 AS DOUBLE) / CAST(np + 10 AS DOUBLE))
-                           - (CAST(cq + 1 AS DOUBLE) / CAST(nq + 10 AS DOUBLE)))
-                           * ln((CAST(cp + 1 AS DOUBLE) * CAST(nq + 10 AS DOUBLE))
-                                / (CAST(np + 10 AS DOUBLE) * CAST(cq + 1 AS DOUBLE)))
-                           * CAST(1000000 AS DOUBLE)) AS BIGINT) AS term_um
-                  FROM binned b JOIN tot t ON b.event_type = t.event_type)
-        SELECT event_type, max(np) AS n_base, max(nq) AS n_cur,
-               count(*) AS n_bins, CAST(sum(term_um) AS BIGINT) AS psi_um
-        FROM terms GROUP BY 1 ORDER BY event_type
-      """)),
+      Some(psiOracle)),
 
     // ---- interval OVERLAP join via hour-bucket banding (round-9) --------
     // Which user sessions were live during an error incident? An
