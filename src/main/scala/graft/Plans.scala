@@ -144,7 +144,7 @@ object Plans {
       "silhouette_simplified", "hits_hubs_authorities",
       "seasonal_decompose_hourly", "js_divergence_sources",
       "cross_correlation_lags", "seq_pattern_support", "forecast_hw_mae",
-      "psi_value_drift")
+      "psi_value_drift", "containment_bigram_pairs")
       // streaming_histogram_quantile / streaming_psi_drift stay out —
       // eager drains
       // streaming_interval_overlap / streaming_stratified_sample stay

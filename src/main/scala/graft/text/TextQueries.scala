@@ -1109,6 +1109,77 @@ object TextQueries {
         ORDER BY a_id, b_id
       """)),
 
+    // ---- overlap-coefficient containment pairs (round-10) ---------------
+    // The ASYMMETRIC rung of the near-dup ladder: overlap coefficient
+    // |A∩B| / min(|A|,|B|) detects doc-IN-doc containment (a quote, an
+    // excerpt, a doc embedded in a longer one) that Jaccard is blind to
+    // — a near-total subset of a much larger doc has low Jaccard but
+    // containment ≈ 1, and dedup pipelines (Lee et al.) treat the two
+    // cases differently (containment → keep the superset; Jaccard →
+    // keep by quality). Reuses jaccard_bigram_pairs' entire blocked
+    // candidate machinery verbatim — same (lang, source) blocks, same
+    // df ∈ [2, ceiling] band-pass on the join key (the fan-out bound
+    // that keeps the self-join linear at 100×) — only the SCORE and
+    // threshold differ: containment ≥ 0.6 in exact integer cross-
+    // multiplication (inter·10 ≥ min(na,nb)·6), plus the micros ratio.
+    Reg("containment_bigram_pairs",
+      (s, dir) => {
+        val sh = Tables(s, dir).documents
+          .select(col("lang"), col("source"), col("doc_id"),
+            explode(TextOps.shingles(col("text"), 2)).as("shingle"))
+        val withDf = sh
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang"), col("source"), col("shingle"))))
+          .filter(col("df") <= JaccardDfCeiling)
+        val sizes = withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val shj = withDf.filter(col("df") >= 2).drop("df")
+        val a = shj.select(col("lang"), col("source"), col("shingle"),
+          col("doc_id").as("a_id"))
+        val b = shj.select(col("lang"), col("source"), col("shingle"),
+          col("doc_id").as("b_id"))
+        a.join(b, Seq("lang", "source", "shingle"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+          .withColumn("n_small", least(col("na"), col("nb")))
+          .filter(col("inter") * 10 >= col("n_small") * 6)
+          .select(col("a_id"), col("b_id"), col("inter").as("n_common"),
+            col("n_small"),
+            expr("""CAST(round(CAST(inter AS DOUBLE) / CAST(n_small AS DOUBLE)
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("contain_um"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS ws
+                   FROM documents),
+        g0 AS (SELECT doc_id, lang, source,
+                      unnest(list_distinct([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])) AS shingle
+               FROM t WHERE len(ws) >= 2),
+        df AS (SELECT lang, source, shingle, count(*) AS df
+               FROM g0 GROUP BY 1, 2, 3),
+        g AS (SELECT g0.doc_id, g0.lang, g0.source, g0.shingle
+              FROM g0 JOIN df USING (lang, source, shingle)
+              WHERE df.df <= $JaccardDfCeiling),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+              FROM g a JOIN g b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT a_id, b_id, CAST(inter AS BIGINT) AS n_common,
+               CAST(least(sa.n, sb.n) AS BIGINT) AS n_small,
+               CAST(round(CAST(inter AS DOUBLE)
+                 / CAST(least(sa.n, sb.n) AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS contain_um
+        FROM p JOIN sizes sa ON sa.doc_id = a_id
+               JOIN sizes sb ON sb.doc_id = b_id
+        WHERE inter * 10 >= least(sa.n, sb.n) * 6
+        ORDER BY a_id, b_id
+      """)),
+
     // ---- n-gram repetition statistics (Gopher-style quality signal) -----
     // The repetition family of quality filters: per doc, trigrams WITH
     // multiplicity → total count, the top trigram's count, and the total

@@ -309,7 +309,10 @@ class PlanShapeSpec extends SparkSpec {
     // baseline ntile window + edge aggs + two binning aggs + sort; the
     // 9-edge list and per-type totals broadcast — binning is an array
     // filter, never a range join
-    "psi_value_drift" -> (7, 3))
+    "psi_value_drift" -> (7, 3),
+    // identical machinery to jaccard_bigram_pairs (df band-pass window
+    // + blocked self-join + size joins) — only the score differs
+    "containment_bigram_pairs" -> (8, 3))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
