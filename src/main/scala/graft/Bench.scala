@@ -103,10 +103,20 @@ object Bench {
       .getOrElse(math.max(900.0, named.size * reps * 2.0))
     val times = scala.collection.mutable.LinkedHashMap(
       named.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer[Double]() }: _*)
+    // cheap-query fast path (VERDICT r10 #4): a query whose rep-1 reading
+    // is already < fastS contributes noise, not signal, at 3 reps — cap
+    // it at 2 reps (still a 2-sample agreement check, never a lone
+    // reading, so it stays out of "reps1") and spend the reclaimed wall
+    // on the heavy tail, which keeps the full rep discipline. At 300+
+    // queries roughly half the registry sits under 0.3 s on a quiet
+    // host, so this reclaims ~1 full rep-pass of cheap-query wall.
+    val fastS = sys.env.get("SPARK_GRAFT_BENCH_FAST_S").map(_.toDouble)
+      .getOrElse(0.3)
     for (rep <- 1 to reps; (name, fn) <- named) {
       val overBudget = (System.nanoTime() - benchT0) / 1e9 > budgetS
+      val fastCapped = rep > 2 && times(name).headOption.exists(_ < fastS)
       // rep 1 always runs; an erroring query is not retried on later reps
-      if ((rep == 1 || !overBudget) && !errs.contains(name)) {
+      if ((rep == 1 || !overBudget) && !fastCapped && !errs.contains(name)) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times(name) += (System.nanoTime() - t0) / 1e9 }
         catch {
@@ -116,11 +126,22 @@ object Bench {
         }
       }
     }
+    // wall of the rep loop itself, captured BEFORE the post-loop
+    // calibration reruns (ADVICE r10: over_budget previously included
+    // ~6 calibration runs the budget never governed)
+    val wallS = (System.nanoTime() - benchT0) / 1e9
     val singleRep = named.collect {
       case (n, _) if times(n).length == 1 && reps > 1 && !errs.contains(n) => n }
+    val nFast2 = named.count { case (n, _) =>
+      times(n).length == 2 && reps > 2 && times(n).head < fastS }
     val results = named.map { case (name, _) =>
       val runs = times(name).sorted
-      name -> (if (runs.isEmpty) -1.0 else runs(runs.length / 2))
+      // 2-sample readings (fast-capped or budget-degraded) report the
+      // LOWER of the two: host noise is strictly additive, so min is the
+      // better plan-cost estimator than the upward-biased runs(1)
+      name -> (if (runs.isEmpty) -1.0
+               else if (runs.length == 2) runs(0)
+               else runs(runs.length / 2))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -149,11 +170,10 @@ object Bench {
     // alphabet error reports -1 and silently LOWERS the total — n_errs>0
     // is the only tail-visible signal), whether the wall blew the rep
     // budget, and the 5 slowest medians for at-a-glance hotspot triage.
-    val wallS = (System.nanoTime() - benchT0) / 1e9
     val slow5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => f"${jstr(k)}:$v%.3f" }.mkString("{", ",", "}")
     val tailJson =
-      f""","n_errs":${errs.size},"n_reps1":${singleRep.size},"budget_s":$budgetS%.0f,"wall_s":$wallS%.1f,"over_budget":${wallS > budgetS},"slowest":$slow5"""
+      f""","n_errs":${errs.size},"n_reps1":${singleRep.size},"n_fast2":$nFast2,"budget_s":$budgetS%.0f,"wall_s":$wallS%.1f,"over_budget":${wallS > budgetS},"slowest":$slow5"""
     // Field order is deliberate: the driver archives only the LAST ~2 KB
     // of stdout (BENCH_r05.json's "tail"), so the headline "value" goes at
     // the END of the line — anything before the per-query map is what gets

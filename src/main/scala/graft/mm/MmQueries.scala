@@ -67,6 +67,172 @@ object MmQueries {
         FROM documents ORDER BY doc_id
       """)),
 
+    // ---- 32-bit block-energy perceptual hash over binary ----------------
+    // The pHash/aHash rung of the multimodal pillar: a deterministic bit
+    // fingerprint computed from PAYLOAD BYTES (block byte-sums vs the
+    // global mean — MultiModal.phash32 scaladoc has the structure). The
+    // oracle recomputes the identical integer algebra from the text side
+    // (ASCII corpus ⇒ ascii(char) ≡ byte value, the module-header
+    // contract). Every fingerprint is graded — the strong per-row hash
+    // grade the banding query then builds on.
+    Reg("mm_phash_fingerprint",
+      (s, dir) => MultiModal.phash32(
+          Tables(s, dir).documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, length(text) AS len,
+                          list_sum(list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS total
+                   FROM documents WHERE length(text) >= 32),
+        e AS (SELECT doc_id, k, total,
+                     list_sum(list_transform(
+                       range((k * len) // 32 + 1, ((k + 1) * len) // 32 + 1),
+                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS energy
+              FROM (SELECT *, unnest(range(0, 32)) AS k FROM d))
+        SELECT doc_id,
+               CAST(sum(CASE WHEN energy * 32 > total
+                             THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS phash
+        FROM e GROUP BY 1 ORDER BY doc_id
+      """)),
+
+    // ---- perceptual-hash near-dup pairs (Hamming-banded) ----------------
+    // Payload near-dup at Hamming distance ≤ 3 over the 32-bit phash,
+    // banded into 4×8-bit chunks — pigeonhole gives EXACT recall
+    // (hd ≤ 3 < 4 chunks forces an identical chunk), so the oracle is the
+    // brute all-pairs xor/bit_count (the simhash_neardup_pairs grading
+    // discipline: Spark runs the banded Σ bucket² plan, DuckDB replays
+    // ground truth). Chunk width scales ~log n at 100 TB
+    // (MultiModal.hammingPairs scaladoc).
+    Reg("mm_phash_neardup_pairs",
+      (s, dir) => MultiModal.hammingPairs(
+          MultiModal.phash32(Tables(s, dir).documents
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+          chunks = 4, bitsPerChunk = 8, maxHd = 3)
+        .select(col("doc_a"), col("doc_b"), col("hd").cast("int").as("hd"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, length(text) AS len,
+                          list_sum(list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS total
+                   FROM documents WHERE length(text) >= 32),
+        e AS (SELECT doc_id, k, total,
+                     list_sum(list_transform(
+                       range((k * len) // 32 + 1, ((k + 1) * len) // 32 + 1),
+                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS energy
+              FROM (SELECT *, unnest(range(0, 32)) AS k FROM d)),
+        f AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN energy * 32 > total
+                                   THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ph
+              FROM e GROUP BY 1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hd
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ---- cross-doc duplicate frames (the video-dedup rung) --------------
+    // Frame-level dedup: which sampled frames appear in MORE THAN ONE
+    // document (stride-16 slices, first 8 per doc — shared intros/
+    // boilerplate segments in a real video/audio corpus). One explode +
+    // one hash-agg on the frame digest; at 100 TB the digest groupBy is
+    // the only shuffle and its key space is content-bounded.
+    Reg("mm_frame_dup_stats",
+      (s, dir) => MultiModal.sampleFrames(
+          Tables(s, dir).documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          stride = 16, maxFrames = 8)
+        .groupBy(col("frame_md5"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("frame_md5"),
+      Some("""
+        WITH f AS (SELECT doc_id, unnest(range(0,
+                     least((length(text) - 1) // 16 + 1, 8))) AS fi, text
+                   FROM documents WHERE length(text) > 0),
+        fr AS (SELECT doc_id, md5(substr(text, fi * 16 + 1, 16)) AS frame_md5 FROM f)
+        SELECT frame_md5,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY frame_md5
+      """)),
+
+    // ---- cross-modal curation funnel -------------------------------------
+    // The joint keep-list across all three modality surfaces — text
+    // metadata, payload features, embedding vector — each gate cumulative
+    // (the curation_funnel pattern applied cross-modally): (1) text
+    // length band, (2) payload balance — phash popcount in [10, 22], a
+    // genuinely payload-level gate (degenerate energy profiles rejected),
+    // (3) has an embedding row (doc_id = vec_id; at sf0.1 only 2 000 of
+    // 5 000 docs do — the real-pipeline missing-modality case), (4) no
+    // dominating embedding component (max |xᵢ| ≤ 0.45 — spiky vectors
+    // are broken encodes). Exact arithmetic throughout: popcount is
+    // integer, the component gate is abs/max/compare on cast doubles —
+    // no summation, no rounding. One wide row of survivor counts.
+    Reg("mm_crossmodal_funnel",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ph = MultiModal.phash32(
+          t.documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+        val staged = t.documents.select(col("doc_id"), col("n_chars"))
+          .join(ph, Seq("doc_id"), "left")
+          .join(t.embeddings.select(col("vec_id").as("doc_id"),
+              expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("mx")),
+            Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            (col("n_chars") >= 100 && col("n_chars") <= 400).as("g_text"),
+            expr("bit_count(phash) BETWEEN 10 AND 22").as("g_payload"),
+            col("mx").isNotNull.as("g_emb"),
+            (col("mx") <= 0.45).as("g_vec"))
+        staged.agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("g_text"), 1)).as("n_text_ok"),
+          count(when(col("g_text") && col("g_payload"), 1)).as("n_payload_ok"),
+          count(when(col("g_text") && col("g_payload") && col("g_emb"), 1))
+            .as("n_with_embedding"),
+          count(when(col("g_text") && col("g_payload") && col("g_emb")
+            && col("g_vec"), 1)).as("n_keep"))
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, length(text) AS len,
+                          list_sum(list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS total
+                   FROM documents WHERE length(text) >= 32),
+        e AS (SELECT doc_id, k, total,
+                     list_sum(list_transform(
+                       range((k * len) // 32 + 1, ((k + 1) * len) // 32 + 1),
+                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS energy
+              FROM (SELECT *, unnest(range(0, 32)) AS k FROM d)),
+        f AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN energy * 32 > total
+                                   THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ph
+              FROM e GROUP BY 1),
+        m AS (SELECT vec_id AS doc_id,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+              FROM embeddings),
+        s AS (SELECT doc.doc_id,
+                     doc.n_chars BETWEEN 100 AND 400 AS g_text,
+                     bit_count(f.ph) BETWEEN 10 AND 22 AS g_payload,
+                     m.mx IS NOT NULL AS g_emb,
+                     m.mx <= 0.45 AS g_vec
+              FROM documents doc
+              LEFT JOIN f ON doc.doc_id = f.doc_id
+              LEFT JOIN m ON doc.doc_id = m.doc_id)
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (g_text) AS BIGINT) AS n_text_ok,
+               CAST(count(*) FILTER (g_text AND g_payload) AS BIGINT) AS n_payload_ok,
+               CAST(count(*) FILTER (g_text AND g_payload AND g_emb) AS BIGINT)
+                 AS n_with_embedding,
+               CAST(count(*) FILTER (g_text AND g_payload AND g_emb AND g_vec)
+                 AS BIGINT) AS n_keep
+        FROM s
+      """)),
+
     // ---- fixed-stride frame sampling over binary ------------------------
     Reg("mm_frame_sample",
       (s, dir) => MultiModal.sampleFrames(

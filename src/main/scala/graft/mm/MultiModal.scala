@@ -127,6 +127,70 @@ object MultiModal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** 32-bit block-energy perceptual hash (aHash structure) over a binary
+    * payload: the payload is partitioned into 32 equal-width byte blocks
+    * (block k = bytes [k·len/32, (k+1)·len/32) — the integer-div analogue
+    * of pHash's fixed-grid resize), each block's "energy" is its byte-value
+    * sum, and bit k is set iff block k's energy exceeds the payload mean
+    * (energy·32 > total, exact integers — no division). A real image
+    * pHash swaps byte-sums for DCT coefficients; the fingerprint algebra
+    * (block stat vs global stat → bit) and everything downstream
+    * (Hamming banding, near-dup pairs) is the production structure.
+    *
+    * Pure column expressions — 32 aggregate-HOF terms + the total in ONE
+    * projection (the simhash single-pass discipline): zero shuffles, the
+    * whole fingerprint stays inside whole-stage codegen. Payloads < 32
+    * bytes are dropped (a 32-block hash needs ≥ 1 byte per block);
+    * fixture minimum is 44. */
+  def phash32(docs: DataFrame): DataFrame = {
+    def byteAt = "CAST(conv(hex(substring(payload, i, 1)), 16, 10) AS BIGINT)"
+    val bits = (0 until 32).map { k =>
+      when(
+        expr(s"""aggregate(sequence((($k * len) div 32) + 1, ((${k + 1} * len) div 32)),
+                 CAST(0 AS BIGINT), (acc, i) -> acc + $byteAt)""") * 32 > col("total"),
+        lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _).as("phash")
+    docs
+      .filter(length(col("payload")) >= 32)
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).as("len"))
+      .withColumn("total",
+        expr(s"aggregate(sequence(1, len), CAST(0 AS BIGINT), (acc, i) -> acc + $byteAt)"))
+      .select(col("doc_id"), bits)
+  }
+
+  /** Hamming-banded near-dup pairs over any (id, fingerprint) relation —
+    * the SimHash pigeonhole machinery (TextOps.simhashNearDupPairs)
+    * generalized to a caller-supplied fingerprint: split into `chunks`
+    * equal bit-chunks; hd ≤ chunks−1 forces ≥ 1 identical chunk, so for
+    * maxHd < chunks the (chunk_idx, chunk_value) equi-join has EXACT
+    * recall. Single-pass pair expansion inside each bucket; the final
+    * bit_count(xor) touches only candidates — Σ bucket², never n².
+    *
+    * Scale note (100 TB): chunk width must grow ~log₂(n) to keep buckets
+    * bounded (the LSH planes-∝-log n discipline) — 8-bit chunks are the
+    * fixture-scale setting; a trillion-doc corpus wants ≥ 24-bit chunks
+    * (wider fingerprint, same pigeonhole algebra). */
+  def hammingPairs(fps: DataFrame, chunks: Int, bitsPerChunk: Int,
+                   maxHd: Int): DataFrame = {
+    require(maxHd < chunks, "pigeonhole recall needs maxHd < chunks")
+    val mask = (1L << bitsPerChunk) - 1
+    fps.select(col("doc_id"), col("phash"),
+        posexplode(expr(
+          s"transform(sequence(0, ${chunks - 1}), c -> shiftright(phash, c * $bitsPerChunk) & $mask)"))
+          .as(Seq("c", "ck")))
+      .groupBy(col("c"), col("ck"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("phash")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "b -> struct(a.doc_id AS doc_a, a.phash AS ph_a, b.doc_id AS doc_b, b.phash AS ph_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        expr("bit_count(p.ph_a ^ p.ph_b)").as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxHd)
+  }
+
   /** Frame sampling stub: fixed-stride slices of the payload, first
     * `maxFrames` per doc, with a per-frame digest. Pure column ops —
     * stays in whole-stage codegen. */

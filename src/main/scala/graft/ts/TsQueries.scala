@@ -2949,13 +2949,16 @@ object TsQueries {
           .groupBy()
           .agg(count(lit(1)).as("n_steps"), sum(col("d1")).as("o1"),
             sum(col("e1_um")).as("e1_um"), sum(col("v1_um")).as("v1_um"))
+          // v1_um = 0 whenever every retained step has one arm empty —
+          // sentinel 0 instead of NaN/Inf (divergent casts), mirrored
           .select(col("n_steps"), col("o1"), col("e1_um"), col("v1_um"),
-            expr("""CAST(round((CAST(o1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+            expr("""CASE WHEN v1_um = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round((CAST(o1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
                     - CAST(e1_um AS DOUBLE))
                     * (CAST(o1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
                     - CAST(e1_um AS DOUBLE))
                     / (CAST(v1_um AS DOUBLE) * CAST(1000000 AS DOUBLE))
-                    * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("chi2_um"))
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT) END""").as("chi2_um"))
       },
       Some("""
         WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
@@ -2996,12 +2999,13 @@ object TsQueries {
                      CAST(sum(v1_um) AS BIGINT) AS v1_um
               FROM e)
         SELECT n_steps, o1, e1_um, v1_um,
-               CAST(round((CAST(o1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+               CASE WHEN v1_um = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(round((CAST(o1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
                  - CAST(e1_um AS DOUBLE))
                  * (CAST(o1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
                  - CAST(e1_um AS DOUBLE))
                  / (CAST(v1_um AS DOUBLE) * CAST(1000000 AS DOUBLE))
-                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS chi2_um
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS chi2_um
         FROM s
       """)),
 
@@ -3044,9 +3048,12 @@ object TsQueries {
           .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
             min(col("c")).as("c_at"), max(col("d_max")).as("d_num"))
           .select(col("n1"), col("n2"), col("c_at"), col("d_num"),
-            expr("""CAST(round(CAST(d_num AS DOUBLE)
+            // empty side ⇒ n1·n2 = 0 ⇒ 0/0 NaN (Spark casts to 0, DuckDB
+            // errors) — sentinel 0, mirrored in the oracle
+            expr("""CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(CAST(d_num AS DOUBLE)
                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
-                    * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("ks_um"))
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT) END""").as("ks_um"))
       },
       Some("""
         WITH e AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS c
@@ -3068,9 +3075,10 @@ object TsQueries {
         m AS (SELECT *, max(d_num) OVER () AS d_max FROM d)
         SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
                CAST(min(c) AS BIGINT) AS c_at, CAST(max(d_max) AS BIGINT) AS d_num,
-               CAST(round(CAST(max(d_max) AS DOUBLE)
+               CASE WHEN max(n1) = 0 OR max(n2) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(round(CAST(max(d_max) AS DOUBLE)
                  / (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE))
-                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ks_um
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS ks_um
         FROM m WHERE d_num = d_max
       """)),
 

@@ -551,10 +551,14 @@ object VecQueries {
           .select(col("vec_id"), col("cid"), col("cd").as("d1"))
         val top2 = ranked.filter(col("crank") === 2)
           .select(col("vec_id"), col("cd").as("d2"))
+        // d2 == 1.0 exactly ⇒ zero denominator; Spark would cast the
+        // resulting Inf/NaN while DuckDB errors on the cast — sentinel 0
+        // on BOTH sides (the pearson/ccf zero-variance discipline).
         top1.join(top2, "vec_id")
           .withColumn("s_um", expr(
-            """CAST(round((d1 - d2) / (CAST(1 AS DOUBLE) - d2)
-               * CAST(1000000 AS DOUBLE)) AS BIGINT)"""))
+            """CASE WHEN d2 >= CAST(1 AS DOUBLE) THEN CAST(0 AS BIGINT)
+               ELSE CAST(round((d1 - d2) / (CAST(1 AS DOUBLE) - d2)
+               * CAST(1000000 AS DOUBLE)) AS BIGINT) END"""))
           .groupBy(col("cid"))
           .agg(count(lit(1)).as("n_members"), sum(col("s_um")).as("s_sum"),
             min(col("s_um")).as("s_min_um"))
@@ -577,8 +581,9 @@ object VecQueries {
         t1 AS (SELECT vec_id, cid, cd AS d1 FROM ranked WHERE crank = 1),
         t2 AS (SELECT vec_id, cd AS d2 FROM ranked WHERE crank = 2),
         sil AS (SELECT t1.cid,
-                       CAST(round((t1.d1 - t2.d2) / (CAST(1 AS DOUBLE) - t2.d2)
-                         * CAST(1000000 AS DOUBLE)) AS BIGINT) AS s_um
+                       CASE WHEN t2.d2 >= CAST(1 AS DOUBLE) THEN CAST(0 AS BIGINT)
+                       ELSE CAST(round((t1.d1 - t2.d2) / (CAST(1 AS DOUBLE) - t2.d2)
+                         * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS s_um
                 FROM t1 JOIN t2 ON t1.vec_id = t2.vec_id)
         SELECT cid, count(*) AS n_members,
                CAST(round(CAST(sum(s_um) AS DOUBLE)

@@ -312,7 +312,15 @@ class PlanShapeSpec extends SparkSpec {
     "psi_value_drift" -> (7, 3),
     // identical machinery to jaccard_bigram_pairs (df band-pass window
     // + blocked self-join + size joins) — only the score differs
-    "containment_bigram_pairs" -> (8, 3))
+    "containment_bigram_pairs" -> (8, 3),
+    // round-11 multimodal: the 32-term phash is MAP-ONLY (1 = output
+    // sort); the Hamming banding is chunk-group + pair-distinct + sort,
+    // never a cartesian; frame dedup is one digest agg (partial/final)
+    // + sort; the funnel is two broadcast joins into one global agg
+    "mm_phash_fingerprint" -> (1, 0),
+    "mm_phash_neardup_pairs" -> (3, 0),
+    "mm_frame_dup_stats" -> (3, 0),
+    "mm_crossmodal_funnel" -> (1, 2))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
