@@ -33,19 +33,11 @@ object ScaleDemo {
     (java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L
   }
 
-  def main(args: Array[String]): Unit = {
-    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val out = if (args.length > 1) args(1) else "/dev/shm/graft-scale10x"
-    val copies = 10
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/dev/shm/graft-spark")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+  /** Core (events/documents/embeddings) shard-union fixture at `copies`×.
+    * Same shard model at every decade (scaladoc above); parameterized so
+    * the 100× decade (ScaleDemo100, VERDICT r10 #3) reuses it verbatim. */
+  def buildCore(spark: SparkSession, base: String, out: String,
+                copies: Int): Unit = {
     val outPath = java.nio.file.Paths.get(out)
     // gate on ALL outputs of this block (same ADVICE-r8 fix as the star
     // shards below): an interrupted run must be repaired by the next one
@@ -82,16 +74,20 @@ object ScaleDemo {
           e2.as("embedding"), col("label"))
       }.reduce(_ unionByName _)
       emb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      println(s"[scale] fixture built at $out")
+      println(s"[scale] fixture built at $out ($copies×)")
     }
-    // round-8 extension: 10× star-schema shards for the graph / banded /
-    // profiling operators. Keys offset per copy → ten DISJOINT subgraphs
-    // (the shard model again: per-shard structure identical, row count
-    // decade-ed). Part-name tokens get a single-char copy suffix — note
-    // the copies are deliberately NOT edit-disjoint ("red3"/"red4" are
-    // distance 1), so the 10× editdist run also exercises cross-copy
-    // candidate generation; the pair count grows ~linearly in copies
-    // (bounded per base token), never quadratically in corpus size.
+  }
+
+  /** Star-schema (lineitem/orders/part/customer) shards at `copies`×.
+    * Keys offset per copy → DISJOINT subgraphs (the shard model again:
+    * per-shard structure identical, row count decade-ed). Part-name
+    * tokens get a copy suffix — deliberately NOT edit-disjoint
+    * ("red3"/"red4" are distance 1), so editdist runs also exercise
+    * cross-copy candidate generation; the pair count grows ~linearly in
+    * copies (bounded per base token), never quadratically. */
+  def buildStar(spark: SparkSession, base: String, out: String,
+                copies: Int): Unit = {
+    val outPath = java.nio.file.Paths.get(out)
     // gate on ALL of the shard's outputs, not just the first: an
     // interrupted run that wrote lineitem but not orders/part would
     // otherwise leave a permanently half-built fixture that later runs
@@ -133,8 +129,23 @@ object ScaleDemo {
           col("c_mktsegment"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/customer.parquet")
-      println(s"[scale] star shards built at $out")
+      println(s"[scale] star shards built at $out ($copies×)")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/dev/shm/graft-scale10x"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildCore(spark, base, out, 10)
+    buildStar(spark, base, out, 10)
 
     def time(tag: String, f: => Long): Unit = {
       // rep 1 warms, reps 2-3 measure; report the median-like mid value
@@ -268,6 +279,99 @@ object ScaleDemo {
            "seasonal_decompose_hourly", "word_burstiness",
            "seq_pattern_support", "forecast_hw_mae", "psi_value_drift"))
       time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
+    spark.stop()
+  }
+}
+
+/** Second scale decade (VERDICT r10 #3): the headline dedup / ANN / graph
+  * scale claims observed at 1× / 10× / 100× IN ONE RUN (same host phase,
+  * so the decade ratios are same-run comparable — the 10×-only rows in
+  * BASELINE.md established the claims; two observed decades make
+  * "flat-to-linear" robust). Same shard-union model as ScaleDemo, 100
+  * copies (~1.7 GB under /dev/shm).
+  *
+  * Contrast rows replay the FIXED-KNOB defects at 100×, where the
+  * quadratic is two decades loud instead of one (single rep — the point
+  * is the blowup's magnitude, not a tight median):
+  *  - LSH planes pinned at 4 while the corpus 100×es (bucket count
+  *    constant → occupancy ×100 → in-bucket join ×10⁴);
+  *  - SemDeDup k pinned at 16 (cells ×100 → Σ cell² ×100 vs k ∝ n flat);
+  *  - phash Hamming chunks pinned at 8 bits (256 buckets per chunk
+  *    position can't absorb a 100× corpus — the production escalation is
+  *    wider chunks on a wider fingerprint, here demoed as 2×16-bit
+  *    chunks at hd ≤ 1 on the same 32-bit hash: bucket count ×256).
+  */
+object ScaleDemo100 {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out10 = if (args.length > 1) args(1) else "/dev/shm/graft-scale10x"
+    val out100 = if (args.length > 2) args(2) else "/dev/shm/graft-scale100x"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ScaleDemo.buildCore(spark, base, out10, 10)
+    ScaleDemo.buildStar(spark, base, out10, 10)
+    ScaleDemo.buildCore(spark, base, out100, 100)
+    ScaleDemo.buildStar(spark, base, out100, 100)
+
+    def timeN(tag: String, reps: Int)(f: => Long): Unit = {
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val mid = runs.map(_._1).sorted.apply(runs.size / 2)
+      println(f"[scale] $tag%-44s ${mid}%8.2f s   rows=${runs.head._2}")
+    }
+    def time(tag: String)(f: => Long): Unit = timeN(tag, 3)(f)
+
+    val decades = Seq((base, "1x"), (out10, "10x"), (out100, "100x"))
+
+    // the scaled-knob production rows: every decade, knobs ∝ corpus
+    for ((dir, tag) <- decades;
+         q <- Seq("kcore_3", "jaccard_bigram_pairs", "semdedup_keep",
+           "hits_hubs_authorities", "pagerank_3iter",
+           "mm_phash_neardup_pairs", "mm_frame_dup_stats",
+           "mm_crossmodal_funnel"))
+      time(s"$q @ $tag")(SparkEntry.queries(q)(spark, dir).count())
+    // LSH with planes scaled ~log₂(rows): 4 → 8 → 11 holds per-bucket
+    // occupancy ≈ constant across both decades
+    for (((dir, tag), planes) <- decades.zip(Seq(4, 8, 11)))
+      time(s"annLshTopK planes=$planes @ $tag")(
+        graft.vec.VecOps.annLshTopK(Tables(spark, dir).embeddings,
+          planes = planes, k = 3).count())
+    for (((dir, tag), planes) <- decades.zip(Seq(4, 7, 10)))
+      time(s"matryoshka planes=$planes @ $tag")(
+        graft.vec.VecOps.matryoshkaTopK(Tables(spark, dir).embeddings,
+          planes = planes, mDims = 16, shortlist = 8, k = 3).count())
+    // phash banding with the chunk knob scaled for the last decade:
+    // 2×16-bit chunks (65 536 buckets per position, hd ≤ 1 pigeonhole)
+    time("phash pairs chunks=2x16 hd<=1 @ 100x")(
+      graft.mm.MultiModal.hammingPairs(
+        graft.mm.MultiModal.phash32(Tables(spark, out100).documents
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+        chunks = 2, bitsPerChunk = 16, maxHd = 1).count())
+
+    // ---- fixed-knob defect contrast rows at 100× (single rep) ----------
+    timeN("CONTRAST annLshTopK planes=4 @ 100x", 1)(
+      graft.vec.VecOps.annLshTopK(Tables(spark, out100).embeddings,
+        planes = 4, k = 3).count())
+    timeN("CONTRAST semdedup fixed k=16 @ 100x", 1)({
+      val emb = Tables(spark, out100).embeddings
+      var cent = graft.vec.VecOps.seedCentroids(emb, 16)
+      for (_ <- 0 until 2)
+        cent = graft.vec.VecOps.lloydStep(emb, cent, snap = true)
+      graft.vec.VecOps.semDedupKeep(emb, cent, tau = 0.45).count()
+    })
+    timeN("CONTRAST phash chunks=4x8 hd<=3 @ 100x", 1)(
+      graft.mm.MultiModal.hammingPairs(
+        graft.mm.MultiModal.phash32(Tables(spark, out100).documents
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+        chunks = 4, bitsPerChunk = 8, maxHd = 3).count())
     spark.stop()
   }
 }

@@ -131,6 +131,54 @@ object MmQueries {
         ORDER BY doc_a, doc_b
       """)),
 
+    // ---- phash dup groups + keep-list (pairs → clusters → survivor) -----
+    // The full dedup ladder applied to the payload modality: Hamming
+    // pairs → connected components (TextOps.connectedComponents — the
+    // same iterative min-label propagation the text MinHash clusters
+    // use) → min-doc_id survivor per cluster. Oracle replays brute
+    // ground-truth pairs + a recursive-CTE closure (the
+    // neardup_dup_groups discipline, fingerprint swapped).
+    Reg("mm_phash_dup_groups",
+      (s, dir) => {
+        val pairs = MultiModal.hammingPairs(
+            MultiModal.phash32(Tables(s, dir).documents
+              .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+            chunks = 4, bitsPerChunk = 8, maxHd = 3)
+          .select(col("doc_a"), col("doc_b"))
+        graft.text.TextOps.connectedComponents(pairs)
+          .groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"), min(col("node")).as("keep_id"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, text, length(text) AS len,
+                     list_sum(list_transform(range(1, length(text) + 1),
+                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS total
+              FROM documents WHERE length(text) >= 32),
+        e AS (SELECT doc_id, k, total,
+                     list_sum(list_transform(
+                       range((k * len) // 32 + 1, ((k + 1) * len) // 32 + 1),
+                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS energy
+              FROM (SELECT *, unnest(range(0, 32)) AS k FROM d)),
+        f AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN energy * 32 > total
+                                   THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ph
+              FROM e GROUP BY 1),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM f a JOIN f b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        reach(a, b) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+        comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1)
+        SELECT cluster_id, count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM comp GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- cross-doc duplicate frames (the video-dedup rung) --------------
     // Frame-level dedup: which sampled frames appear in MORE THAN ONE
     // document (stride-16 slices, first 8 per doc — shared intros/

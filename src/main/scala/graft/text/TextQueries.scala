@@ -746,6 +746,97 @@ object TextQueries {
         GROUP BY 1, 2 ORDER BY 1, 2
       """)),
 
+    // ---- Cohen's kappa over the lang-ID confusion (round-11) ------------
+    // Chance-corrected agreement between the actual label and the n-gram
+    // classifier's prediction, over the declared pair universe (docs the
+    // classifier voted on — the lang_confusion_matrix universe). EXACT
+    // INTEGERS throughout: κ = (p_o − p_e)/(1 − p_e) algebraically equals
+    // (agree·n − Σ rowsum·colsum)/(n² − Σ rowsum·colsum) — one integer
+    // ratio, one final division → micros (no double tree at all, unlike
+    // the Pearson family). Zero-denominator sentinel when p_e = 1 (all
+    // mass in one cell). Plan: the confusion agg (≤ 25 cells) + two
+    // marginal aggs + a 5-row join — everything after the vote pipeline
+    // is bounded by the label domain, not the corpus.
+    Reg("cohens_kappa_langid",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        val wTop = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("w"))
+        val top10 = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
+          .select(col("lang").as("cand_lang"), col("w"))
+        val docTok = docs.select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+        val votes = docTok.join(top10, "w")
+          .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("votes"))
+        val wPick = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("cand_lang"))
+        // conf is ≤ 25 label-domain rows consumed THREE times (totals +
+        // both marginals) — localCheckpoint so the vote pipeline runs
+        // once, not three times (the kcore/textrank bounded-artifact
+        // discipline; without it the plan re-derives the whole explode+
+        // window pipeline per consumer)
+        val conf = votes.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang").as("la"), col("cand_lang").as("lp"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val totals = conf.agg(sum(col("n")).as("n_docs"),
+          sum(when(col("la") === col("lp"), col("n")).otherwise(0L)).as("n_agree"))
+        val chance = conf.groupBy(col("la")).agg(sum(col("n")).as("ra"))
+          .join(conf.groupBy(col("lp")).agg(sum(col("n")).as("rp")),
+            col("la") === col("lp"))
+          .agg(coalesce(sum(col("ra") * col("rp")), lit(0L)).as("chance"))
+        totals.crossJoin(chance).select(
+          col("n_docs"), col("n_agree"), col("chance"),
+          expr("""CAST(round(CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("po_um"),
+          expr("""CAST(round(CAST(chance AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("pe_um"),
+          expr("""CASE WHEN n_docs * n_docs = chance THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round(CAST(n_agree * n_docs - chance AS DOUBLE)
+                  / CAST(n_docs * n_docs - chance AS DOUBLE)
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) END""").as("kappa_um"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        top10 AS (SELECT lang AS cand_lang, w FROM (
+                    SELECT lang, w, row_number() OVER (
+                      PARTITION BY lang ORDER BY count(*) DESC, w) AS rn
+                    FROM tok GROUP BY lang, w) WHERE rn <= 10),
+        dtok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+                 FROM documents),
+        votes AS (SELECT doc_id, cand_lang, count(*) AS votes
+                  FROM dtok JOIN top10 USING (w) GROUP BY 1, 2),
+        pick AS (SELECT doc_id, cand_lang, votes, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY votes DESC, cand_lang) AS rn
+                 FROM votes),
+        conf AS (SELECT d.lang AS la, p.cand_lang AS lp,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM pick p JOIN documents d USING (doc_id)
+                 WHERE p.rn = 1 GROUP BY 1, 2),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN la = lp THEN n ELSE 0 END) AS BIGINT) AS n_agree
+              FROM conf),
+        c AS (SELECT CAST(coalesce(sum(a.ra * b.rp), 0) AS BIGINT) AS chance
+              FROM (SELECT la, sum(n) AS ra FROM conf GROUP BY 1) a
+              JOIN (SELECT lp, sum(n) AS rp FROM conf GROUP BY 1) b
+                ON a.la = b.lp)
+        SELECT n_docs, n_agree, chance,
+               CAST(round(CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS po_um,
+               CAST(round(CAST(chance AS DOUBLE)
+                 / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS pe_um,
+               CASE WHEN n_docs * n_docs = chance THEN CAST(0 AS BIGINT)
+               ELSE CAST(round(CAST(n_agree * n_docs - chance AS DOUBLE)
+                 / CAST(n_docs * n_docs - chance AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS kappa_um
+        FROM t, c
+      """)),
+
     // ---- TF-IDF top terms per language ----------------------------------
     // Output is all-integer (lang, rank, token, tf, df): the tf·ln(N/df)
     // ranking can only tie when (tf, df) pairs are equal — then the score

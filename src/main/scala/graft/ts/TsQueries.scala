@@ -87,6 +87,45 @@ object TsQueries {
         FROM terms GROUP BY 1 ORDER BY event_type
       """
 
+  /** Durbin-Levinson PACF, 6 levels UNROLLED into chained CTEs — ONE
+    * generator whose output text BOTH engines execute verbatim, so the
+    * IEEE double trees are identical by construction (the only
+    * cross-engine-safe way to run a division-bearing recursion; inputs
+    * are the micros-quantized ACF values, already exact integers on both
+    * sides). `src` must be a 6-row (lag BIGINT, r_um BIGINT) relation.
+    * Each level's denominator 1 − Σφr is zero-sentineled. */
+  private[ts] def dlPacfSql(src: String): String = {
+    val K = 6
+    val rCols = (1 to K).map(k =>
+      s"max(CASE WHEN lag = $k THEN CAST(r_um AS DOUBLE) END) / 1000000.0 AS r$k")
+      .mkString(",\n            ")
+    val lvls = scala.collection.mutable.ArrayBuffer[String](
+      "dl1 AS (SELECT *, r1 AS p1_1 FROM dl0)")
+    for (k <- 2 to K) {
+      val num = (1 until k).map(j => s"p${k - 1}_$j * r${k - j}").mkString(" + ")
+      val den = (1 until k).map(j => s"p${k - 1}_$j * r$j").mkString(" + ")
+      lvls += s"dl${k}a AS (SELECT *, CASE WHEN 1.0 - ($den) = 0 THEN 0.0 " +
+        s"ELSE (r$k - ($num)) / (1.0 - ($den)) END AS p${k}_$k FROM dl${k - 1})"
+      val upd = (1 until k)
+        .map(j => s"p${k - 1}_$j - p${k}_$k * p${k - 1}_${k - j} AS p${k}_$j")
+        .mkString(", ")
+      lvls += s"dl$k AS (SELECT *, $upd FROM dl${k}a)"
+    }
+    val unpivot = (1 to K).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag, " +
+        s"CAST(round(p${k}_$k * 1000000.0) AS BIGINT) AS pacf_um FROM dl$K")
+      .mkString("\n          UNION ALL ")
+    s"""WITH dl0 AS (SELECT
+            $rCols
+          FROM $src),
+        ${lvls.mkString(",\n        ")},
+        pac AS (
+          $unpivot)
+        SELECT a.lag, a.r_um, p.pacf_um
+        FROM $src a JOIN pac p ON a.lag = p.lag
+        ORDER BY a.lag"""
+  }
+
   val all: Seq[Reg] = Seq(
 
     Reg("candles_1h",
@@ -3285,6 +3324,87 @@ object TsQueries {
                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                     * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS r_um
         FROM a ORDER BY lag
+      """)),
+
+    // ---- ACF/PACF multi-lag with Durbin-Levinson (round-11) -------------
+    // The Box-Jenkins model-identification pair beside autocorr_lag1
+    // (single lag) and cross_correlation_lags (two series): ACF r₁..r₆ of
+    // the hourly total-event-count series on the dense 0-filled spine,
+    // then PACF φ_kk via the Durbin-Levinson recursion on those r's.
+    //
+    // ACF is EXACT INTEGERS end-to-end: with S = Σx, cross-multiplying
+    // the global-mean form by n² gives num_k = n²·Σx_t·x_{t+k}
+    // − n·S·(A_k + B_k) + n_k·S² and den = n·Σx² − S², r_k = num_k/(n·den)
+    // — one final division → micros (num_0 = n·den ⇒ r₀ ≡ 1, the identity
+    // check). Lag alignment is the cross_correlation SHIFTED EQUI-join
+    // (6-row broadcast lag relation, never a theta join).
+    //
+    // PACF is the one genuinely sequential recursion in the stats family:
+    // φ_1,1 = r₁; φ_k,k = (r_k − Σφ_{k−1,j}·r_{k−j})/(1 − Σφ_{k−1,j}·r_j);
+    // φ_k,j = φ_{k−1,j} − φ_k,k·φ_{k−1,k−j}. Six levels are UNROLLED into
+    // chained CTE levels by ONE Scala generator ([[dlPacfSql]]) whose
+    // output text both engines execute verbatim — identical IEEE op trees
+    // over identical micros-quantized inputs (the sign-split-template
+    // discipline from forecast_hw_mae, without the recursive CTE), each
+    // level's denominator zero-sentineled. Spark runs it over a temp view
+    // of the 6-row ACF relation (bounded-domain: everything after the
+    // hourly agg is ≤ 6 rows).
+    Reg("acf_pacf_hourly",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        val cnt = e.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        val spine = cnt.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(explode(expr("sequence(lo, hi)")).as("h"))
+        val x = spine.join(cnt, Seq("h"), "left")
+          .select(col("h"), coalesce(col("c"), lit(0L)).as("x"))
+        val j = x.crossJoin(broadcast(s.range(1, 7).select(col("id").as("lag"))))
+          .withColumn("h2", col("h") + col("lag"))
+          .join(x.select(col("h").as("h2"), col("x").as("y")), "h2")
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("nk"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x")).as("sa"), sum(col("y")).as("sb"))
+        val g = x.agg(count(lit(1)).as("n"), sum(col("x")).as("ss"),
+          sum(col("x") * col("x")).as("sxx"))
+        // the 6-row ACF relation is referenced 8× by the generated DL
+        // query (6 unpivot branches + dl0 + the final join) —
+        // localCheckpoint so the hourly pipeline runs ONCE and every
+        // re-reference reads 6 local rows (kcore/textrank discipline)
+        j.crossJoin(broadcast(g))
+          .select(col("lag"),
+            expr("""CASE WHEN n * sxx - ss * ss = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(CAST(n * n * sxy - n * ss * (sa + sb)
+                           + nk * ss * ss AS DOUBLE)
+                         / (CAST(n AS DOUBLE)
+                            * CAST(n * sxx - ss * ss AS DOUBLE))
+                         * CAST(1000000 AS DOUBLE)) AS BIGINT) END""").as("r_um"))
+          .localCheckpoint()
+          .createOrReplaceTempView("acf_r_v")
+        s.sql(dlPacfSql("acf_r_v"))
+      },
+      Some(s"""
+        WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+        cnt AS (SELECT h, count(*) AS c FROM e GROUP BY 1),
+        mm AS (SELECT min(h) AS lo, max(h) AS hi FROM cnt),
+        spine AS (SELECT unnest(range(lo, hi + 1)) AS h FROM mm),
+        x AS (SELECT s.h, CAST(coalesce(c.c, 0) AS BIGINT) AS x
+              FROM spine s LEFT JOIN cnt c USING (h)),
+        jj AS (SELECT l.lag, x.x, y.x AS y
+               FROM x CROSS JOIN range(1, 7) l(lag)
+               JOIN x y ON y.h = x.h + l.lag),
+        a AS (SELECT lag, count(*) AS nk, CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x) AS BIGINT) AS sa, CAST(sum(y) AS BIGINT) AS sb
+              FROM jj GROUP BY 1),
+        g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS ss,
+                     CAST(sum(x * x) AS BIGINT) AS sxx FROM x),
+        acf_r_v AS (SELECT CAST(lag AS BIGINT) AS lag,
+               CASE WHEN n * sxx - ss * ss = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(round(CAST(n * n * sxy - n * ss * (sa + sb)
+                      + nk * ss * ss AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n * sxx - ss * ss AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS r_um
+               FROM a, g),
+        ${dlPacfSql("acf_r_v").stripPrefix("WITH ")}
       """)),
 
     // ---- sequential pattern support: A-then-B per user (round-10) -------

@@ -63,7 +63,9 @@ class RegistrySpec extends AnyFunSuite {
       // the KS supremum row
       "logrank_test_conversion", "ks_two_sample",
       // one wide funnel row (round-11): cross-modal survivor counts
-      "mm_crossmodal_funnel")
+      "mm_crossmodal_funnel",
+      // one agreement-statistic row (round-11)
+      "cohens_kappa_langid")
     val offenders = noOrder.filterNot(exempt)
     assert(offenders.isEmpty,
       s"oracles without ORDER BY (row order is engine-arbitrary): $offenders")

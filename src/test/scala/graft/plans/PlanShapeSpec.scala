@@ -320,7 +320,15 @@ class PlanShapeSpec extends SparkSpec {
     "mm_phash_fingerprint" -> (1, 0),
     "mm_phash_neardup_pairs" -> (3, 0),
     "mm_frame_dup_stats" -> (3, 0),
-    "mm_crossmodal_funnel" -> (1, 2))
+    "mm_crossmodal_funnel" -> (1, 2),
+    // round-11 depth: dup-groups explains the final cluster agg (CC
+    // rounds + pair derivation paid at construction, the
+    // neardup_dup_groups shape); kappa/acf explain the post-checkpoint
+    // tail over ≤ 25-row / 6-row local relations — their pipelines run
+    // ONCE at construction (the kcore localCheckpoint discipline)
+    "mm_phash_dup_groups" -> (2, 0),
+    "cohens_kappa_langid" -> (4, 1),
+    "acf_pacf_hourly" -> (7, 1))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
