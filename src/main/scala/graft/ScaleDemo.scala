@@ -330,14 +330,31 @@ object ScaleDemo100 {
     def time(tag: String)(f: => Long): Unit = timeN(tag, 3)(f)
 
     val decades = Seq((base, "1x"), (out10, "10x"), (out100, "100x"))
+    // resume support: skip already-recorded rows after a partial run
+    // (comma-separated "query@tag" pairs) — decade ratios only need each
+    // QUERY's readings to come from one run, not the whole table
+    val skip: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
 
-    // the scaled-knob production rows: every decade, knobs ∝ corpus
+    // the scaled-knob production rows: every decade, knobs ∝ corpus.
+    // mm_phash_neardup_pairs deliberately stops at 10×: its 4×8-bit
+    // chunks are the FIXED-KNOB setting, and at 100× (500 k docs into
+    // 256 buckets/chunk) the in-bucket pair expansion materializes
+    // multi-million-struct array values — observed to GC-wedge the
+    // driver into RPC-timeout death, the loudest possible form of the
+    // documented defect. Its 100× readings are the scaled-chunk
+    // production row below + the single-rep defect replay at the END
+    // (so a crash cannot take the other rows with it).
     for ((dir, tag) <- decades;
          q <- Seq("kcore_3", "jaccard_bigram_pairs", "semdedup_keep",
            "hits_hubs_authorities", "pagerank_3iter",
-           "mm_phash_neardup_pairs", "mm_frame_dup_stats",
-           "mm_crossmodal_funnel"))
+           "mm_frame_dup_stats", "mm_crossmodal_funnel")
+         if !skip(s"$q@$tag"))
       time(s"$q @ $tag")(SparkEntry.queries(q)(spark, dir).count())
+    for ((dir, tag) <- Seq((base, "1x"), (out10, "10x"))
+         if !skip(s"mm_phash_neardup_pairs@$tag"))
+      time(s"mm_phash_neardup_pairs @ $tag")(
+        SparkEntry.queries("mm_phash_neardup_pairs")(spark, dir).count())
     // LSH with planes scaled ~log₂(rows): 4 → 8 → 11 holds per-bucket
     // occupancy ≈ constant across both decades
     for (((dir, tag), planes) <- decades.zip(Seq(4, 8, 11)))
@@ -367,6 +384,9 @@ object ScaleDemo100 {
         cent = graft.vec.VecOps.lloydStep(emb, cent, snap = true)
       graft.vec.VecOps.semDedupKeep(emb, cent, tau = 0.45).count()
     })
+    // the defect replay LAST, single rep: 4×8-bit chunks at 500 k docs.
+    // Expected outcome is a GC-wedged driver or a reading two decades
+    // above the scaled-chunk row — either IS the recorded contrast.
     timeN("CONTRAST phash chunks=4x8 hd<=3 @ 100x", 1)(
       graft.mm.MultiModal.hammingPairs(
         graft.mm.MultiModal.phash32(Tables(spark, out100).documents

@@ -133,10 +133,12 @@ object MmQueries {
 
     // ---- phash dup groups + keep-list (pairs → clusters → survivor) -----
     // The full dedup ladder applied to the payload modality: Hamming
-    // pairs → connected components (TextOps.connectedComponents — the
-    // same iterative min-label propagation the text MinHash clusters
-    // use) → min-doc_id survivor per cluster. Oracle replays brute
-    // ground-truth pairs + a recursive-CTE closure (the
+    // pairs → connected components (TextOps.connectedComponents with
+    // jump = true: a Hamming relation CHAINS A–B–C into long paths, so
+    // component diameter grows with the corpus — pointer jumping keeps
+    // convergence O(log d); the plain O(d) mode blew the 30-round guard
+    // at the 10× demo) → min-doc_id survivor per cluster. Oracle replays
+    // brute ground-truth pairs + a recursive-CTE closure (the
     // neardup_dup_groups discipline, fingerprint swapped).
     Reg("mm_phash_dup_groups",
       (s, dir) => {
@@ -145,7 +147,7 @@ object MmQueries {
               .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
             chunks = 4, bitsPerChunk = 8, maxHd = 3)
           .select(col("doc_a"), col("doc_b"))
-        graft.text.TextOps.connectedComponents(pairs)
+        graft.text.TextOps.connectedComponents(pairs, jump = true)
           .groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("n_docs"), min(col("node")).as("keep_id"))
           .orderBy("cluster_id")

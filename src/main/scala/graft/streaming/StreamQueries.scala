@@ -1442,6 +1442,48 @@ object StreamQueries {
         graft.sources.Fixtures.md5Hex(dir)),
       Some(graft.vec.VecQueries.semdedupKeepOracle)),
 
+    // ---- streaming perceptual-hash near-dup screening (round-11) --------
+    // The multimodal pillar's incremental twin (the semdedup/SymSpell
+    // pattern applied to payload fingerprints): documents arrive in 3
+    // micro-batches; each batch's phash32 fingerprints are banded against
+    // the ALL-SO-FAR store via the 4×8-bit chunk equi-join (Σ bucket² per
+    // batch, never batch × corpus), hd ≤ 3 pairs recorded as
+    // (greatest, least). Every unordered pair has a later-arriving member
+    // ⇒ the incremental screen finds each pair EXACTLY once, and because
+    // the stream files are doc_id-range-partitioned, first-arrival-wins
+    // ≡ keep-min-id — which is what the batch oracle replays (dup_of =
+    // smallest lower-id Hamming neighbor, kept = no such neighbor).
+    Reg("streaming_phash_neardup",
+      (s, dir) => phashIncrementalRun(s, dir,
+        graft.sources.Fixtures.ensureDocStreamFiles(s, dir, n = 3),
+        graft.sources.Fixtures.md5Hex(dir)),
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, length(text) AS len,
+                          list_sum(list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS total
+                   FROM documents WHERE length(text) >= 32),
+        e AS (SELECT doc_id, k, total,
+                     list_sum(list_transform(
+                       range((k * len) // 32 + 1, ((k + 1) * len) // 32 + 1),
+                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS energy
+              FROM (SELECT *, unnest(range(0, 32)) AS k FROM d)),
+        f AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN energy * 32 > total
+                                   THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ph
+              FROM e GROUP BY 1),
+        pr AS (SELECT a.doc_id AS lo, b.doc_id AS hi
+               FROM f a JOIN f b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+        dup AS (SELECT hi AS doc_id, CAST(min(lo) AS BIGINT) AS dup_of
+                FROM pr GROUP BY 1)
+        SELECT f.doc_id, f.ph AS phash,
+               CASE WHEN dup.dup_of IS NULL THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS kept,
+               dup.dup_of
+        FROM f LEFT JOIN dup USING (doc_id)
+        ORDER BY f.doc_id
+      """)),
+
     // ---- streaming HLL register maintenance (round-9) -------------------
     // streaming_cms_users' max-merge sibling: a CMS folds by SUM, an HLL
     // register file folds by MAX — together they cover both mergeable-
@@ -1654,6 +1696,64 @@ object StreamQueries {
     * assert the result still equals the batch [[graft.vec.VecOps
     * .semDedupKeep]] — the order-independence proof for the pair-coverage
     * argument above. */
+  /** Incremental phash near-dup drain (see streaming_phash_neardup's
+    * registration comment for semantics). Per micro-batch: fingerprint,
+    * append to the store, chunk-band the batch against all-so-far, record
+    * hd ≤ 3 pairs as (greatest, least); read-out joins the store with the
+    * min dup candidate per doc. Store/pairs/ckpt keyed on the sf dir and
+    * wiped per invocation (the file-sink scratch invariant). */
+  private[graft] def phashIncrementalRun(s: SparkSession, dir: String,
+      srcDir: String, tag: String): DataFrame = {
+    val store = s"/dev/shm/graft-phash/store_$tag"
+    val pairsOut = s"/dev/shm/graft-phash/pairs_$tag"
+    val ckpt = s"/dev/shm/graft-ckpt/phash_$tag"
+    rmrf(new java.io.File(store)); rmrf(new java.io.File(pairsOut))
+    rmrf(new java.io.File(ckpt))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val fp = graft.mm.MultiModal.phash32(batch.select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload")))
+          fp.coalesce(1).write.mode("append").parquet(store)
+          val all = sp.read.parquet(store)
+          def chunked(df: DataFrame, idc: String, phc: String) =
+            df.select(col("doc_id").as(idc), col("phash").as(phc),
+              posexplode(expr(
+                s"transform(sequence(0, 3), c -> shiftright(phash, c * 8) & 255)"))
+                .as(Seq("c", "ck")))
+          val pairs = chunked(fp, "nid", "nph")
+            .join(chunked(all, "oid", "oph"), Seq("c", "ck"))
+            .filter(col("nid") =!= col("oid"))
+            .filter(expr("bit_count(nph ^ oph) <= 3"))
+            .select(greatest(col("nid"), col("oid")).as("doc_id"),
+              least(col("nid"), col("oid")).as("dup_cand"))
+            .distinct()
+          pairs.coalesce(1).write.mode("append").parquet(pairsOut)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val st = s.read.parquet(store)
+    val d = s.read.parquet(pairsOut)
+      .groupBy(col("doc_id")).agg(min(col("dup_cand")).as("dup_of"))
+    st.join(d, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+        col("dup_of"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def semdedupIncrementalRun(s: SparkSession, dir: String,
       srcDir: String, tag: String): DataFrame = {
     graft.functions.DotF32.register(s)

@@ -191,9 +191,19 @@ object TextOps {
     * result downstream if it must outlive that. Same labels either way —
     * ConnectedComponentsSpec runs both modes against the union-find
     * reference. Returns (node, label), label = min doc_id of component. */
+  /** `jump = true` adds POINTER JUMPING (shortcutting) to each round:
+    * after the neighbor-min step, every node also adopts the label OF
+    * its label (one equi-join against the previous round's map — label
+    * values are always same-component node ids, so the jump is safe).
+    * Reach roughly doubles per round → O(log diameter) convergence,
+    * which is what CHAINED near-dup graphs need: a Hamming-distance
+    * relation links A–B–C into paths whose diameter grows with the
+    * corpus (observed: the 10× phash graph exceeded 30 plain rounds),
+    * unlike the short-diameter Jaccard balls the default serves. */
   def connectedComponents(pairs: DataFrame, a: String = "doc_a",
                           b: String = "doc_b", maxRounds: Int = 30,
-                          reliable: Boolean = false): DataFrame = {
+                          reliable: Boolean = false,
+                          jump: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     val runDir: Option[String] = if (reliable) {
       val base = spark.conf.getOption("graft.cc.checkpointDir")
@@ -226,10 +236,19 @@ object TextOps {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("nlabel")).as("nl"))
-      val updated = ckpt(labels.join(nbrMin, Seq("node"), "left")
+      val base = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("next")),
-        s"labels-${round + 1}")
+          least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
+      // shortcut through the PREVIOUS round's map (stale jumping — no
+      // second materialization of this round's labels needed; labels
+      // only shrink, so a stale jump target is still same-component)
+      val stepped = if (!jump) base
+        else base
+          .join(labels.select(col("node").as("next"), col("label").as("jl")),
+            Seq("next"), "left")
+          .select(col("node"), col("label"),
+            least(col("next"), coalesce(col("jl"), col("next"))).as("next"))
+      val updated = ckpt(stepped, s"labels-${round + 1}")
       drop(s"labels-$round") // round N written+read from its own files now
       changed = updated.filter(col("next") < col("label")).count()
       labels = updated.select(col("node"), col("next").as("label"))

@@ -65,6 +65,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("jump mode equals union-find on random graphs") {
+    samples(edgesGen, 10).filter(_.nonEmpty).foreach { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val got = TextOps.connectedComponents(df, maxRounds = 100, jump = true)
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(edges), s"jump-CC diverged on ${edges.take(8)}…")
+    }
+  }
+
+  test("jump mode converges on a diameter-200 chain within O(log d) rounds") {
+    // plain propagation needs ~200 rounds here; pointer jumping must fit
+    // comfortably inside 30 (observed need: ~10) — this is the shape the
+    // 10× phash Hamming graph produced, which blew the plain-mode guard
+    val chain = (0L until 200L).sliding(2).collect {
+      case Seq(a, b) => (a, b) }.toList
+    val got = TextOps.connectedComponents(chain.toDF("doc_a", "doc_b"),
+      maxRounds = 30, jump = true).as[(Long, Long)].collect().toMap
+    assert(got == unionFind(chain))
+  }
+
   test("reliable-checkpoint mode yields identical labels and bounded snapshots") {
     // the executor-loss-safe path (per-round parquet snapshots under
     // graft.cc.checkpointDir) must be semantically invisible — same
