@@ -279,6 +279,22 @@ object ScaleDemo {
            "seasonal_decompose_hourly", "word_burstiness",
            "seq_pattern_support", "forecast_hw_mae", "psi_value_drift"))
       time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
+    // round-11 operators: the correlation trio's new members (day-grain
+    // aggs linear; spearman's rank windows walk the calendar spine; the
+    // kendall row OBSERVES the documented O(d²)-in-DAYS cost — the
+    // +31-days-per-copy shard model grows the calendar ~11×, so day
+    // pairs grow ~128×; Knight's O(d log d) inversion form is the
+    // scaladoc'd escalation); KN perplexity (count tables grow with the
+    // suffix-grown vocab — the lm_perplexity worst-case shape, which is
+    // why the model join is NOT hint-broadcast); weighted Jaccard (the
+    // jaccard blocked machinery on unigrams — disjoint per-copy vocab
+    // keeps pairs within copies, linear); Adamic-Adar (10 disjoint
+    // subgraphs; middle fan-out bounded at deg² ≤ 64² per z).
+    for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
+         q <- Seq("spearman_corr_types", "kendall_tau_types",
+           "kn_perplexity_score", "weighted_jaccard_pairs",
+           "adamic_adar_links"))
+      time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
     spark.stop()
   }
 }

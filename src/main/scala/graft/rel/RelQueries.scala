@@ -3276,6 +3276,77 @@ object RelQueries {
         SELECT e.src AS part, count(*) AS deg, max(kk.k) AS k
         FROM e3 e, kk
         GROUP BY e.src HAVING count(*) >= max(kk.k) ORDER BY part
+      """)),
+
+    // ---- Adamic-Adar link prediction (round-11) ---------------------------
+    // The LINK-PREDICTION member of the graph family: for part pairs NOT
+    // yet co-purchased, score how likely the link is by their common
+    // neighbors, each weighted inversely by its own connectivity —
+    //   AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z)
+    // (Adamic & Adar 2003, public) — a shared niche part is strong
+    // evidence, a shared hub is weak. Edges are the copurchase_cosine
+    // support-≥2 graph (basket-bounded self-join, Σ basket² linear).
+    // Candidate pairs materialize by joining the neighbor relation to
+    // itself ON THE MIDDLE NODE z, so cost is Σ_z deg(z)² — bounded by a
+    // degree ceiling of 64 on z (the JaccardDfCeiling discipline: hubs
+    // are dropped as middles — they carry ~1/ln(deg) ≈ 0 weight anyway,
+    // which is the metric's own point). deg ≥ 2 guards ln(1) = 0 (a
+    // degree-1 middle can't produce a pair regardless). Per-z weight is
+    // rounded to micros BEFORE the pair sum, so the aggregate is an
+    // integer sum (the float-sum rule); existing edges are anti-joined
+    // out (prediction targets only). Top-50 TakeOrderedAndProject.
+    Reg("adamic_adar_links",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        // edge relation consumed THREE times (both union arms + the
+        // anti-join) and the z-keyed relation TWICE (the p/q self-join) —
+        // localCheckpoint each so the basket self-join runs once, not six
+        // times (the kcore/kappa bounded-artifact discipline)
+        val e = li.as("a").join(li.as("b"), "l_orderkey")
+          .filter(col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2L)
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        val nb = e.select(col("u").as("x"), col("v").as("z"))
+          .union(e.select(col("v").as("x"), col("u").as("z")))
+        val deg = nb.groupBy(col("z")).agg(count(lit(1)).as("degz"))
+          .filter(col("degz") >= 2L && col("degz") <= 64L)
+          .withColumn("w_um", expr(
+            "CAST(round(CAST(1000000 AS DOUBLE) / ln(CAST(degz AS DOUBLE))) AS BIGINT)"))
+        val zok = nb.join(deg, "z").localCheckpoint()
+        zok.as("p").join(zok.as("q"),
+            col("p.z") === col("q.z") && col("p.x") < col("q.x"))
+          .groupBy(col("p.x").as("pa"), col("q.x").as("pb"))
+          .agg(count(lit(1)).as("n_common"), sum(col("p.w_um")).as("aa_um"))
+          .join(e.select(col("u").as("pa"), col("v").as("pb")),
+            Seq("pa", "pb"), "left_anti")
+          .orderBy(col("aa_um").desc, col("pa"), col("pb"))
+          .limit(50)
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+        nb AS (SELECT u AS x, v AS z FROM e UNION ALL SELECT v AS x, u AS z FROM e),
+        deg AS (SELECT z, count(*) AS degz,
+                       CAST(round(CAST(1000000 AS DOUBLE)
+                         / ln(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_um
+                FROM nb GROUP BY 1
+                HAVING count(*) >= 2 AND count(*) <= 64),
+        pr AS (SELECT p.x AS pa, q.x AS pb, count(*) AS n_common,
+                      CAST(sum(d.w_um) AS BIGINT) AS aa_um
+               FROM nb p JOIN nb q ON p.z = q.z AND p.x < q.x
+                         JOIN deg d ON d.z = p.z
+               GROUP BY 1, 2)
+        SELECT pa, pb, CAST(n_common AS BIGINT) AS n_common, aa_um
+        FROM pr
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = pr.pa AND e.v = pr.pb)
+        ORDER BY aa_um DESC, pa, pb LIMIT 50
       """))
   )
 }

@@ -1606,6 +1606,51 @@ object TextQueries {
         ORDER BY cnt DESC, tok
       """)),
 
+    // ---- Misra-Gries heavy hitters, exactly verified (round-11) ---------
+    // The SKETCH path for the query above — heavy_hitter_tokens' exact
+    // first pass hash-aggregates the FULL token domain (a 1B-type
+    // vocabulary is a 1B-key shuffle); here pass 1 is a Misra-Gries
+    // summary ([[graft.functions.MisraGriesAggregator]], ≤ 2000 counters
+    // per map partition moved, not the vocabulary) and pass 2 recounts
+    // ONLY the semi-joined candidates. The MG summary contents are
+    // merge-order-dependent — which is why this was long assumed
+    // spec-only — but its guarantee (any token with count > n/(k+1)
+    // survives, under ANY merge order) means candidates ⊇ all tokens
+    // over the n/1000 output threshold (k = 2000 ⇒ n/2001 < n/1000),
+    // and the exact recount + threshold makes the OUTPUT deterministic:
+    // graded by the SAME exact SQL as the two-pass twin (the
+    // shared-oracle pattern). MisraGriesSpec proves the bound survives
+    // random partitionings; the fixture's 31-word vocabulary never
+    // overflows 2000 counters, so the spec's small-k property tests are
+    // where the eviction machinery is actually exercised.
+    Reg("heavy_hitters_mg_verified",
+      (s, dir) => {
+        val mg = udaf(new graft.functions.MisraGriesAggregator(2000),
+          org.apache.spark.sql.Encoders.STRING)
+        val toks = Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        val cand = toks.agg(mg(col("tok")).as("summary"))
+          .select(explode(map_keys(col("summary"))).as("tok"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        toks.join(broadcast(cand), "tok")
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * 1000 > col("n_total"))
+          .select(col("tok"), col("cnt"),
+            expr("cnt * 10000 div n_total").as("permyriad"))
+          .orderBy(col("cnt").desc, col("tok"))
+      },
+      Some("""
+        WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+                     FROM documents),
+        c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+        SELECT tok, cnt, CAST(cnt * 10000 // n_total AS BIGINT) AS permyriad
+        FROM c, t
+        WHERE cnt * 1000 > n_total
+        ORDER BY cnt DESC, tok
+      """)),
+
     // ---- vocabulary richness per source: type-token ratio ---------------
     // Corpus-quality dashboard stat: distinct token types vs total tokens
     // per source. countDistinct is an exact two-phase agg (partial sets
@@ -2893,6 +2938,166 @@ object TextQueries {
         SELECT CAST(row_number() OVER (ORDER BY score DESC, node) AS BIGINT) AS rank,
                node AS word, score
         FROM i3 ORDER BY rank
+      """)),
+
+    // ---- Kneser-Ney bigram perplexity (round-11) --------------------------
+    // The smoothing rung ABOVE lm_perplexity_score's add-one model: CCNet's
+    // actual quality filter is a Kneser-Ney LM, whose two ideas are (a)
+    // absolute discounting (subtract a fixed d from every seen bigram
+    // count, redistribute the freed mass) and (b) a CONTINUATION backoff —
+    // a word's backoff weight is how many distinct contexts it follows,
+    // not how often it occurs ("San Francisco" makes "Francisco" frequent
+    // but not free-standing). With d = 3/4 (exact rational):
+    //   P(w2|w1) = (c2 − d)/c1 + d·N1⁺(w1,·)/c1 · N1⁺(·,w2)/N1⁺(··)
+    // put over the common denominator 4·c1·N1⁺(··):
+    //   P = [(4·c2 − 3)·N1⁺(··) + 3·N1⁺(w1,·)·N1⁺(·,w2)] / [4·c1·N1⁺(··)]
+    // — numerator and denominator are EXACT int64 (exact doubles while
+    // counts stay < 2^53; at larger corpora promote to DECIMAL), so the
+    // quotient is the identical IEEE double both engines, ln'd and rounded
+    // to micros per TERM, then integer-summed per doc (the float-sum
+    // rule). All four count relations are one groupBy chain off the bigram
+    // explode; the score join is the same (w1,w2)-keyed shuffle as the
+    // add-one twin — AQE broadcasts when the model table is actually small.
+    Reg("kn_perplexity_score",
+      (s, dir) => {
+        val bi = Tables(s, dir).documents
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 1)," +
+              " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy(col("w1"))
+          .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1fw"))
+        val bw = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+        val tot = c2.agg(count(lit(1)).as("n1tot"))
+        val scored = c2.join(c1, "w1").join(bw, "w2")
+          .crossJoin(broadcast(tot))
+          .withColumn("nll_um", expr(
+            "CAST(round(-ln(CAST((4 * c2 - 3) * n1tot + 3 * n1fw * n1bw AS DOUBLE)" +
+              " / CAST(4 * c1 * n1tot AS DOUBLE))" +
+              " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+          .select(col("w1"), col("w2"), col("nll_um"))
+        bi.join(scored, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_um")).as("nll_sum_um"),
+            expr("sum(nll_um) div count(*)").as("avg_nll_um"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                        i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+               FROM t),
+        bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+                      CAST(count(*) AS BIGINT) AS n1fw
+               FROM c2 GROUP BY 1),
+        bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c2 GROUP BY 1),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS n1tot FROM c2),
+        sc AS (SELECT c2.w1, c2.w2,
+                      CAST(round(-ln(
+                        CAST((4 * c2.c2 - 3) * tt.n1tot
+                             + 3 * c1.n1fw * bw.n1bw AS DOUBLE)
+                        / CAST(4 * c1.c1 * tt.n1tot AS DOUBLE))
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS nll_um
+               FROM c2 JOIN c1 USING (w1) JOIN bw USING (w2), tt)
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               CAST(sum(sc.nll_um) AS BIGINT) AS nll_sum_um,
+               CAST(sum(sc.nll_um) // count(*) AS BIGINT) AS avg_nll_um
+        FROM bg JOIN sc ON bg.w1 = sc.w1 AND bg.w2 = sc.w2
+        GROUP BY 1 ORDER BY doc_id
+      """)),
+
+    // ---- IDF-weighted Jaccard near-dup pairs (round-11) -------------------
+    // The SOFT-Jaccard rung of the dedup ladder: plain Jaccard counts a
+    // shared stopword and a shared rare term equally, so boilerplate-heavy
+    // docs false-positive. Weighted Jaccard over DISTINCT tokens,
+    //   WJ(A,B) = Σ_{t∈A∩B} idf(t) / Σ_{t∈A∪B} idf(t)
+    // (binary weights × idf — the min/max form degenerates to this on
+    // sets), downweights ubiquitous tokens to ~0 and lets discriminative
+    // vocabulary drive the score. idf is block-relative,
+    //   idf_um(t) = round(ln(|block docs| / df(t)) · 10⁶)
+    // an exact-int quotient → one ln → immediate micros rounding, so every
+    // downstream sum is INTEGER (the float-sum rule); the union weight is
+    // inclusion-exclusion (wa + wb − inter), and the ≥ 0.3 threshold is
+    // integer cross-multiplication with a uni_w > 0 guard (all-boilerplate
+    // pairs would otherwise emit 0/0 — the ADVICE sentinel discipline).
+    // Candidate generation reuses jaccard_bigram_pairs' machinery on
+    // UNIGRAMS: (lang, source) blocking + df ∈ [2, ceiling] band-pass on
+    // the join key — fan-out per (block, token) key ≤ C², linear at 100×.
+    Reg("weighted_jaccard_pairs",
+      (s, dir) => {
+        val tok = Tables(s, dir).documents
+          .select(col("lang"), col("source"), col("doc_id"),
+            explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+        val blocks = Tables(s, dir).documents
+          .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
+        val withDf = tok
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang"), col("source"), col("w"))))
+          .filter(col("df") <= JaccardDfCeiling)
+          .join(broadcast(blocks), Seq("lang", "source"))
+          .withColumn("idf_um", expr(
+            "CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))" +
+              " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+        val sums = withDf.groupBy(col("doc_id")).agg(sum(col("idf_um")).as("w_total"))
+        val shj = withDf.filter(col("df") >= 2)
+          .select(col("lang"), col("source"), col("w"), col("doc_id"), col("idf_um"))
+        val a = shj.select(col("lang"), col("source"), col("w"),
+          col("doc_id").as("a_id"), col("idf_um"))
+        val b = shj.select(col("lang"), col("source"), col("w"),
+          col("doc_id").as("b_id"))
+        a.join(b, Seq("lang", "source", "w"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("n_common"), sum(col("idf_um")).as("inter_w"))
+          .join(sums.select(col("doc_id").as("a_id"), col("w_total").as("wa")), "a_id")
+          .join(sums.select(col("doc_id").as("b_id"), col("w_total").as("wb")), "b_id")
+          .withColumn("uni_w", col("wa") + col("wb") - col("inter_w"))
+          .filter(col("uni_w") > 0L && col("inter_w") * 10 >= col("uni_w") * 3)
+          .select(col("a_id"), col("b_id"), col("n_common"),
+            col("inter_w"), col("uni_w"),
+            expr("""CAST(round(CAST(inter_w AS DOUBLE) / CAST(uni_w AS DOUBLE)
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("wj_um"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, source,
+                          list_distinct(string_split(trim(text), ' ')) AS ws
+                   FROM documents),
+        g0 AS (SELECT doc_id, lang, source, unnest(ws) AS w FROM t),
+        df AS (SELECT lang, source, w, count(*) AS df FROM g0 GROUP BY 1, 2, 3),
+        nb AS (SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+        g AS (SELECT g0.doc_id, g0.lang, g0.source, g0.w, df.df,
+                     CAST(round(ln(CAST(nb.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                       * CAST(1000000 AS DOUBLE)) AS BIGINT) AS idf_um
+              FROM g0 JOIN df USING (lang, source, w)
+                      JOIN nb USING (lang, source)
+              WHERE df.df <= $JaccardDfCeiling),
+        sums AS (SELECT doc_id, CAST(sum(idf_um) AS BIGINT) AS w_total
+                 FROM g GROUP BY 1),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     count(*) AS n_common, CAST(sum(a.idf_um) AS BIGINT) AS inter_w
+              FROM g a JOIN g b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.w = b.w AND a.doc_id < b.doc_id
+              WHERE a.df >= 2 AND b.df >= 2
+              GROUP BY 1, 2)
+        SELECT a_id, b_id, CAST(n_common AS BIGINT) AS n_common, inter_w,
+               CAST(sa.w_total + sb.w_total - inter_w AS BIGINT) AS uni_w,
+               CAST(round(CAST(inter_w AS DOUBLE)
+                 / CAST(sa.w_total + sb.w_total - inter_w AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS wj_um
+        FROM p JOIN sums sa ON sa.doc_id = a_id
+               JOIN sums sb ON sb.doc_id = b_id
+        WHERE sa.w_total + sb.w_total - inter_w > 0
+          AND inter_w * 10 >= (sa.w_total + sb.w_total - inter_w) * 3
+        ORDER BY a_id, b_id
       """))
   )
 }

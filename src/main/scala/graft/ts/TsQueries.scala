@@ -4461,6 +4461,155 @@ object TsQueries {
         SELECT CAST(nn.n AS INT) AS n_a, CAST(nn.m AS INT) AS n_b,
                dp.cost AS dtw_cost
         FROM dp, nn WHERE dp.i = nn.n AND dp.j = nn.m AND dp.age = 0
+      """)),
+
+    // ---- Spearman rank correlation matrix (round-11) ---------------------
+    // The ROBUST sibling of pearson_corr_types: monotone association over
+    // the five types' daily-mean series, immune to the outlier days that
+    // drag Pearson around. Spearman ρ = Pearson applied to ranks; ties use
+    // AVERAGE ranks, kept exact by working in DOUBLED ranks
+    //   rk2 = 2·RANK() + |ties| − 1   (an integer: 2·avg_rank)
+    // — Pearson is affine-invariant so the ×2 cancels; the sufficient
+    // statistics stay exact int64 sums and the final r is the same
+    // identical-double tree as pearson_corr_types (zero-variance → 0
+    // sentinel). Shapes: day-grain agg, two thin per-type windows (rank +
+    // tie count — |days| rows per type), day-keyed pair join, one pair
+    // agg. The windows partition by type: bounded parallelism at 5 types
+    // here, but each partition is only the calendar spine (the
+    // user_growth_daily discipline — shard by period at extreme history).
+    Reg("spearman_corr_types",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables(s, dir).events
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)")
+            .as("mean_c"))
+        val ranked = daily.withColumn("rk2",
+          lit(2L) * rank().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("mean_c"))).cast("long")
+            + count(lit(1)).over(Window.partitionBy(col("event_type"),
+              col("mean_c"))) - 1L)
+        val j = ranked.as("a").join(ranked.as("b"),
+          col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+            col("a.rk2").as("x"), col("b.rk2").as("y"))
+        j.groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("ta"), col("tb"), col("n").as("n_days"),
+            expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END""").as("rho_um"))
+          .orderBy("ta", "tb")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                                // count(*) AS mean_c
+                       FROM events GROUP BY 1, 2),
+        rk AS (SELECT event_type, day,
+                      2 * CAST(rank() OVER (PARTITION BY event_type
+                            ORDER BY mean_c) AS BIGINT)
+                        + count(*) OVER (PARTITION BY event_type, mean_c)
+                        - 1 AS rk2
+               FROM daily),
+        p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                     a.rk2 AS x, b.rk2 AS y
+              FROM rk a JOIN rk b
+                ON a.day = b.day AND a.event_type < b.event_type),
+        st AS (SELECT ta, tb, count(*) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM p GROUP BY 1, 2)
+        SELECT ta, tb, n AS n_days,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+               THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS rho_um
+        FROM st ORDER BY ta, tb
+      """)),
+
+    // ---- Kendall tau-b concordance matrix (round-11) ---------------------
+    // Completes the correlation trio (Pearson → linear, Spearman →
+    // monotone-by-rank, Kendall → pairwise concordance): over each type
+    // pair's day-aligned series, count concordant / discordant /
+    // x-tied / y-tied DAY PAIRS and emit
+    //   τ_b = (nc − nd) / √((n0 − n_xtied)(n0 − n_ytied))
+    // Everything before the final sqrt is exact integer counting (the
+    // products dx·dy compare against 0, never accumulate), so the only
+    // float is one sqrt-of-int-product — the Wilson discipline. Either
+    // side all-tied → 0 sentinel. Shape note: the exact τ is O(d²) DAY
+    // PAIRS by definition — bounded here by the calendar (30 days → 435
+    // pairs × 10 type pairs), the user_growth_daily discipline; at
+    // extreme history lengths shard the window or switch to Knight's
+    // O(d log d) inversion-count formulation (a sort + merge cascade).
+    Reg("kendall_tau_types",
+      (s, dir) => {
+        val daily = Tables(s, dir).events
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)")
+            .as("mean_c"))
+        val series = daily.as("a").join(daily.as("b"),
+          col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+            col("a.day").as("day"), col("a.mean_c").as("x"),
+            col("b.mean_c").as("y"))
+        val pairs = series.as("p").join(series.as("q"),
+          col("p.ta") === col("q.ta") && col("p.tb") === col("q.tb") &&
+            col("p.day") < col("q.day"))
+          .select(col("p.ta").as("ta"), col("p.tb").as("tb"),
+            (col("p.x") - col("q.x")).as("dx"),
+            (col("p.y") - col("q.y")).as("dy"))
+        pairs.groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("n0"),
+            sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+            sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+            sum(when(col("dx") === 0L, 1L).otherwise(0L)).as("tx"),
+            sum(when(col("dy") === 0L, 1L).otherwise(0L)).as("ty"))
+          .select(col("ta"), col("tb"), col("n0"), col("nc"), col("nd"),
+            expr("""CASE WHEN n0 - tx > 0 AND n0 - ty > 0
+                    THEN CAST(round(CAST(nc - nd AS DOUBLE)
+                      / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END""").as("tau_um"))
+          .orderBy("ta", "tb")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                                // count(*) AS mean_c
+                       FROM events GROUP BY 1, 2),
+        se AS (SELECT a.event_type AS ta, b.event_type AS tb, a.day AS day,
+                      a.mean_c AS x, b.mean_c AS y
+               FROM daily a JOIN daily b
+                 ON a.day = b.day AND a.event_type < b.event_type),
+        dp AS (SELECT p.ta, p.tb, p.x - q.x AS dx, p.y - q.y AS dy
+               FROM se p JOIN se q
+                 ON p.ta = q.ta AND p.tb = q.tb AND p.day < q.day),
+        ag AS (SELECT ta, tb, count(*) AS n0,
+                      CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                      CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+                      CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                      CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+               FROM dp GROUP BY 1, 2)
+        SELECT ta, tb, n0, nc, nd,
+               CASE WHEN n0 - tx > 0 AND n0 - ty > 0
+               THEN CAST(round(CAST(nc - nd AS DOUBLE)
+                 / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS tau_um
+        FROM ag ORDER BY ta, tb
       """))
   )
 }

@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+
+import scala.util.Random
+
+/** Proves the Misra-Gries contract the graded query
+  * `heavy_hitters_mg_verified` rests on — DIRECTLY on the Aggregator's
+  * reduce/merge (plain Scala, no Spark job), because the property must
+  * hold under ANY partitioning and merge order, which a single Spark run
+  * cannot sweep. The fixture vocabulary (31 words) never overflows the
+  * graded query's 2000 counters, so THESE small-k tests are where the
+  * eviction and merge-reduction machinery is actually exercised.
+  */
+class MisraGriesSpec extends SparkSpec {
+
+  /** Run the stream through `parts` random partitions, reduce each, then
+    * merge the partials in a shuffled order — the distributed execution
+    * shape with adversarial ordering. */
+  private def summarize(stream: Seq[String], k: Int, parts: Int,
+                        rnd: Random): Map[String, Long] = {
+    val agg = new MisraGriesAggregator(k)
+    val partials = rnd.shuffle(stream).grouped(
+        math.max(1, stream.size / parts)).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+  }
+
+  private def zipfStream(rnd: Random, n: Int, vocab: Int): Seq[String] =
+    Seq.fill(n) {
+      // crude Zipf: token i with weight ~ 1/(i+1)
+      val u = rnd.nextDouble()
+      val i = math.min(vocab - 1, (math.exp(u * math.log(vocab)) - 1).toInt)
+      s"tok$i"
+    }
+
+  test("error bound and superset guarantee hold under random partition/merge orders") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 20) {
+      val k = 2 + rnd.nextInt(12)
+      val n = 200 + rnd.nextInt(2000)
+      val stream = zipfStream(rnd, n, vocab = 5 + rnd.nextInt(60))
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val summary = summarize(stream, k, parts = 1 + rnd.nextInt(8), rnd)
+      val bound = n.toDouble / (k + 1)
+      assert(summary.size <= k, s"trial $trial: summary exceeded $k counters")
+      for ((t, est) <- summary)
+        assert(est <= truth(t) && truth(t) - est <= bound + 1e-9,
+          s"trial $trial: estimate $est outside [c - n/(k+1), c] for $t (c=${truth(t)}, bound=$bound)")
+      for ((t, c) <- truth if c > bound)
+        assert(summary.contains(t),
+          s"trial $trial: token $t with count $c > n/(k+1)=$bound evicted — the superset guarantee broke")
+    }
+  }
+
+  test("verified-output determinism: candidates + exact recount = exact heavy hitters, any order") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 10) {
+      val n = 1000
+      val stream = zipfStream(rnd, n, vocab = 40)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // output threshold n/10 with k = 20 counters (n/21 < n/10 — the
+      // same margin relation the graded query uses at 2000 vs 1000)
+      val exact = truth.filter(_._2 * 10 > n)
+      val out1 = summarize(stream, 20, 3, rnd).keySet
+        .map(t => t -> truth(t)).filter(_._2 * 10 > n).toMap
+      val out2 = summarize(stream, 20, 7, rnd).keySet
+        .map(t => t -> truth(t)).filter(_._2 * 10 > n).toMap
+      assert(out1 == exact && out2 == exact,
+        s"trial $trial: verified output diverged from exact under different partitionings")
+    }
+  }
+}

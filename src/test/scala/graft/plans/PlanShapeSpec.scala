@@ -328,7 +328,22 @@ class PlanShapeSpec extends SparkSpec {
     // ONCE at construction (the kcore localCheckpoint discipline)
     "mm_phash_dup_groups" -> (2, 0),
     "cohens_kappa_langid" -> (4, 1),
-    "acf_pacf_hourly" -> (7, 1))
+    "acf_pacf_hourly" -> (7, 1),
+    // round-11: rank windows (2 thin per-type) + day-keyed pair join + agg
+    "spearman_corr_types" -> (5, 1),
+    // round-11: day agg + series equi-join + day-pair join + pair agg
+    "kendall_tau_types" -> (7, 2),
+    // round-11: bigram explode → count chain; model join back on (w1,w2)
+    "kn_perplexity_score" -> (9, 4),
+    // round-11: jaccard blocked machinery on unigrams + idf broadcast;
+    // same 4-consumer replay as its jaccard_bigram_pairs sibling
+    "weighted_jaccard_pairs" -> (12, 7),
+    // round-11: post-checkpoint tail (edge build + z-relation each
+    // localCheckpointed — pair self-join + anti-join + top-k only)
+    "adamic_adar_links" -> (4, 0),
+    // round-11: MG summary agg (partial/final) + candidate broadcast +
+    // recount agg + scalar total broadcast + output sort
+    "heavy_hitters_mg_verified" -> (4, 2))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
