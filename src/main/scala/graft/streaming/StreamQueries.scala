@@ -571,6 +571,56 @@ object StreamQueries {
         ORDER BY event_type, par, pick
       """)),
 
+    // ---- streaming Misra-Gries heavy hitters, exactly verified (r11) ----
+    // The trending-tokens monitoring primitive, and the FOURTH mergeable-
+    // sketch-as-state member (CMS folds by sum, HLL by max, histogram by
+    // sum, MG by the counter-wise-sum + (k+1)-th-largest reduction):
+    // documents arrive in 3 real micro-batches and the global streaming
+    // aggregation state is one [[graft.functions.MisraGriesAggregator]]
+    // map — ≤ 2000 counters for an unbounded token stream, merged across
+    // micro-batches exactly as its map-side partials merge in batch
+    // (Agarwal et al.'s mergeability is what makes the incremental form
+    // correct). The drained summary is merge-order-dependent, so — the
+    // batch twin's verification pattern — it is used only as a CANDIDATE
+    // set: the exact recount joins candidates against the batch corpus
+    // and re-applies the n/1000 threshold, making the OUTPUT exact and
+    // graded by the SAME two-pass SQL as heavy_hitter_tokens.
+    Reg("streaming_heavy_hitters_mg",
+      (s, dir) => {
+        val mg = udaf(new graft.functions.MisraGriesAggregator(2000),
+          org.apache.spark.sql.Encoders.STRING)
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val srcDir = graft.sources.Fixtures.ensureDocStreamFiles(s, dir, n = 3)
+        val stream = s.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+        val summary = drainComplete(stream.agg(mg(col("tok")).as("summary")))
+        val cand = summary.select(explode(map_keys(col("summary"))).as("tok"))
+        val toks = graft.Tables(s, dir).documents
+          .select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        toks.join(broadcast(cand), "tok")
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * 1000 > col("n_total"))
+          .select(col("tok"), col("cnt"),
+            expr("cnt * 10000 div n_total").as("permyriad"))
+          .orderBy(col("cnt").desc, col("tok"))
+      },
+      Some("""
+        WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+                     FROM documents),
+        c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+        SELECT tok, cnt, CAST(cnt * 10000 // n_total AS BIGINT) AS permyriad
+        FROM c, t
+        WHERE cnt * 1000 > n_total
+        ORDER BY cnt DESC, tok
+      """)),
+
     // ---- stream-stream LEFT OUTER interval join -------------------------
     // The attribution query users actually run: purchases WITH OR WITHOUT
     // a prior click within 5 minutes. Matches emit as found; a purchase
