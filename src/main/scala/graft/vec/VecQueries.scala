@@ -799,6 +799,83 @@ object VecQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- ANN ranking-quality contract: NDCG@3 of LSH vs brute (round-11)
+    // recall@3 counts hits; NDCG@3 also scores WHERE the index put them —
+    // the ranking-quality member of the evaluation family (a near-miss
+    // that returns the true #1 at position 3 recalls 1/3 but NDCGs
+    // lower than one returning it at position 1). Fully INTEGER: the
+    // only irrational inputs are the three position discounts 1/log₂(i+1)
+    // for i ∈ {1,2,3}, which are FIXED constants quantized offline to
+    // micros (1000000, 630930, 500000) and used identically in DCG and
+    // IDCG (3·10⁶ + 2·630930 + 500000 = 4761860) — so the whole query is
+    // integer arithmetic, zero float risk, no rounding discipline needed.
+    // rel(nid) = 4 − brute_rank for the true top-3, else 0. Anchored on
+    // the brute sample's query set (queries whose bucket returned nothing
+    // score 0, not missing). Same 25% md5 sample + shared brute relation
+    // as the recall contracts.
+    Reg("ann_ndcg_lsh",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
+          .select(col("qid"), col("nid"), (lit(4L) - col("rank")).as("rel"))
+        val lsh = VecOps.annLshTopK(emb, planes = 4, k = 3).filter(keep)
+          .select(col("qid"), col("nid"), col("rank").as("pos"))
+        val dcg = lsh.join(brute, Seq("qid", "nid"), "left")
+          .withColumn("term_um", expr(
+            "coalesce(rel, 0L) * CASE pos WHEN 1 THEN 1000000L" +
+              " WHEN 2 THEN 630930L ELSE 500000L END"))
+          .groupBy(col("qid")).agg(sum(col("term_um")).as("dcg"))
+        brute.select(col("qid")).distinct()
+          .join(dcg, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("dcg"), lit(0L)).as("dcg_um"),
+            expr("coalesce(dcg, 0L) * 1000000 div 4761860").as("ndcg_ppm"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        lp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        lr AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM lp),
+        lshq AS (SELECT qid, nid, rank AS pos FROM lr
+                 WHERE rank <= 3
+                   AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        bruter AS (SELECT qid, nid, CAST(4 - rank AS BIGINT) AS rel
+                   FROM br WHERE rank <= 3),
+        terms AS (SELECT l.qid,
+                         CAST(sum(coalesce(b.rel, 0) *
+                           CASE l.pos WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                                      ELSE 500000 END) AS BIGINT) AS dcg
+                  FROM lshq l LEFT JOIN bruter b
+                    ON l.qid = b.qid AND l.nid = b.nid
+                  GROUP BY 1),
+        qs AS (SELECT DISTINCT qid FROM bruter)
+        SELECT qs.qid, CAST(coalesce(t.dcg, 0) AS BIGINT) AS dcg_um,
+               CAST(coalesce(t.dcg, 0) * 1000000 // 4761860 AS BIGINT) AS ndcg_ppm
+        FROM qs LEFT JOIN terms t ON qs.qid = t.qid
+        ORDER BY qs.qid
+      """)),
+
     // ---- ANN accuracy contract: recall@3 of IVF vs brute ground truth ---
     // The ann_recall_lsh twin for the cell-partitioned index: per query,
     // how many of the true top-3 the 2-probe IVF search returned. Same

@@ -343,7 +343,9 @@ class PlanShapeSpec extends SparkSpec {
     "adamic_adar_links" -> (4, 0),
     // round-11: MG summary agg (partial/final) + candidate broadcast +
     // recount agg + scalar total broadcast + output sort
-    "heavy_hitters_mg_verified" -> (4, 2))
+    "heavy_hitters_mg_verified" -> (4, 2),
+    // round-11: shared brute InMemoryScan (×2) + LSH bucket join + DCG agg
+    "ann_ndcg_lsh" -> (6, 1))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
