@@ -364,7 +364,11 @@ object ScaleDemo100 {
     for ((dir, tag) <- decades;
          q <- Seq("kcore_3", "jaccard_bigram_pairs", "semdedup_keep",
            "hits_hubs_authorities", "pagerank_3iter",
-           "mm_frame_dup_stats", "mm_crossmodal_funnel")
+           "mm_frame_dup_stats", "mm_crossmodal_funnel",
+           // round-11 second session: the new dedup rung (blocked + df
+           // band-pass, same contract as jaccard) and the new graph rung
+           // (deg ≤ 64 middle ceiling) at the second decade
+           "weighted_jaccard_pairs", "adamic_adar_links")
          if !skip(s"$q@$tag"))
       time(s"$q @ $tag")(SparkEntry.queries(q)(spark, dir).count())
     for ((dir, tag) <- Seq((base, "1x"), (out10, "10x"))
@@ -373,27 +377,32 @@ object ScaleDemo100 {
         SparkEntry.queries("mm_phash_neardup_pairs")(spark, dir).count())
     // LSH with planes scaled ~log₂(rows): 4 → 8 → 11 holds per-bucket
     // occupancy ≈ constant across both decades
-    for (((dir, tag), planes) <- decades.zip(Seq(4, 8, 11)))
+    for (((dir, tag), planes) <- decades.zip(Seq(4, 8, 11))
+         if !skip(s"annLshTopK@$tag"))
       time(s"annLshTopK planes=$planes @ $tag")(
         graft.vec.VecOps.annLshTopK(Tables(spark, dir).embeddings,
           planes = planes, k = 3).count())
-    for (((dir, tag), planes) <- decades.zip(Seq(4, 7, 10)))
+    for (((dir, tag), planes) <- decades.zip(Seq(4, 7, 10))
+         if !skip(s"matryoshka@$tag"))
       time(s"matryoshka planes=$planes @ $tag")(
         graft.vec.VecOps.matryoshkaTopK(Tables(spark, dir).embeddings,
           planes = planes, mDims = 16, shortlist = 8, k = 3).count())
     // phash banding with the chunk knob scaled for the last decade:
     // 2×16-bit chunks (65 536 buckets per position, hd ≤ 1 pigeonhole)
-    time("phash pairs chunks=2x16 hd<=1 @ 100x")(
+    if (!skip("phash2x16@100x"))
+      time("phash pairs chunks=2x16 hd<=1 @ 100x")(
       graft.mm.MultiModal.hammingPairs(
         graft.mm.MultiModal.phash32(Tables(spark, out100).documents
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
         chunks = 2, bitsPerChunk = 16, maxHd = 1).count())
 
     // ---- fixed-knob defect contrast rows at 100× (single rep) ----------
-    timeN("CONTRAST annLshTopK planes=4 @ 100x", 1)(
+    if (!skip("contrastLsh@100x"))
+      timeN("CONTRAST annLshTopK planes=4 @ 100x", 1)(
       graft.vec.VecOps.annLshTopK(Tables(spark, out100).embeddings,
         planes = 4, k = 3).count())
-    timeN("CONTRAST semdedup fixed k=16 @ 100x", 1)({
+    if (!skip("contrastSemdedup@100x"))
+      timeN("CONTRAST semdedup fixed k=16 @ 100x", 1)({
       val emb = Tables(spark, out100).embeddings
       var cent = graft.vec.VecOps.seedCentroids(emb, 16)
       for (_ <- 0 until 2)
@@ -403,7 +412,8 @@ object ScaleDemo100 {
     // the defect replay LAST, single rep: 4×8-bit chunks at 500 k docs.
     // Expected outcome is a GC-wedged driver or a reading two decades
     // above the scaled-chunk row — either IS the recorded contrast.
-    timeN("CONTRAST phash chunks=4x8 hd<=3 @ 100x", 1)(
+    if (!skip("contrastPhash@100x"))
+      timeN("CONTRAST phash chunks=4x8 hd<=3 @ 100x", 1)(
       graft.mm.MultiModal.hammingPairs(
         graft.mm.MultiModal.phash32(Tables(spark, out100).documents
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
