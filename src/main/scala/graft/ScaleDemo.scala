@@ -293,7 +293,8 @@ object ScaleDemo {
     for ((dir, tag) <- Seq((base, "1x"), (out, "10x"));
          q <- Seq("spearman_corr_types", "kendall_tau_types",
            "kn_perplexity_score", "weighted_jaccard_pairs",
-           "adamic_adar_links", "heavy_hitters_mg_verified"))
+           "adamic_adar_links", "heavy_hitters_mg_verified",
+           "local_clustering_coeff", "degree_assortativity"))
       time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
     spark.stop()
   }

@@ -2673,6 +2673,161 @@ object RelQueries {
         FROM summ, ec, tri
       """)),
 
+    // ---- per-node local clustering coefficient (round-11) ---------------
+    // triangle_count's PER-NODE refinement: cc(v) = 2·tri(v)/(deg(v)·
+    // (deg(v)−1)) — how clique-like each part's co-purchase neighborhood
+    // is (the community-structure signal behind frequently-bought-
+    // together recommendations). Graph = adamic_adar_links' support-≥2
+    // part co-purchase edges (basket-bounded self-join, Σ basket² linear
+    // — non-degenerate at every SF, unlike an absolute degree band on a
+    // projection whose density shifts with scale), with triangle_count's
+    // degree-ordered orientation so each triangle materializes EXACTLY
+    // once; the (src, w1, w2) node triple is kept instead of counted:
+    // explode → one hash-agg gives tri(v).
+    // PURE INTEGER output: cc_um = 2·10⁶·tri div (deg·(deg−1)) — no
+    // float anywhere. deg ≥ 2 filter (a degree-1 node has no wedge).
+    Reg("local_clustering_coeff",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = li.as("a").join(li.as("b"), "l_orderkey")
+          .filter(col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2L)
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        // deg (≤ |V| rows) is consumed 3× and the oriented edge relation
+        // o (≤ |E| rows) 3× (wedge pair + closing join) — localCheckpoint
+        // both so the upstream joins run once (the kappa/adamic bounded-
+        // artifact discipline; 19 → 5 exchanges)
+        val deg = edges.select(col("u").as("node"))
+          .union(edges.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        val o = edges
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("u"))
+              .otherwise(col("v")).as("src"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("v"))
+              .otherwise(col("u")).as("dst"))
+          .localCheckpoint()
+        val triNodes = o.as("e1").join(o.as("e2"), "src")
+          .filter(col("e1.dst") =!= col("e2.dst"))
+          .select(col("src"), col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+          .join(o.select(col("src").as("w1"), col("dst").as("w2")),
+            Seq("w1", "w2"))
+          .select(explode(array(col("src"), col("w1"), col("w2"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+        deg.filter(col("deg") >= 2)
+          .join(triNodes, Seq("node"), "left")
+          .withColumn("tri", coalesce(col("n_tri"), lit(0L)))
+          .select(col("node").as("part"), col("deg"), col("tri"),
+            expr("(2000000 * tri) div (deg * (deg - 1))").as("cc_um"))
+          .orderBy("part")
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+        deg AS (SELECT node, count(*) AS deg
+                FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+                GROUP BY 1),
+        o AS (SELECT CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND u < v)
+                          THEN u ELSE v END AS src,
+                     CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND u < v)
+                          THEN v ELSE u END AS dst
+              FROM e JOIN deg a ON e.u = a.node JOIN deg b ON e.v = b.node),
+        trin AS (SELECT unnest([e1.src, e1.dst, e2.dst]) AS node
+                 FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+                 JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        tc AS (SELECT node, count(*) AS n_tri FROM trin GROUP BY 1)
+        SELECT deg.node AS part, deg.deg,
+               CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS tri,
+               CAST((2000000 * coalesce(tc.n_tri, 0))
+                 // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_um
+        FROM deg LEFT JOIN tc ON deg.node = tc.node
+        WHERE deg.deg >= 2
+        ORDER BY part
+      """)),
+
+    // ---- degree assortativity of the co-purchase graph (round-11) -------
+    // Do popular parts co-sell with other popular parts? Newman's
+    // degree assortativity = Pearson r over the (deg u, deg v) pairs of
+    // every edge, each undirected edge counted in BOTH orientations
+    // (the standard symmetrization — it also makes Σx = Σy and
+    // Σx² = Σy² exactly). Graph = the same support-≥2 part co-purchase
+    // edges as adamic_adar_links/local_clustering_coeff; exact int64
+    // sufficient statistics → the pearson_corr_types identical-double
+    // tree with the zero-variance sentinel.
+    Reg("degree_assortativity",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = li.as("a").join(li.as("b"), "l_orderkey")
+          .filter(col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2L)
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        val deg = edges.select(col("u").as("node"))
+          .union(edges.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint() // ≤ |V| rows, consumed by both join sides
+        val dd = edges
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .localCheckpoint() // ≤ |E| rows, consumed by both union arms
+        val sym = dd.select(col("du").as("x"), col("dv").as("y"))
+          .union(dd.select(col("dv").as("x"), col("du").as("y")))
+        sym.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select((col("n") / 2).cast("long").as("n_edges"),
+            expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END""").as("assort_um"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+        deg AS (SELECT node, count(*) AS deg
+                FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+                GROUP BY 1),
+        dd AS (SELECT a.deg AS du, b.deg AS dv
+               FROM e JOIN deg a ON e.u = a.node JOIN deg b ON e.v = b.node),
+        sym AS (SELECT du AS x, dv AS y FROM dd
+                UNION ALL SELECT dv AS x, du AS y FROM dd),
+        st AS (SELECT count(*) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM sym)
+        SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+               THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS assort_um
+        FROM st
+      """)),
+
     // ---- frequent-pair mining: brand market basket (round-9) ------------
     // The A-Priori first ascent over order baskets: which part-BRAND
     // pairs co-occur in the same order more often than a support floor,

@@ -65,7 +65,9 @@ class RegistrySpec extends AnyFunSuite {
       // one wide funnel row (round-11): cross-modal survivor counts
       "mm_crossmodal_funnel",
       // one agreement-statistic row (round-11)
-      "cohens_kappa_langid")
+      "cohens_kappa_langid",
+      // one Newman degree-correlation row (round-11)
+      "degree_assortativity")
     val offenders = noOrder.filterNot(exempt)
     assert(offenders.isEmpty,
       s"oracles without ORDER BY (row order is engine-arbitrary): $offenders")

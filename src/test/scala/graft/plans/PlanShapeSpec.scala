@@ -345,7 +345,12 @@ class PlanShapeSpec extends SparkSpec {
     // recount agg + scalar total broadcast + output sort
     "heavy_hitters_mg_verified" -> (4, 2),
     // round-11: shared brute InMemoryScan (×2) + LSH bucket join + DCG agg
-    "ann_ndcg_lsh" -> (6, 1))
+    "ann_ndcg_lsh" -> (6, 1),
+    // round-11: post-checkpoint tails (support-≥2 edge build
+    // localCheckpointed once — degree agg, orientation, triangle join /
+    // symmetrized stat agg only)
+    "local_clustering_coeff" -> (7, 0),
+    "degree_assortativity" -> (1, 0))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
