@@ -294,7 +294,8 @@ object ScaleDemo {
          q <- Seq("spearman_corr_types", "kendall_tau_types",
            "kn_perplexity_score", "weighted_jaccard_pairs",
            "adamic_adar_links", "heavy_hitters_mg_verified",
-           "local_clustering_coeff", "degree_assortativity"))
+           "local_clustering_coeff", "degree_assortativity",
+           "good_turing_counts"))
       time(s"$q @ $tag", SparkEntry.queries(q)(spark, dir).count())
     spark.stop()
   }

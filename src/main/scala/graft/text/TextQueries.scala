@@ -1651,6 +1651,45 @@ object TextQueries {
         ORDER BY cnt DESC, tok
       """)),
 
+    // ---- Good-Turing frequency-of-frequencies table (round-11) ----------
+    // Completes the LM-smoothing shelf (add-one → lm_perplexity_score,
+    // Kneser-Ney → kn_perplexity_score, Good-Turing → here): the
+    // frequency-of-frequencies table N_r = |{w : c(w) = r}| and the raw
+    // Turing estimate r* = (r+1)·N_{r+1}/N_r — the count a frequency-r
+    // word SHOULD have, whose total mass over r=0 famously equals
+    // N_1/N (the unseen-mass estimate). Emitted PURE INTEGER:
+    // rstar_um = (r+1)·N_{r+1}·10⁶ div N_r, with N_{r+1} = 0 (hence
+    // r* = 0) where the class is empty — the raw estimate; production
+    // Simple Good-Turing (Gale & Sampson) regresses log N_r on log r to
+    // fill those gaps, a driver-side 2-column fit over this table's ≤
+    // max(c) rows. Shape: one token agg + one count-class agg + a
+    // 1-offset self-join on the r key — all hash-partitioned, the
+    // count-class table is ≤ max frequency rows (vocabulary-bounded).
+    Reg("good_turing_counts",
+      (s, dir) => {
+        val cnt = Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val nr = cnt.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+        nr.join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+            Seq("r"), "left")
+          .select(col("r"), col("n_r"),
+            expr("((r + 1) * coalesce(n_r1, 0L) * 1000000) div n_r")
+              .as("rstar_um"))
+          .orderBy("r")
+      },
+      Some("""
+        WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        nr AS (SELECT c AS r, count(*) AS n_r FROM cnt GROUP BY 1)
+        SELECT a.r, a.n_r,
+               CAST(((a.r + 1) * coalesce(b.n_r, 0) * 1000000)
+                 // a.n_r AS BIGINT) AS rstar_um
+        FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+        ORDER BY a.r
+      """)),
+
     // ---- vocabulary richness per source: type-token ratio ---------------
     // Corpus-quality dashboard stat: distinct token types vs total tokens
     // per source. countDistinct is an exact two-phase agg (partial sets

@@ -350,7 +350,10 @@ class PlanShapeSpec extends SparkSpec {
     // localCheckpointed once — degree agg, orientation, triangle join /
     // symmetrized stat agg only)
     "local_clustering_coeff" -> (7, 0),
-    "degree_assortativity" -> (1, 0))
+    "degree_assortativity" -> (1, 0),
+    // round-11: token agg + count-class agg (+1-offset self-join rides
+    // the same r-key exchange) + output sort
+    "good_turing_counts" -> (5, 1))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
