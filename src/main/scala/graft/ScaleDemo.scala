@@ -397,6 +397,16 @@ object ScaleDemo100 {
         graft.mm.MultiModal.phash32(Tables(spark, out100).documents
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
         chunks = 2, bitsPerChunk = 16, maxHd = 1).count())
+    // round-12: the same production row through the COUNT-DRIVEN default
+    // knob — autoChunkBits must resolve the proven-safe 2×16 banding at
+    // 500 k docs on its own (the policy picking the right setting IS the
+    // demo; the caller-pinned row above stays as the reference reading)
+    if (!skip("phashAuto@100x"))
+      time("phash pairs AUTO hd<=1 @ 100x")(
+      graft.mm.MultiModal.hammingPairs(
+        graft.mm.MultiModal.phash32(Tables(spark, out100).documents
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+        maxHd = 1).count())
 
     // ---- fixed-knob defect contrast rows at 100× (single rep) ----------
     if (!skip("contrastLsh@100x"))

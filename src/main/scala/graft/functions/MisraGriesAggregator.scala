@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -25,6 +27,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * 1B-row shuffle); this summary moves ≤ k counters per map partition,
   * and the recount pass aggregates only ≤ k semi-joined candidates.
   *
+  * The buffer is a MUTABLE HashMap mutated in place (ADVICE r11: the
+  * immutable-Map form paid a HAMT path copy per input row at k=2000,
+  * and the decrement branch rebuilt the whole map). This is sound
+  * because a typed Aggregator runs as a `TypedImperativeAggregate`:
+  * the buffer lives as one JVM object per (partition, group) across
+  * `reduce` calls, hitting the encoder only at the partial→final
+  * serialization boundary — so the hot path is a hash probe plus an
+  * in-place counter bump, zero allocation.
+  *
   * reduce: seen → +1; room → insert at 1; full → decrement ALL by one
   * and drop zeros (the classic step, O(k) but only on full-and-unseen).
   * merge: counter-wise sum, then if over k entries subtract the
@@ -32,34 +43,41 @@ import org.apache.spark.sql.expressions.Aggregator
   * mergeable-summaries reduction that preserves the error bound.
   */
 class MisraGriesAggregator(k: Int)
-    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-  override def reduce(m: Map[String, Long], tok: String): Map[String, Long] =
+  override def reduce(m: mutable.HashMap[String, Long],
+                      tok: String): mutable.HashMap[String, Long] = {
     m.get(tok) match {
-      case Some(c)            => m.updated(tok, c + 1L)
-      case None if m.size < k => m.updated(tok, 1L)
+      case Some(c)            => m.update(tok, c + 1L)
+      case None if m.size < k => m.update(tok, 1L)
       case None =>
-        m.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+        m.mapValuesInPlace((_, c) => c - 1L)
+        m.filterInPlace((_, c) => c > 0L)
     }
-
-  override def merge(a: Map[String, Long],
-                     b: Map[String, Long]): Map[String, Long] = {
-    val s = b.foldLeft(a) { case (m, (t, c)) =>
-      m.updated(t, m.getOrElse(t, 0L) + c)
-    }
-    if (s.size <= k) s
-    else {
-      val v = s.values.toIndexedSeq.sorted(Ordering[Long].reverse).apply(k)
-      s.flatMap { case (t, c) => if (c > v) Some(t -> (c - v)) else None }
-    }
+    m
   }
 
-  override def finish(m: Map[String, Long]): Map[String, Long] = m
+  override def merge(a: mutable.HashMap[String, Long],
+                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    // fold the smaller summary into the larger — merge cost tracks the
+    // lighter side, and both orientations commute (counter-wise sum)
+    val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+    from.foreach { case (t, c) => into.update(t, into.getOrElse(t, 0L) + c) }
+    if (into.size > k) {
+      val v = into.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      into.mapValuesInPlace((_, c) => c - v)
+      into.filterInPlace((_, c) => c > 0L)
+    }
+    into
+  }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    ExpressionEncoder[Map[String, Long]]()
+  override def finish(m: mutable.HashMap[String, Long]): Map[String, Long] =
+    m.toMap
+
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    ExpressionEncoder[mutable.HashMap[String, Long]]()
   override def outputEncoder: Encoder[Map[String, Long]] =
     ExpressionEncoder[Map[String, Long]]()
 }

@@ -97,17 +97,19 @@ object MmQueries {
 
     // ---- perceptual-hash near-dup pairs (Hamming-banded) ----------------
     // Payload near-dup at Hamming distance ≤ 3 over the 32-bit phash,
-    // banded into 4×8-bit chunks — pigeonhole gives EXACT recall
-    // (hd ≤ 3 < 4 chunks forces an identical chunk), so the oracle is the
-    // brute all-pairs xor/bit_count (the simhash_neardup_pairs grading
-    // discipline: Spark runs the banded Σ bucket² plan, DuckDB replays
-    // ground truth). Chunk width scales ~log n at 100 TB
-    // (MultiModal.hammingPairs scaladoc).
+    // banded by the COUNT-DRIVEN policy (round 12: autoChunkBits sizes
+    // chunk width to ceil(log₂ n)+2, pigeonhole-capped — at the fixture
+    // counts it resolves the same 4×8 banding the query used to pin by
+    // hand, at 100 TB it refuses to under-bucket). Recall is EXACT for
+    // any valid banding, so the oracle is the brute all-pairs
+    // xor/bit_count (the simhash_neardup_pairs grading discipline:
+    // Spark runs the banded Σ bucket² plan, DuckDB replays ground
+    // truth) and is invariant to the policy's choice.
     Reg("mm_phash_neardup_pairs",
       (s, dir) => MultiModal.hammingPairs(
           MultiModal.phash32(Tables(s, dir).documents
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
-          chunks = 4, bitsPerChunk = 8, maxHd = 3)
+          maxHd = 3)
         .select(col("doc_a"), col("doc_b"), col("hd").cast("int").as("hd"))
         .orderBy("doc_a", "doc_b"),
       Some(s"""
@@ -145,7 +147,7 @@ object MmQueries {
         val pairs = MultiModal.hammingPairs(
             MultiModal.phash32(Tables(s, dir).documents
               .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
-            chunks = 4, bitsPerChunk = 8, maxHd = 3)
+            maxHd = 3)
           .select(col("doc_a"), col("doc_b"))
         graft.text.TextOps.connectedComponents(pairs, jump = true)
           .groupBy(col("label").as("cluster_id"))

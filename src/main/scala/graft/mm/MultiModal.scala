@@ -168,9 +168,16 @@ object MultiModal {
     * bit_count(xor) touches only candidates — Σ bucket², never n².
     *
     * Scale note (100 TB): chunk width must grow ~log₂(n) to keep buckets
-    * bounded (the LSH planes-∝-log n discipline) — 8-bit chunks are the
-    * fixture-scale setting; a trillion-doc corpus wants ≥ 24-bit chunks
-    * (wider fingerprint, same pigeonhole algebra). */
+    * bounded (the LSH planes-∝-log n discipline) — the round-11 100×
+    * ScaleDemo measured the cost of ignoring it: a caller-pinned 4×8
+    * config OOM-killed a 64 GiB heap at 500 k docs (256 buckets per
+    * position cannot absorb the corpus). The SAFE setting is therefore
+    * the default: the [[hammingPairs(fps:org\.apache\.spark\.sql\.DataFrame,maxHd:Int)*
+    * count-driven overload]] derives the width from the corpus; this
+    * explicit-knob form remains for callers that know better (tests,
+    * contrast rows). A corpus whose required width exceeds
+    * fpBits/(maxHd+1) has outgrown the 32-bit fingerprint — the
+    * escalation is a wider fingerprint, same pigeonhole algebra. */
   def hammingPairs(fps: DataFrame, chunks: Int, bitsPerChunk: Int,
                    maxHd: Int): DataFrame = {
     require(maxHd < chunks, "pigeonhole recall needs maxHd < chunks")
@@ -189,6 +196,40 @@ object MultiModal {
         expr("bit_count(p.ph_a ^ p.ph_b)").as("hd"))
       .distinct()
       .filter(col("hd") <= maxHd)
+  }
+
+  /** Chunk policy for [[hammingPairs]], derived from the corpus count
+    * (round 12, closing the VERDICT r11 fixed-knob OOM): fewest chunks
+    * the pigeonhole allows (maxHd+1 — every extra chunk position is a
+    * full extra candidate pass at identical recall), each as wide as
+    * useful — ceil(log₂ n)+2 bits makes expected bucket occupancy ≤ 1/4
+    * under hash uniformity, so candidate fan-out is output-bound; width
+    * past that buys nothing. Capped by fpBits/(maxHd+1) (chunks must be
+    * disjoint): a corpus hitting the cap with occupancy ≫ 1 has outgrown
+    * the fingerprint — at 32 bits and maxHd=3 that is exactly the 4×8
+    * ceiling whose 500 k-doc OOM the round-11 ScaleDemo recorded; the fix
+    * is a wider fingerprint, not a knob. The OUTPUT is invariant to the
+    * chunking (exact recall + exact hd filter for any valid config), so
+    * the policy is purely a physical-plan choice — oracles unaffected. */
+  def autoChunkBits(fpBits: Int, maxHd: Int, n: Long): (Int, Int) = {
+    val chunks = maxHd + 1
+    val cap = fpBits / chunks
+    require(cap >= 1, s"maxHd=$maxHd needs more than $fpBits fingerprint bits")
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    (chunks, math.min(cap, math.max(4, ceilLog2 + 2)))
+  }
+
+  /** Count-driven [[hammingPairs]] — the production default: one count()
+    * action sizes the banding to the corpus via [[autoChunkBits]] (the
+    * [[graft.vec.VecOps.scaledLists]] discipline: sizing an index build
+    * to its corpus is worth one action). */
+  def hammingPairs(fps: DataFrame, maxHd: Int): DataFrame = {
+    // checkpoint first: the count() and the banding pass would otherwise
+    // each replay the upstream fingerprint computation; the materialized
+    // relation is (id, fingerprint) — bounded
+    val f = fps.localCheckpoint()
+    val (chunks, bits) = autoChunkBits(32, maxHd, f.count())
+    hammingPairs(f, chunks, bits, maxHd)
   }
 
   /** Frame sampling stub: fixed-stride slices of the payload, first

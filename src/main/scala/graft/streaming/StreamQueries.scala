@@ -1812,7 +1812,11 @@ object StreamQueries {
     val ckpt = s"/dev/shm/graft-ckpt/semdedup_$tag"
     rmrf(new java.io.File(store)); rmrf(new java.io.File(pairsOut))
     rmrf(new java.io.File(ckpt))
-    val cent = broadcast(graft.vec.VecOps.lloyd2CentroidsShared(
+    // hierarchical assignment index (round 12, mirroring the batch twin's
+    // two-stage rule — the shared oracle demands identical cells): coarse
+    // anchors + fine→coarse map derived ONCE from the shared centroid
+    // table, outside the drain; each micro-batch assigns against it
+    val idx = graft.vec.VecOps.hierIndex(graft.vec.VecOps.lloyd2CentroidsShared(
       graft.Tables(s, dir).embeddings, dir))
     val embSchema = StructType(Seq(
       StructField("vec_id", LongType),
@@ -1827,14 +1831,8 @@ object StreamQueries {
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
-          val wAssign = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
-          val assigned = batch.select(col("vec_id"), col("embedding"))
-            .crossJoin(cent)
-            .withColumn("cd", expr("dot_f32(embedding, ce)"))
-            .withColumn("crank", row_number().over(wAssign))
-            .filter(col("crank") === 1)
-            .select(col("vec_id"), col("embedding"), col("cid"))
+          val assigned = graft.vec.VecOps.hierAssign(
+            batch.select(col("vec_id"), col("embedding")), idx)
           // one part-file per batch: the store is re-read EVERY batch, so
           // without this it accumulates (shuffle partitions × batches)
           // tiny files and the read-back dominates the drain

@@ -4477,6 +4477,15 @@ object TsQueries {
     // agg. The windows partition by type: bounded parallelism at 5 types
     // here, but each partition is only the calendar spine (the
     // user_growth_daily discipline — shard by period at extreme history).
+    // SEMANTICS NOTE (ADVICE r11, intentional): each type is ranked over
+    // its FULL daily series, and pairs correlate over day-INTERSECTED
+    // rows — textbook pairwise Spearman would re-rank within each
+    // intersection (10 rank passes for 5 types instead of 1 per type).
+    // On this data the two coincide: the events fixture's day spine is
+    // complete for every type at every SF (asserted by
+    // Round11StatsSpec), so every intersection IS the full series. A
+    // sparse-spine deployment wants the rank-after-join form — that
+    // variant changes the window keying, not the Pearson tree.
     Reg("spearman_corr_types",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window

@@ -80,13 +80,40 @@ object VecQueries {
     * read null at object init.) */
   private[graft] val semdedupKeepOracle: String = s"""
         WITH $lloyd2Ctes,
-        ranked AS (
-          SELECT a.vec_id, a.embedding, b.cid,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                   list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN c2 b ON true),
-        assigned AS (SELECT vec_id, embedding, cid FROM ranked WHERE crank = 1),
+        kc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS g
+               FROM c2),
+        coarse AS (
+          SELECT gid, ge FROM (
+            SELECT cid AS gid, ce AS ge,
+                   row_number() OVER (ORDER BY
+                     ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 15))::BIGINT,
+                     cid) AS rn
+            FROM c2), kc
+          WHERE rn <= kc.g),
+        f2g AS (
+          SELECT gid, cid, ce FROM (
+            SELECT g.gid, f.cid, f.ce,
+                   row_number() OVER (PARTITION BY f.cid ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> f.ce[i]::DOUBLE * g.ge[i]::DOUBLE)) DESC, g.gid) AS r
+            FROM c2 f JOIN coarse g ON true)
+          WHERE r = 1),
+        vp AS (
+          SELECT vec_id, embedding, gid FROM (
+            SELECT e.vec_id, e.embedding, g.gid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> e.embedding[i]::DOUBLE * g.ge[i]::DOUBLE)) DESC, g.gid) AS pr
+            FROM embeddings e JOIN coarse g ON true)
+          WHERE pr <= 2),
+        assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS crank
+            FROM vp v JOIN f2g f ON v.gid = f.gid)
+          WHERE crank = 1),
         p AS (
           SELECT x.vec_id AS aid, y.vec_id AS bid,
                  list_sum(list_transform(range(1, 65),
@@ -153,6 +180,178 @@ object VecQueries {
         FROM r WHERE rank <= 3
         ORDER BY qid, rank
       """
+
+  // ---- shared NDCG@3 machinery (round 11 lsh; round 12 ivf/pq/binary) --
+  // The ranking-quality member of the ANN evaluation family, beside
+  // recall@3: rel(nid) = 4 − brute_rank for the true top-3 (else 0),
+  // position discounts 1/log₂(pos+1) micro-quantized offline to the
+  // THREE integer constants (1000000, 630930, 500000) used identically
+  // in DCG and IDCG — the whole query is integer arithmetic, zero float
+  // risk. IDCG is summed PER QUERY from its own brute rows (ADVICE r11:
+  // the former constant 4761860 assumed every query has 3 brute
+  // neighbors; a < 4-vector corpus would under-normalize), so queries
+  // with < 3 neighbors normalize by their own shorter ideal list.
+  // Anchored on the brute sample's query set: queries whose index
+  // returned nothing score 0, not missing.
+
+  /** Per-query DCG/NDCG of an (qid, nid, pos ≤ 3) index result against
+    * the shared sampled brute ground truth. */
+  private def annNdcg3(emb: org.apache.spark.sql.DataFrame, dir: String,
+                       idx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), (lit(4L) - col("rank")).as("rel"),
+        expr("CASE rank WHEN 1 THEN 1000000L WHEN 2 THEN 630930L" +
+          " ELSE 500000L END").as("disc"))
+    val idcg = brute.groupBy(col("qid"))
+      .agg(sum(col("rel") * col("disc")).as("idcg"))
+    val dcg = idx
+      .join(brute.select(col("qid"), col("nid"), col("rel")), Seq("qid", "nid"), "left")
+      .withColumn("term_um", expr(
+        "coalesce(rel, 0L) * CASE pos WHEN 1 THEN 1000000L" +
+          " WHEN 2 THEN 630930L ELSE 500000L END"))
+      .groupBy(col("qid")).agg(sum(col("term_um")).as("dcg"))
+    idcg.join(dcg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_um"),
+        expr("coalesce(dcg, 0L) * 1000000 div idcg").as("ndcg_ppm"))
+      .orderBy("qid")
+  }
+
+  /** Oracle template for [[annNdcg3]]: `indexCtes` must end with
+    * `idx(qid, nid, pos)` — the variant's ranked top-3 over the 25% md5
+    * query sample, stage-for-stage as in its recall twin. */
+  private def ndcg3OracleSql(indexCtes: String): String = s"""
+        WITH $indexCtes,
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        bruter AS (SELECT qid, nid, CAST(4 - rank AS BIGINT) AS rel,
+                          CAST(CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                               ELSE 500000 END AS BIGINT) AS disc
+                   FROM br WHERE rank <= 3),
+        idcg AS (SELECT qid, CAST(sum(rel * disc) AS BIGINT) AS idcg
+                 FROM bruter GROUP BY 1),
+        terms AS (SELECT l.qid,
+                         CAST(sum(coalesce(b.rel, 0) *
+                           CASE l.pos WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                                ELSE 500000 END) AS BIGINT) AS dcg
+                  FROM idx l LEFT JOIN bruter b
+                    ON l.qid = b.qid AND l.nid = b.nid
+                  GROUP BY 1)
+        SELECT i.qid, CAST(coalesce(t.dcg, 0) AS BIGINT) AS dcg_um,
+               CAST(coalesce(t.dcg, 0) * 1000000 // i.idcg AS BIGINT) AS ndcg_ppm
+        FROM idcg i LEFT JOIN terms t ON i.qid = t.qid
+        ORDER BY i.qid
+      """
+
+  /** hp + sig CTEs (4 hyperplanes over 64 dims) shared by the lsh /
+    * binary / pq index mirrors. */
+  private val ndcgHpSig: String = s"""
+        hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding)"""
+
+  private val ndcgLshIdxCtes: String = s"""
+        $ndcgHpSig,
+        lp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        lr AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM lp),
+        idx AS (SELECT qid, nid, rank AS pos FROM lr
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
+
+  private val ndcgIvfIdxCtes: String = """
+        seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 16),
+        ranked AS (
+          SELECT a.vec_id, a.embedding, b.cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN seeds b ON true),
+        cells AS (SELECT vec_id AS nid, embedding AS ne, cid FROM ranked WHERE crank = 1),
+        probed AS (SELECT vec_id AS qid, embedding AS qe, cid FROM ranked WHERE crank <= 2),
+        scored AS (
+          SELECT p.qid, c.nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> p.qe[i]::DOUBLE * c.ne[i]::DOUBLE)) AS d
+          FROM probed p JOIN cells c ON p.cid = c.cid AND p.qid <> c.nid),
+        ir AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM scored),
+        idx AS (SELECT qid, nid, rank AS pos FROM ir
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
+
+  private val ndcgBinIdxCtes: String = s"""
+        $ndcgHpSig,
+        bq AS (SELECT s.vec_id, s.bucket,
+                      CAST(sum(CASE WHEN s.embedding[i.i + 1]::DOUBLE > 0.0
+                                    THEN (CAST(1 AS BIGINT) << i.i) ELSE 0 END) AS BIGINT) AS bq0,
+                      CAST(sum(CASE WHEN s.embedding[i.i + 33]::DOUBLE > 0.0
+                                    THEN (CAST(1 AS BIGINT) << i.i) ELSE 0 END) AS BIGINT) AS bq1
+               FROM sig s, range(32) i(i) GROUP BY 1, 2),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     CAST(64 - bit_count(xor(a.bq0, b.bq0))
+                             - bit_count(xor(a.bq1, b.bq1)) AS INT) AS score
+              FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        ir AS (SELECT qid, nid, score,
+                      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+               FROM p),
+        idx AS (SELECT qid, nid, rank AS pos FROM ir WHERE rank <= 3)"""
+
+  private val ndcgPqIdxCtes: String = s"""
+        $ndcgHpSig,
+        seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 8),
+        cb AS (SELECT s.s, cid, ce[s.s * 16 + 1 : s.s * 16 + 16] AS cw
+               FROM seeds, range(4) s(s)),
+        xs AS (SELECT vec_id, s.s, embedding[s.s * 16 + 1 : s.s * 16 + 16] AS x
+               FROM embeddings, range(4) s(s)),
+        assign AS (
+          SELECT x.vec_id, x.s, c.cid,
+                 row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
+                   (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
+                    - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
+                   DESC, c.cid) AS crank
+          FROM xs x JOIN cb c ON x.s = c.s),
+        recon AS (
+          SELECT a.vec_id AS nid, flatten(list(c.cw ORDER BY a.s)) AS recon
+          FROM assign a JOIN cb c ON a.s = c.s AND a.cid = c.cid
+          WHERE a.crank = 1
+          GROUP BY a.vec_id),
+        p AS (SELECT a.vec_id AS qid, r.nid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * r.recon[i]::DOUBLE)) AS d
+              FROM sig a
+              JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              JOIN recon r ON r.nid = b.vec_id
+              WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        pr AS (SELECT qid, nid, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM p),
+        idx AS (SELECT qid, nid, rank AS pos FROM pr WHERE rank <= 3)"""
 
   val all: Seq[Reg] = Seq(
 
@@ -803,78 +1002,63 @@ object VecQueries {
     // recall@3 counts hits; NDCG@3 also scores WHERE the index put them —
     // the ranking-quality member of the evaluation family (a near-miss
     // that returns the true #1 at position 3 recalls 1/3 but NDCGs
-    // lower than one returning it at position 1). Fully INTEGER: the
-    // only irrational inputs are the three position discounts 1/log₂(i+1)
-    // for i ∈ {1,2,3}, which are FIXED constants quantized offline to
-    // micros (1000000, 630930, 500000) and used identically in DCG and
-    // IDCG (3·10⁶ + 2·630930 + 500000 = 4761860) — so the whole query is
-    // integer arithmetic, zero float risk, no rounding discipline needed.
-    // rel(nid) = 4 − brute_rank for the true top-3, else 0. Anchored on
-    // the brute sample's query set (queries whose bucket returned nothing
-    // score 0, not missing). Same 25% md5 sample + shared brute relation
-    // as the recall contracts.
+    // lower than one returning it at position 1). All shared machinery
+    // (integer discounts, per-query IDCG, sample anchoring) lives in
+    // [[annNdcg3]] / [[ndcg3OracleSql]] above — one NDCG contract per
+    // index family: lsh here (round 11), ivf / binary / pq below
+    // (round 12, completing the eval family).
     Reg("ann_ndcg_lsh",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
-          .select(col("qid"), col("nid"), (lit(4L) - col("rank")).as("rel"))
-        val lsh = VecOps.annLshTopK(emb, planes = 4, k = 3).filter(keep)
-          .select(col("qid"), col("nid"), col("rank").as("pos"))
-        val dcg = lsh.join(brute, Seq("qid", "nid"), "left")
-          .withColumn("term_um", expr(
-            "coalesce(rel, 0L) * CASE pos WHEN 1 THEN 1000000L" +
-              " WHEN 2 THEN 630930L ELSE 500000L END"))
-          .groupBy(col("qid")).agg(sum(col("term_um")).as("dcg"))
-        brute.select(col("qid")).distinct()
-          .join(dcg, Seq("qid"), "left")
-          .select(col("qid"),
-            coalesce(col("dcg"), lit(0L)).as("dcg_um"),
-            expr("coalesce(dcg, 0L) * 1000000 div 4761860").as("ndcg_ppm"))
-          .orderBy("qid")
+        annNdcg3(emb, dir, VecOps.annLshTopK(emb, planes = 4, k = 3)
+          .filter(keep)
+          .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
-      Some(s"""
-        WITH hp AS (SELECT j.j, i.i,
-                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
-                           THEN 1.0 ELSE -1.0 END AS sgn
-                    FROM range(4) j(j), range(64) i(i)),
-        sig AS (SELECT e.vec_id, e.embedding,
-                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
-                FROM embeddings e JOIN (
-                  SELECT e2.vec_id, hp.j,
-                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
-                  FROM embeddings e2 JOIN hp ON true
-                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
-                GROUP BY e.vec_id, e.embedding),
-        lp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
-               FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-        lr AS (SELECT qid, nid,
-                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
-               FROM lp),
-        lshq AS (SELECT qid, nid, rank AS pos FROM lr
-                 WHERE rank <= 3
-                   AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
-        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
-               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
-        br AS (SELECT qid, nid,
-                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
-               FROM bp),
-        bruter AS (SELECT qid, nid, CAST(4 - rank AS BIGINT) AS rel
-                   FROM br WHERE rank <= 3),
-        terms AS (SELECT l.qid,
-                         CAST(sum(coalesce(b.rel, 0) *
-                           CASE l.pos WHEN 1 THEN 1000000 WHEN 2 THEN 630930
-                                      ELSE 500000 END) AS BIGINT) AS dcg
-                  FROM lshq l LEFT JOIN bruter b
-                    ON l.qid = b.qid AND l.nid = b.nid
-                  GROUP BY 1),
-        qs AS (SELECT DISTINCT qid FROM bruter)
-        SELECT qs.qid, CAST(coalesce(t.dcg, 0) AS BIGINT) AS dcg_um,
-               CAST(coalesce(t.dcg, 0) * 1000000 // 4761860 AS BIGINT) AS ndcg_ppm
-        FROM qs LEFT JOIN terms t ON qs.qid = t.qid
-        ORDER BY qs.qid
-      """)),
+      Some(ndcg3OracleSql(ndcgLshIdxCtes))),
+
+    // ---- NDCG@3 of the 2-probe IVF search (round-12) --------------------
+    // Same index pipeline as ann_recall_ivf (16 md5-seeded cells, 2
+    // probes), scored for ranking quality instead of hit count.
+    Reg("ann_ndcg_ivf",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir, VecOps.ivfTopK(emb, lists = 16, probes = 2, k = 3)
+          .filter(keep)
+          .select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(ndcgIvfIdxCtes))),
+
+    // ---- NDCG@3 of the 1-bit Hamming index (round-12) -------------------
+    // ann_recall_binary's pipeline (sign-bit fingerprints, bucketed
+    // Hamming rerank) under the ranking-quality lens: 1-bit scores tie
+    // pervasively, so position quality — which the nid tiebreak decides —
+    // is exactly what recall@3 cannot see.
+    Reg("ann_ndcg_binary",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir, VecOps.annBinaryTopK(emb, planes = 4, k = 3)
+          .filter(keep)
+          .select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(ndcgBinIdxCtes))),
+
+    // ---- NDCG@3 of the PQ asymmetric-distance index (round-12) ----------
+    // ann_recall_pq's pipeline (4×8 codebook reconstructions, bucketed
+    // ADC rerank) scored for ranking quality — reconstruction error
+    // perturbs ORDER long before it evicts a true neighbor from the
+    // top-3, so PQ's NDCG degrades ahead of its recall.
+    Reg("ann_ndcg_pq",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir, VecOps.pqTopK(emb, planes = 4, k = 3)
+          .filter(keep)
+          .select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(ndcgPqIdxCtes))),
 
     // ---- ANN accuracy contract: recall@3 of IVF vs brute ground truth ---
     // The ann_recall_lsh twin for the cell-partitioned index: per query,

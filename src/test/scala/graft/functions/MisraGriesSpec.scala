@@ -23,7 +23,7 @@ class MisraGriesSpec extends SparkSpec {
     val partials = rnd.shuffle(stream).grouped(
         math.max(1, stream.size / parts)).toSeq
       .map(_.foldLeft(agg.zero)(agg.reduce))
-    rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+    agg.finish(rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge))
   }
 
   private def zipfStream(rnd: Random, n: Int, vocab: Int): Seq[String] =

@@ -165,8 +165,14 @@ class PlanShapeSpec extends SparkSpec {
     "kmv_sliding_distinct_7d" -> (7, 1),
     // round-8 additions (pagerank_* and cms_heavy_hitters localCheckpoint
     // eagerly and are deliberately not listed, per the header note)
-    // matryoshka: prefix-bucket join + shortlist window + rerank window
-    "matryoshka_topk" -> (2, 1),
+    // matryoshka: prefix-bucket join + bounded-heap shortlist agg
+    // (partial/final) + rerank window over ≤ shortlist rows/qid.
+    // Re-pinned round-12 (2,1)→(2,3): the heap re-platform (the r11
+    // 100× 75× super-linear window fix) fetches full vectors for the
+    // shortlist survivors via two vec_id equi-joins — +2 broadcasts of
+    // the embeddings table at this SF (plain shuffle joins at scale),
+    // in exchange for candidate volume never hitting a sort
+    "matryoshka_topk" -> (2, 3),
     // deletion-neighborhood equi-join + pair distinct + sort; both
     // variant sides derive from one token-counts agg
     "editdist1_pairs" -> (3, 1),
@@ -353,7 +359,15 @@ class PlanShapeSpec extends SparkSpec {
     "degree_assortativity" -> (1, 0),
     // round-11: token agg + count-class agg (+1-offset self-join rides
     // the same r-key exchange) + output sort
-    "good_turing_counts" -> (5, 1))
+    "good_turing_counts" -> (5, 1),
+    // round-12: the ann_ndcg_lsh contract over the other three index
+    // families (shared brute InMemoryScan + per-index pipeline + DCG agg)
+    "ann_ndcg_ivf" -> (10, 2),
+    "ann_ndcg_binary" -> (6, 1),
+    "ann_ndcg_pq" -> (8, 7),
+    // round-12: good_turing_counts' N_r pipeline + one global OLS fold
+    // broadcast back over the table
+    "good_turing_sgt" -> (6, 1))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
