@@ -370,7 +370,10 @@ object ScaleDemo100 {
            // round-11 second session: the new dedup rung (blocked + df
            // band-pass, same contract as jaccard) and the new graph rung
            // (deg ≤ 64 middle ceiling) at the second decade
-           "weighted_jaccard_pairs", "adamic_adar_links")
+           "weighted_jaccard_pairs", "adamic_adar_links",
+           // round-12: the two-level IVF search (hier build + hier
+           // routing — the n·√k shape under k ∝ n, measured not claimed)
+           "ivf_hier_topk")
          if !skip(s"$q@$tag"))
       time(s"$q @ $tag")(SparkEntry.queries(q)(spark, dir).count())
     for ((dir, tag) <- Seq((base, "1x"), (out10, "10x"))

@@ -1503,6 +1503,23 @@ object StreamQueries {
     // the stream files are doc_id-range-partitioned, first-arrival-wins
     // ≡ keep-min-id — which is what the batch oracle replays (dup_of =
     // smallest lower-id Hamming neighbor, kept = no such neighbor).
+    // ---- streaming weighted-jaccard near-dup screen (round-12) ----------
+    // The FIFTH incremental-screen member (semdedup / SymSpell / phash /
+    // MG / this): documents arrive in 3 micro-batches; each batch's
+    // distinct unigrams band against the all-so-far store on RUNNING-df
+    // [2, 64] keys (df monotone ⇒ candidate coverage under any batching
+    // — a pair whose shared gram ends in-band was in-band when its later
+    // member arrived), candidates recorded as (least, greatest); the
+    // read-out re-scores candidates exactly on the final corpus (final
+    // band, final idf, final sums) so extras die at the ≥ 0.3 threshold.
+    // Grades against the batch weighted_jaccard_pairs SQL verbatim
+    // (shared-oracle pattern; see wjIncrementalRun's coverage proof).
+    Reg("streaming_wj_neardup",
+      (s, dir) => wjIncrementalRun(s, dir,
+        graft.sources.Fixtures.ensureDocStreamFiles(s, dir, n = 3),
+        graft.sources.Fixtures.md5Hex(dir)),
+      Some(graft.text.TextQueries.weightedJaccardOracle)),
+
     Reg("streaming_phash_neardup",
       (s, dir) => phashIncrementalRun(s, dir,
         graft.sources.Fixtures.ensureDocStreamFiles(s, dir, n = 3),
@@ -1802,6 +1819,103 @@ object StreamQueries {
         when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
         col("dup_of"))
       .orderBy("doc_id")
+  }
+
+  /** Incremental weighted-jaccard near-dup screen behind
+    * `streaming_wj_neardup` — the FIFTH incremental-screen member
+    * (semdedup / SymSpell / phash / MG candidates / this), applying the
+    * candidate-superset + exact-recount pattern to the idf-weighted
+    * dedup rung. Per micro-batch: append the batch's distinct unigrams
+    * to the store, band the BATCH against all-so-far on (lang, source,
+    * w) keys whose RUNNING df sits in the [2, ceiling] band (df only
+    * grows, so a pair whose shared gram ENDS in-band was in-band when
+    * its later member arrived → coverage under any batching; keys that
+    * later leave the band only add candidates), record (least, greatest)
+    * id pairs. Read-out re-scores candidates EXACTLY on the final store
+    * (final df band, final block-relative idf, final doc sums — the
+    * batch query's scoring joins semi-joined to candidates), so extras
+    * die at the threshold and the output equals the batch SQL verbatim.
+    * Per-batch candidate work is Σ over banded keys of batch×store
+    * occurrences — store side ≤ ceiling per key, never batch × corpus. */
+  private[graft] def wjIncrementalRun(s: SparkSession, dir: String,
+      srcDir: String, tag: String): DataFrame = {
+    val ceil = graft.text.TextQueries.JaccardDfCeiling
+    val store = s"/dev/shm/graft-wj/store_$tag"
+    val docsStore = s"/dev/shm/graft-wj/docs_$tag"
+    val pairsOut = s"/dev/shm/graft-wj/pairs_$tag"
+    val ckpt = s"/dev/shm/graft-ckpt/wj_$tag"
+    rmrf(new java.io.File(store)); rmrf(new java.io.File(docsStore))
+    rmrf(new java.io.File(pairsOut)); rmrf(new java.io.File(ckpt))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val toks = batch.select(col("lang"), col("source"), col("doc_id"),
+            explode(array_distinct(graft.text.TextOps.tokens(col("text")))).as("w"))
+          toks.coalesce(1).write.mode("append").parquet(store)
+          batch.select(col("lang"), col("source"), col("doc_id"))
+            .coalesce(1).write.mode("append").parquet(docsStore)
+          val all = sp.read.parquet(store)
+          val banded = all.groupBy(col("lang"), col("source"), col("w"))
+            .agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2 && col("df") <= ceil)
+            .select(col("lang"), col("source"), col("w"))
+          val pairs = toks.join(banded, Seq("lang", "source", "w"))
+            .select(col("lang"), col("source"), col("w"), col("doc_id").as("nid"))
+            .join(all.join(banded, Seq("lang", "source", "w"))
+              .select(col("lang"), col("source"), col("w"), col("doc_id").as("oid")),
+              Seq("lang", "source", "w"))
+            .filter(col("nid") =!= col("oid"))
+            .select(least(col("nid"), col("oid")).as("a_id"),
+              greatest(col("nid"), col("oid")).as("b_id"))
+            .distinct()
+          pairs.coalesce(1).write.mode("append").parquet(pairsOut)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // read-out: the batch query's exact scoring, semi-joined to candidates
+    val all = s.read.parquet(store).localCheckpoint()
+    val cand = s.read.parquet(pairsOut).distinct()
+    val blocks = s.read.parquet(docsStore)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
+    val dfAll = all.groupBy(col("lang"), col("source"), col("w"))
+      .agg(count(lit(1)).as("df"))
+    val withDf = all
+      .join(dfAll.filter(col("df") <= ceil), Seq("lang", "source", "w"))
+      .join(broadcast(blocks), Seq("lang", "source"))
+      .withColumn("idf_um", expr(
+        "CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))" +
+          " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+      .localCheckpoint()
+    val sums = withDf.groupBy(col("doc_id")).agg(sum(col("idf_um")).as("w_total"))
+    val shj = withDf.filter(col("df") >= 2)
+    cand
+      .join(shj.select(col("lang"), col("source"), col("w"),
+        col("doc_id").as("a_id"), col("idf_um")), Seq("a_id"))
+      .join(shj.select(col("lang"), col("source"), col("w"),
+        col("doc_id").as("b_id")), Seq("lang", "source", "w", "b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"), sum(col("idf_um")).as("inter_w"))
+      .join(sums.select(col("doc_id").as("a_id"), col("w_total").as("wa")), "a_id")
+      .join(sums.select(col("doc_id").as("b_id"), col("w_total").as("wb")), "b_id")
+      .withColumn("uni_w", col("wa") + col("wb") - col("inter_w"))
+      .filter(col("uni_w") > 0L && col("inter_w") * 10 >= col("uni_w") * 3)
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        col("inter_w"), col("uni_w"),
+        expr("""CAST(round(CAST(inter_w AS DOUBLE) / CAST(uni_w AS DOUBLE)
+                * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("wj_um"))
+      .orderBy("a_id", "b_id")
   }
 
   private[graft] def semdedupIncrementalRun(s: SparkSession, dir: String,

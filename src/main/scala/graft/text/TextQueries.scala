@@ -27,6 +27,48 @@ object TextQueries {
     * scale. */
   private[graft] val JaccardDfCeiling = 64
 
+  /** The weighted-jaccard oracle, shared verbatim with the streaming twin
+    * (`streaming_wj_neardup`): the incremental screen's candidate set is
+    * a superset of every final-df-banded gram-sharing pair under any
+    * micro-batching (df only grows, so a pair whose shared gram ends in
+    * the [2, ceiling] band was in-band when its later member arrived),
+    * and the read-out re-scores candidates EXACTLY on the final corpus —
+    * so the drained output equals this batch SQL row-for-row. Edits
+    * apply to both consumers or neither. */
+  private[graft] val weightedJaccardOracle: String = s"""
+        WITH t AS (SELECT doc_id, lang, source,
+                          list_distinct(string_split(trim(text), ' ')) AS ws
+                   FROM documents),
+        g0 AS (SELECT doc_id, lang, source, unnest(ws) AS w FROM t),
+        df AS (SELECT lang, source, w, count(*) AS df FROM g0 GROUP BY 1, 2, 3),
+        nb AS (SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+        g AS (SELECT g0.doc_id, g0.lang, g0.source, g0.w, df.df,
+                     CAST(round(ln(CAST(nb.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                       * CAST(1000000 AS DOUBLE)) AS BIGINT) AS idf_um
+              FROM g0 JOIN df USING (lang, source, w)
+                      JOIN nb USING (lang, source)
+              WHERE df.df <= $JaccardDfCeiling),
+        sums AS (SELECT doc_id, CAST(sum(idf_um) AS BIGINT) AS w_total
+                 FROM g GROUP BY 1),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     count(*) AS n_common, CAST(sum(a.idf_um) AS BIGINT) AS inter_w
+              FROM g a JOIN g b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.w = b.w AND a.doc_id < b.doc_id
+              WHERE a.df >= 2 AND b.df >= 2
+              GROUP BY 1, 2)
+        SELECT a_id, b_id, CAST(n_common AS BIGINT) AS n_common, inter_w,
+               CAST(sa.w_total + sb.w_total - inter_w AS BIGINT) AS uni_w,
+               CAST(round(CAST(inter_w AS DOUBLE)
+                 / CAST(sa.w_total + sb.w_total - inter_w AS DOUBLE)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS wj_um
+        FROM p JOIN sums sa ON sa.doc_id = a_id
+               JOIN sums sb ON sb.doc_id = b_id
+        WHERE sa.w_total + sb.w_total - inter_w > 0
+          AND inter_w * 10 >= (sa.w_total + sb.w_total - inter_w) * 3
+        ORDER BY a_id, b_id
+      """
+
   /** The two near-dup pair relations, derived ONCE per session via the
     * bounded [[graft.Shared]] registry (round-6 verdict lever (d)): the
     * MinHash-LSH Jaccard >= 0.5 set feeds 4 graded queries
@@ -3194,38 +3236,6 @@ object TextQueries {
                     * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("wj_um"))
           .orderBy("a_id", "b_id")
       },
-      Some(s"""
-        WITH t AS (SELECT doc_id, lang, source,
-                          list_distinct(string_split(trim(text), ' ')) AS ws
-                   FROM documents),
-        g0 AS (SELECT doc_id, lang, source, unnest(ws) AS w FROM t),
-        df AS (SELECT lang, source, w, count(*) AS df FROM g0 GROUP BY 1, 2, 3),
-        nb AS (SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
-        g AS (SELECT g0.doc_id, g0.lang, g0.source, g0.w, df.df,
-                     CAST(round(ln(CAST(nb.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
-                       * CAST(1000000 AS DOUBLE)) AS BIGINT) AS idf_um
-              FROM g0 JOIN df USING (lang, source, w)
-                      JOIN nb USING (lang, source)
-              WHERE df.df <= $JaccardDfCeiling),
-        sums AS (SELECT doc_id, CAST(sum(idf_um) AS BIGINT) AS w_total
-                 FROM g GROUP BY 1),
-        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                     count(*) AS n_common, CAST(sum(a.idf_um) AS BIGINT) AS inter_w
-              FROM g a JOIN g b
-                ON a.lang = b.lang AND a.source = b.source
-               AND a.w = b.w AND a.doc_id < b.doc_id
-              WHERE a.df >= 2 AND b.df >= 2
-              GROUP BY 1, 2)
-        SELECT a_id, b_id, CAST(n_common AS BIGINT) AS n_common, inter_w,
-               CAST(sa.w_total + sb.w_total - inter_w AS BIGINT) AS uni_w,
-               CAST(round(CAST(inter_w AS DOUBLE)
-                 / CAST(sa.w_total + sb.w_total - inter_w AS DOUBLE)
-                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS wj_um
-        FROM p JOIN sums sa ON sa.doc_id = a_id
-               JOIN sums sb ON sb.doc_id = b_id
-        WHERE sa.w_total + sb.w_total - inter_w > 0
-          AND inter_w * 10 >= (sa.w_total + sb.w_total - inter_w) * 3
-        ORDER BY a_id, b_id
-      """))
+      Some(weightedJaccardOracle))
   )
 }

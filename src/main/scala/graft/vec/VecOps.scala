@@ -636,6 +636,52 @@ object VecOps {
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
+  /** Two-level IVF search — the search-side application of the
+    * hierarchical index (the faiss IMI / coarse-quantizer production
+    * shape, round 12): neighbors are assigned to fine cells through
+    * [[hierAssign]], and each QUERY routes the same way — `probes` best
+    * coarse anchors (bounded heap), then the `fprobes` best fine cells
+    * among those anchors' members, then candidates in those cells only.
+    * Per query: g + probes·(k/g) + fprobes·E[cell] dots — no O(k) flat
+    * centroid scan anywhere on either the build or the search path, so
+    * the whole pipeline stays n·√k when k ∝ n. Every stage is argmax/
+    * top-m with (dot DESC, id ASC) tiebreaks, mirrored CTE-for-CTE. */
+  def ivfHierTopK(emb: DataFrame, centroids: DataFrame, fprobes: Int,
+                  k: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val idx = hierIndex(centroids)
+    val cells = hierAssign(emb, idx)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cid"))
+    val v = emb.select(col("vec_id"), col("embedding"))
+    val heapG = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(idx.probes),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    val heapF = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(fprobes),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    val qCoarse = v.crossJoin(broadcast(idx.coarse))
+      .withColumn("vg", expr("dot_f32(embedding, ge)"))
+      .groupBy(col("vec_id"))
+      .agg(heapG(col("vg"), col("gid")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t.id").as("gid"))
+    val qFine = qCoarse.join(v, "vec_id")
+      .join(broadcast(idx.f2g), "gid")
+      .withColumn("qd", expr("dot_f32(embedding, ce)"))
+      .groupBy(col("vec_id"))
+      .agg(heapF(col("qd"), col("cid")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id").as("qid"), col("t.id").as("cid"))
+    // every neighbor lives in exactly one fine cell and the probed cids
+    // are distinct per query, so a (qid, nid) pair matches at most once
+    val scores = qFine
+      .join(v.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(cells, "cid").filter(col("qid") =!= col("nid"))
+      .withColumn("score", expr("dot_f32(qe, ne)"))
+      .select("qid", "nid", "score")
+    topK(scores, k)
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): embedding-level
     * semantic dedup — cluster the corpus with k-means, compute pairwise

@@ -78,8 +78,12 @@ object VecQueries {
     * exact batch SQL. Edits apply to both consumers or neither.
     * (Defined before `all` — a forward reference from the Reg seq would
     * read null at object init.) */
-  private[graft] val semdedupKeepOracle: String = s"""
-        WITH $lloyd2Ctes,
+  /** DuckDB CTEs mirroring [[VecOps.hierIndex]] + [[VecOps.hierAssign]]
+    * over the `c2` centroid table: coarse anchor pick (⌈√k⌉ smallest
+    * md5-of-cid), fine→coarse map, per-vector 2-probe, refine within
+    * probed cells. Ends with `assigned(vec_id, embedding, cid)` — shared
+    * by the semdedup oracle and the two-level IVF search oracle. */
+  private val hierAssignCtes: String = s"""
         kc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS g
                FROM c2),
         coarse AS (
@@ -113,7 +117,15 @@ object VecQueries {
                      list_sum(list_transform(range(1, 65),
                        i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS crank
             FROM vp v JOIN f2g f ON v.gid = f.gid)
-          WHERE crank = 1),
+          WHERE crank = 1)"""
+
+  /** The semdedup oracle, shared verbatim with the streaming twin
+    * (`streaming_semdedup_keep`): the incremental foreachBatch pipeline
+    * is order-independent by construction, so it grades against the
+    * exact batch SQL. Edits apply to both consumers or neither. */
+  private[graft] val semdedupKeepOracle: String = s"""
+        WITH $lloyd2Ctes,
+        $hierAssignCtes,
         p AS (
           SELECT x.vec_id AS aid, y.vec_id AS bid,
                  list_sum(list_transform(range(1, 65),
@@ -822,6 +834,47 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
+    // ---- two-level (IMI-style) IVF search (round-12) --------------------
+    // The search-side application of the hierarchical index that fixed
+    // SemDeDup's assignment: neighbors route coarse→fine through
+    // VecOps.hierAssign, queries route the SAME way (2 coarse anchors →
+    // 2 best fine cells among their members → candidates in those cells)
+    // — no O(k) flat centroid scan on build OR search, the shape that
+    // stays n·√k when k ∝ n. Shares the session Lloyd centroid table;
+    // every stage argmax/top-m with (dot DESC, id) tiebreaks, oracle
+    // mirrored stage-for-stage (hierAssignCtes shared with semdedup).
+    Reg("ivf_hier_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        VecOps.ivfHierTopK(emb, VecOps.lloyd2CentroidsShared(emb, dir),
+            fprobes = 2, k = 3)
+          .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH $lloyd2Ctes,
+        $hierAssignCtes,
+        qf AS (
+          SELECT vec_id AS qid, embedding AS qe, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS fr
+            FROM vp v JOIN f2g f ON v.gid = f.gid)
+          WHERE fr <= 2),
+        sc AS (
+          SELECT q.qid, a.vec_id AS nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qe[i]::DOUBLE * a.embedding[i]::DOUBLE)) AS d
+          FROM qf q JOIN assigned a ON q.cid = a.cid AND q.qid <> a.vec_id),
+        r AS (SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM sc)
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """)),
+
     // ---- embedding-cosine near-duplicate pairs (LSH-bucketed) -----------
     // Scale-shaped: candidates from 6 hash tables × 4 hyperplanes (recall
     // ≈ 1−(1−0.18)⁶ ≈ 0.69 at cos 0.45; higher for truer duplicates), then
@@ -1265,6 +1318,60 @@ object VecQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- ANN accuracy contract: recall@3 of multi-probe LSH (round-12) --
+    // Completes the recall ladder over the probing axis: single-bucket
+    // LSH recovers recall by adding TABLES (6× signature cost), the
+    // multi-probe form by visiting the planes+1 Hamming-1 buckets of ONE
+    // table — this contract prices that trade against the same brute
+    // truth as its siblings. Same 25% md5 sample, shared brute relation.
+    Reg("ann_recall_multiprobe",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
+          .select(col("qid"), col("nid"))
+        val mp = VecOps.annMultiProbeTopK(emb, planes = 4, k = 3).filter(keep)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(mp, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        probes AS (SELECT s.vec_id, s.embedding,
+                          CASE f.f WHEN 0 THEN s.bucket ELSE xor(s.bucket, (1 << (f.f - 1))) END AS bucket
+                   FROM sig s, range(5) f(f)),
+        mp0 AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+                FROM probes a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+                WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        mr AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM mp0),
+        mp AS (SELECT qid, nid FROM mr WHERE rank <= 3),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(m.nid) AS n_hit
+        FROM brute b LEFT JOIN mp m ON b.qid = m.qid AND b.nid = m.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- ANN accuracy contract: recall@3 of PQ vs FLOAT ground truth ----
     // Closes the recall family (lsh / ivf / int8 / pq): what asymmetric-
     // distance ranking over 4×8-codeword reconstructions costs against
@@ -1339,6 +1446,95 @@ object VecQueries {
         brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
         SELECT b.qid, count(p.nid) AS n_hit
         FROM brute b LEFT JOIN pq p ON b.qid = p.qid AND b.nid = p.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- ANN accuracy contract: recall@3 of OPQ vs FLOAT truth (round-12)
+    // The rotated rung's recall twin, closing the ladder symmetry (every
+    // graded index family now carries a recall contract: lsh / multiprobe
+    // / ivf / int8 / binary / pq / opq / matryoshka): does the signed-
+    // permutation decorrelation actually buy recall over plain PQ on
+    // this corpus? Ground truth stays the ORIGINAL-space brute relation —
+    // the rotation is orthonormal, so true neighbors are identical; the
+    // index pipeline runs wholly in rotated space, replayed via the same
+    // pm/sg/emb2 CTEs as ann_opq_topk.
+    Reg("ann_recall_opq",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
+          .select(col("qid"), col("nid"))
+        val opq = VecOps.pqTopK(VecOps.opqRotate(emb).localCheckpoint(),
+            planes = 4, k = 3).filter(keep)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(opq, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH pm AS (SELECT list(i ORDER BY ('0x' || substr(md5('perm' || i), 1, 15))::BIGINT, i) AS p
+               FROM range(64) t(i)),
+        sg AS (SELECT list(CASE WHEN (('0x' || substr(md5('sf' || i), 1, 15))::BIGINT & 1) = 1
+                                THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+               FROM range(64) t(i)),
+        emb2 AS (SELECT e.vec_id,
+                        [CAST(sg.s[j + 1] * e.embedding[pm.p[j + 1] + 1] AS REAL)
+                         FOR j IN range(64)] AS embedding
+                 FROM embeddings e, pm, sg),
+        hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM emb2 e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM emb2 e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM emb2
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 8),
+        cb AS (SELECT s.s, cid, ce[s.s * 16 + 1 : s.s * 16 + 16] AS cw
+               FROM seeds, range(4) s(s)),
+        xs AS (SELECT vec_id, s.s, embedding[s.s * 16 + 1 : s.s * 16 + 16] AS x
+               FROM emb2, range(4) s(s)),
+        assign AS (
+          SELECT x.vec_id, x.s, c.cid,
+                 row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
+                   (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
+                    - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
+                   DESC, c.cid) AS crank
+          FROM xs x JOIN cb c ON x.s = c.s),
+        recon AS (
+          SELECT a.vec_id AS nid, flatten(list(c.cw ORDER BY a.s)) AS recon
+          FROM assign a JOIN cb c ON a.s = c.s AND a.cid = c.cid
+          WHERE a.crank = 1
+          GROUP BY a.vec_id),
+        p AS (SELECT a.vec_id AS qid, r.nid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * r.recon[i]::DOUBLE)) AS d
+              FROM sig a
+              JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              JOIN recon r ON r.nid = b.vec_id
+              WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        pr AS (SELECT qid, nid, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM p),
+        opq AS (SELECT qid, nid FROM pr WHERE rank <= 3),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(o.nid) AS n_hit
+        FROM brute b LEFT JOIN opq o ON b.qid = o.qid AND b.nid = o.nid
         GROUP BY 1 ORDER BY 1
       """)),
 

@@ -367,7 +367,15 @@ class PlanShapeSpec extends SparkSpec {
     "ann_ndcg_pq" -> (8, 7),
     // round-12: good_turing_counts' N_r pipeline + one global OLS fold
     // broadcast back over the table
-    "good_turing_sgt" -> (6, 1))
+    "good_turing_sgt" -> (6, 1),
+    // round-12: two-level IVF search — post-checkpoint tail (coarse/f2g
+    // are localCheckpointed bounded artifacts; the counts cover neighbor
+    // hier-assign + query coarse/fine heap aggs + cell join + rank)
+    "ivf_hier_topk" -> (6, 8),
+    // round-12: recall-ladder completions (shared brute InMemoryScan +
+    // the sibling index pipelines + hit-count agg)
+    "ann_recall_multiprobe" -> (5, 1),
+    "ann_recall_opq" -> (7, 7))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
