@@ -330,6 +330,20 @@ object VecQueries {
                FROM p),
         idx AS (SELECT qid, nid, rank AS pos FROM ir WHERE rank <= 3)"""
 
+  private val ndcgMpIdxCtes: String = s"""
+        $ndcgHpSig,
+        probes AS (SELECT s.vec_id, s.embedding,
+                          CASE f.f WHEN 0 THEN s.bucket ELSE xor(s.bucket, (1 << (f.f - 1))) END AS bucket
+                   FROM sig s, range(5) f(f)),
+        lp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM probes a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        lr AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM lp),
+        idx AS (SELECT qid, nid, rank AS pos FROM lr
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
+
   private val ndcgPqIdxCtes: String = s"""
         $ndcgHpSig,
         seeds AS (
@@ -875,6 +889,60 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
+    // ---- ANN accuracy contract: recall@3 of the two-level IVF (round-12)
+    // A new retriever without an accuracy receipt is an unpriced trade:
+    // this prices ivf_hier_topk's coarse-routing loss (a true neighbor is
+    // missed iff its fine cell's ANCHOR falls outside the query's probed
+    // pair) against the same shared brute truth as the other seven
+    // families. Same 25% md5 sample; both pipelines replayed in full.
+    Reg("ann_recall_hier",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
+          .select(col("qid"), col("nid"))
+        val h = VecOps.ivfHierTopK(emb, VecOps.lloyd2CentroidsShared(emb, dir),
+            fprobes = 2, k = 3).filter(keep)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(h, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH $lloyd2Ctes,
+        $hierAssignCtes,
+        qf AS (
+          SELECT vec_id AS qid, embedding AS qe, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS fr
+            FROM vp v JOIN f2g f ON v.gid = f.gid)
+          WHERE fr <= 2),
+        sc AS (
+          SELECT q.qid, a.vec_id AS nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qe[i]::DOUBLE * a.embedding[i]::DOUBLE)) AS d
+          FROM qf q JOIN assigned a ON q.cid = a.cid AND q.qid <> a.vec_id),
+        hr AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM sc),
+        hier AS (SELECT qid, nid FROM hr
+                 WHERE rank <= 3
+                   AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(h.nid) AS n_hit
+        FROM brute b LEFT JOIN hier h ON b.qid = h.qid AND b.nid = h.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
     // ---- embedding-cosine near-duplicate pairs (LSH-bucketed) -----------
     // Scale-shaped: candidates from 6 hash tables × 4 hyperplanes (recall
     // ≈ 1−(1−0.18)⁶ ≈ 0.69 at cos 0.45; higher for truer duplicates), then
@@ -1097,6 +1165,21 @@ object VecQueries {
           .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
       Some(ndcg3OracleSql(ndcgBinIdxCtes))),
+
+    // ---- NDCG@3 of multi-probe LSH (round-12) ---------------------------
+    // The probing axis under the ranking lens: multi-probe recovers
+    // recall by visiting Hamming-1 buckets, but probe candidates enter
+    // the SAME exact-dot rerank — so its NDCG should track its recall
+    // closely, unlike the quantized rungs whose ordering degrades first.
+    Reg("ann_ndcg_multiprobe",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir, VecOps.annMultiProbeTopK(emb, planes = 4, k = 3)
+          .filter(keep)
+          .select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(ndcgMpIdxCtes))),
 
     // ---- NDCG@3 of the PQ asymmetric-distance index (round-12) ----------
     // ann_recall_pq's pipeline (4×8 codebook reconstructions, bucketed

@@ -375,7 +375,11 @@ class PlanShapeSpec extends SparkSpec {
     // round-12: recall-ladder completions (shared brute InMemoryScan +
     // the sibling index pipelines + hit-count agg)
     "ann_recall_multiprobe" -> (5, 1),
-    "ann_recall_opq" -> (7, 7))
+    "ann_recall_opq" -> (7, 7),
+    // round-12: hier-family accuracy contract (lloyd2+hier pipelines +
+    // brute InMemoryScan + hit agg) and the multiprobe NDCG
+    "ann_recall_hier" -> (9, 8),
+    "ann_ndcg_multiprobe" -> (6, 1))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
