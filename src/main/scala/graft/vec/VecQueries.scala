@@ -379,6 +379,130 @@ object VecQueries {
                FROM p),
         idx AS (SELECT qid, nid, rank AS pos FROM pr WHERE rank <= 3)"""
 
+  private val ndcgInt8IdxCtes: String = s"""
+        $ndcgHpSig,
+        q8 AS (SELECT vec_id, bucket,
+                      list_transform(embedding, x -> CAST(round(x::DOUBLE * 127) AS INT)) AS q
+               FROM sig),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS score
+              FROM q8 a JOIN q8 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        ir AS (SELECT qid, nid, score,
+                      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+               FROM p),
+        idx AS (SELECT qid, nid, rank AS pos FROM ir WHERE rank <= 3)"""
+
+  private val ndcgOpqIdxCtes: String = s"""
+        pm AS (SELECT list(i ORDER BY ('0x' || substr(md5('perm' || i), 1, 15))::BIGINT, i) AS p
+               FROM range(64) t(i)),
+        sg AS (SELECT list(CASE WHEN (('0x' || substr(md5('sf' || i), 1, 15))::BIGINT & 1) = 1
+                                THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+               FROM range(64) t(i)),
+        emb2 AS (SELECT e.vec_id,
+                        [CAST(sg.s[j + 1] * e.embedding[pm.p[j + 1] + 1] AS REAL)
+                         FOR j IN range(64)] AS embedding
+                 FROM embeddings e, pm, sg),
+        hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(64) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM emb2 e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM emb2 e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM emb2
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 8),
+        cb AS (SELECT s.s, cid, ce[s.s * 16 + 1 : s.s * 16 + 16] AS cw
+               FROM seeds, range(4) s(s)),
+        xs AS (SELECT vec_id, s.s, embedding[s.s * 16 + 1 : s.s * 16 + 16] AS x
+               FROM emb2, range(4) s(s)),
+        assign AS (
+          SELECT x.vec_id, x.s, c.cid,
+                 row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
+                   (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
+                    - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
+                   DESC, c.cid) AS crank
+          FROM xs x JOIN cb c ON x.s = c.s),
+        recon AS (
+          SELECT a.vec_id AS nid, flatten(list(c.cw ORDER BY a.s)) AS recon
+          FROM assign a JOIN cb c ON a.s = c.s AND a.cid = c.cid
+          WHERE a.crank = 1
+          GROUP BY a.vec_id),
+        p AS (SELECT a.vec_id AS qid, r.nid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * r.recon[i]::DOUBLE)) AS d
+              FROM sig a
+              JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              JOIN recon r ON r.nid = b.vec_id
+              WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        pr AS (SELECT qid, nid, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM p),
+        idx AS (SELECT qid, nid, rank AS pos FROM pr WHERE rank <= 3)"""
+
+  private val ndcgMatIdxCtes: String = """
+        hp AS (SELECT j.j, i.i,
+                      CASE WHEN (('0x' || substr(md5('hp' || j.j || '_' || i.i), 1, 15))::BIGINT & 1) = 1
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(4) j(j), range(16) i(i)),
+        sig AS (SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN sub.d > 0.0 THEN (1 << sub.j) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e JOIN (
+                  SELECT e2.vec_id, hp.j,
+                         sum(e2.embedding[hp.i + 1]::DOUBLE * hp.sgn) AS d
+                  FROM embeddings e2 JOIN hp ON true
+                  GROUP BY e2.vec_id, hp.j) sub ON e.vec_id = sub.vec_id
+                GROUP BY e.vec_id, e.embedding),
+        cand AS (SELECT a.vec_id AS qid, a.embedding AS qe,
+                        b.vec_id AS nid, b.embedding AS ne,
+                        list_sum(list_transform(range(1, 17),
+                          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS d16
+                 FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+                 WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        short AS (SELECT qid, nid, qe, ne,
+                         row_number() OVER (PARTITION BY qid ORDER BY d16 DESC, nid) AS r16
+                  FROM cand),
+        scored AS (SELECT qid, nid,
+                          list_sum(list_transform(range(1, 65),
+                            i -> qe[i]::DOUBLE * ne[i]::DOUBLE)) AS d
+                   FROM short WHERE r16 <= 8),
+        mr AS (SELECT qid, nid, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM scored),
+        idx AS (SELECT qid, nid, rank AS pos FROM mr WHERE rank <= 3)"""
+
+  private lazy val ndcgHierIdxCtes: String = s"""
+        $lloyd2Ctes,
+        $hierAssignCtes,
+        qf AS (
+          SELECT vec_id AS qid, embedding AS qe, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS fr
+            FROM vp v JOIN f2g f ON v.gid = f.gid)
+          WHERE fr <= 2),
+        sc AS (
+          SELECT q.qid, a.vec_id AS nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qe[i]::DOUBLE * a.embedding[i]::DOUBLE)) AS d
+          FROM qf q JOIN assigned a ON q.cid = a.cid AND q.qid <> a.vec_id),
+        hr AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM sc),
+        idx AS (SELECT qid, nid, rank AS pos FROM hr
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
+
   val all: Seq[Reg] = Seq(
 
     // ---- embedding hygiene validation (norms ≈ 1) -----------------------
@@ -1195,6 +1319,57 @@ object VecQueries {
           .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
       Some(ndcg3OracleSql(ndcgPqIdxCtes))),
+
+    // ---- NDCG@3 of the remaining index rungs (round-12) -----------------
+    // Completes the eval MATRIX: all nine graded index families now carry
+    // BOTH lenses (recall@3 and NDCG@3) against the one shared brute
+    // truth — int8 (integer-dot rerank), opq (rotated-space PQ),
+    // matryoshka (two-stage prefix retriever), and the two-level hier
+    // search join lsh/multiprobe/ivf/binary/pq. Each is the template
+    // applied to the pipeline its recall twin already mirrors.
+    Reg("ann_ndcg_int8",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir, VecOps.annInt8TopK(emb, planes = 4, k = 3)
+          .filter(keep)
+          .select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(ndcgInt8IdxCtes))),
+
+    Reg("ann_ndcg_opq",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir,
+          VecOps.pqTopK(VecOps.opqRotate(emb).localCheckpoint(), planes = 4, k = 3)
+            .filter(keep)
+            .select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(ndcgOpqIdxCtes))),
+
+    Reg("ann_ndcg_matryoshka",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir, VecOps.matryoshkaTopK(emb, planes = 4, mDims = 16,
+            shortlist = 8, k = 3)
+          .filter(keep)
+          .select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(ndcgMatIdxCtes))),
+
+    Reg("ann_ndcg_hier",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir,
+          VecOps.ivfHierTopK(emb, VecOps.lloyd2CentroidsShared(emb, dir),
+            fprobes = 2, k = 3)
+          .filter(keep)
+          .select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(ndcgHierIdxCtes))),
 
     // ---- ANN accuracy contract: recall@3 of IVF vs brute ground truth ---
     // The ann_recall_lsh twin for the cell-partitioned index: per query,

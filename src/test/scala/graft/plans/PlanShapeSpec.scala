@@ -379,7 +379,12 @@ class PlanShapeSpec extends SparkSpec {
     // round-12: hier-family accuracy contract (lloyd2+hier pipelines +
     // brute InMemoryScan + hit agg) and the multiprobe NDCG
     "ann_recall_hier" -> (9, 8),
-    "ann_ndcg_multiprobe" -> (6, 1))
+    "ann_ndcg_multiprobe" -> (6, 1),
+    // round-12: the eval-matrix completion (NDCG for the remaining rungs)
+    "ann_ndcg_int8" -> (6, 1),
+    "ann_ndcg_opq" -> (8, 7),
+    "ann_ndcg_matryoshka" -> (6, 3),
+    "ann_ndcg_hier" -> (10, 8))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
