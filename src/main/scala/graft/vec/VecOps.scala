@@ -614,7 +614,13 @@ object VecOps {
     * oracle, so the graded output is order- and engine-exact; a vector's
     * cell can differ from the flat argmax only when its true nearest
     * centroid's anchor is outside its probed set — the standard IVF
-    * recall trade, bought down by `probes`. */
+    * recall trade, bought down by `probes`. Edge case, mirrored
+    * identically by the oracle: Lloyd centroids are unnormalized means,
+    * so an anchor need not map to its own coarse cell and a cell can
+    * end up with zero fine members — a vector BOTH of whose probed
+    * cells are empty would drop from the assignment. Never observed on
+    * any fixture (semdedup row counts equal the corpus at all SFs);
+    * raise `probes` if a corpus ever trips it. */
   def hierAssign(vecs: DataFrame, idx: HierIndex): DataFrame = {
     graft.functions.DotF32.register(vecs.sparkSession)
     val heap = org.apache.spark.sql.functions.udaf(
