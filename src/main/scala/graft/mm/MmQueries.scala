@@ -100,7 +100,9 @@ object MmQueries {
     // banded by the COUNT-DRIVEN policy (round 12: autoChunkBits sizes
     // chunk width to ceil(log₂ n)+2, pigeonhole-capped — at the fixture
     // counts it resolves the same 4×8 banding the query used to pin by
-    // hand, at 100 TB it refuses to under-bucket). Recall is EXACT for
+    // hand; round 13: past the MaxAutoOccupancy=256 ceiling it FAILS
+    // LOUDLY instead of silently reproducing the capped banding whose
+    // 500 k-doc OOM the r11 ScaleDemo measured). Recall is EXACT for
     // any valid banding, so the oracle is the brute all-pairs
     // xor/bit_count (the simhash_neardup_pairs grading discipline:
     // Spark runs the banded Σ bucket² plan, DuckDB replays ground

@@ -198,6 +198,17 @@ object MultiModal {
       .filter(col("hd") <= maxHd)
   }
 
+  /** Occupancy ceiling for [[autoChunkBits]]: the policy REFUSES corpora
+    * whose expected bucket occupancy n / 2^bits exceeds this at the
+    * pigeonhole-capped width. In-bucket pair expansion is occ²/2 structs
+    * per bucket (total ≈ chunks·n·occ/2): the round-11 ScaleDemo measured
+    * occ ≈ 1 953 (500 k docs into 4×8-bit chunks) OOM-killing a 64 GiB
+    * heap, while occ ≈ 195 (the 50 k-doc 10× row, same banding) and
+    * occ ≈ 7.6 (500 k docs, 2×16) both completed. 256 separates the
+    * measured-fatal decade from the measured-fine ones with a decade of
+    * margin on each side. */
+  val MaxAutoOccupancy = 256L
+
   /** Chunk policy for [[hammingPairs]], derived from the corpus count
     * (round 12, closing the VERDICT r11 fixed-knob OOM): fewest chunks
     * the pigeonhole allows (maxHd+1 — every extra chunk position is a
@@ -205,30 +216,43 @@ object MultiModal {
     * useful — ceil(log₂ n)+2 bits makes expected bucket occupancy ≤ 1/4
     * under hash uniformity, so candidate fan-out is output-bound; width
     * past that buys nothing. Capped by fpBits/(maxHd+1) (chunks must be
-    * disjoint): a corpus hitting the cap with occupancy ≫ 1 has outgrown
-    * the fingerprint — at 32 bits and maxHd=3 that is exactly the 4×8
-    * ceiling whose 500 k-doc OOM the round-11 ScaleDemo recorded; the fix
-    * is a wider fingerprint, not a knob. The OUTPUT is invariant to the
-    * chunking (exact recall + exact hd filter for any valid config), so
-    * the policy is purely a physical-plan choice — oracles unaffected. */
+    * disjoint). A corpus hitting the cap with occupancy past
+    * [[MaxAutoOccupancy]] has OUTGROWN the fingerprint — the policy
+    * fails loudly (round 13, ADVICE r12: the former silent cap resolved
+    * 500 k docs at maxHd=3 to exactly the 4×8 banding whose OOM the
+    * round-11 ScaleDemo recorded) — the fix is a wider fingerprint or a
+    * lower maxHd, not a knob. The OUTPUT is invariant to the chunking
+    * (exact recall + exact hd filter for any valid config), so the
+    * policy is purely a physical-plan choice — oracles unaffected. */
   def autoChunkBits(fpBits: Int, maxHd: Int, n: Long): (Int, Int) = {
     val chunks = maxHd + 1
     val cap = fpBits / chunks
     require(cap >= 1, s"maxHd=$maxHd needs more than $fpBits fingerprint bits")
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
-    (chunks, math.min(cap, math.max(4, ceilLog2 + 2)))
+    val bits = math.min(cap, math.max(4, ceilLog2 + 2))
+    require(n <= (1L << bits) * MaxAutoOccupancy,
+      s"autoChunkBits: n=$n docs into 2^$bits buckets/chunk is expected " +
+        s"occupancy ${n >> bits} > $MaxAutoOccupancy — the corpus has " +
+        s"outgrown the $fpBits-bit fingerprint at maxHd=$maxHd (the " +
+        "measured-OOM regime); use a wider fingerprint or a lower maxHd")
+    (chunks, bits)
   }
 
   /** Count-driven [[hammingPairs]] — the production default: one count()
     * action sizes the banding to the corpus via [[autoChunkBits]] (the
     * [[graft.vec.VecOps.scaledLists]] discipline: sizing an index build
-    * to its corpus is worth one action). */
-  def hammingPairs(fps: DataFrame, maxHd: Int): DataFrame = {
+    * to its corpus is worth one action). `fpBits` is the fingerprint
+    * width the banding algebra assumes (round 13, ADVICE r12: this was
+    * hard-coded 32 while hammingPairs is generic over any (id,
+    * fingerprint) relation — a wider-fingerprint caller got cap and
+    * occupancy math silently sized for 32 bits); it defaults to 32 for
+    * the phash32 callers. */
+  def hammingPairs(fps: DataFrame, maxHd: Int, fpBits: Int = 32): DataFrame = {
     // checkpoint first: the count() and the banding pass would otherwise
     // each replay the upstream fingerprint computation; the materialized
     // relation is (id, fingerprint) — bounded
     val f = fps.localCheckpoint()
-    val (chunks, bits) = autoChunkBits(32, maxHd, f.count())
+    val (chunks, bits) = autoChunkBits(fpBits, maxHd, f.count())
     hammingPairs(f, chunks, bits, maxHd)
   }
 

@@ -51,4 +51,19 @@ class MultiModalSpec extends SparkSpec {
     assert(frames.filter(col("doc_id") === -1L).count() == 0)
     assert(frames.count() > 0)
   }
+
+  test("autoChunkBits resolves the fixture bandings and refuses the measured-OOM regime") {
+    // fixture-scale corpora resolve the pinned reference bandings
+    assert(MultiModal.autoChunkBits(32, 3, 500L) == (4, 8))
+    assert(MultiModal.autoChunkBits(32, 3, 5000L) == (4, 8))
+    assert(MultiModal.autoChunkBits(32, 1, 500000L) == (2, 16))
+    // the 10× decade (occ ≈ 195) measured fine — must stay allowed
+    assert(MultiModal.autoChunkBits(32, 3, 50000L) == (4, 8))
+    // the r11 OOM config (500 k docs, maxHd=3 → capped 4×8, occ ≈ 1953)
+    // must now fail loudly instead of silently resolving (ADVICE r12)
+    val e = intercept[IllegalArgumentException] {
+      MultiModal.autoChunkBits(32, 3, 500000L)
+    }
+    assert(e.getMessage.contains("outgrown"))
+  }
 }
