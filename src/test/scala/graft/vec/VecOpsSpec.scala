@@ -163,6 +163,40 @@ class VecOpsSpec extends SparkSpec {
     assert(after <= mid + 1e-9, s"step2 $mid -> $after")
   }
 
+  test("hierAssign preserves every input vector on the fixture corpus") {
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    val cent = VecOps.seedCentroids(emb, 16)
+    val assigned = VecOps.hierAssign(emb, VecOps.hierIndex(cent))
+    assert(assigned.count() == emb.count())
+    assert(assigned.filter($"cid".isNull).count() == 0)
+  }
+
+  test("hierAssign fails loudly when both probed coarse cells are empty") {
+    // Adversarial centroid table (VERDICT r12 #6): anchor A has a huge
+    // norm, so every fine centroid's nearest ANCHOR is A (unnormalized
+    // dots) — cells B/C/D end up with zero fine members. A query vector
+    // anti-aligned with A probes two EMPTY cells; before round 13 it
+    // silently vanished from the assignment, now the folded assert_true
+    // raises instead.
+    def v(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); pairs.foreach { case (i, x) => a(i) = x }; a
+    }
+    val cent = Seq(
+      (1L, v(0 -> 10.0f)),
+      (2L, v(0 -> 1.0f, 1 -> 0.5f)),
+      (3L, v(0 -> 1.0f, 2 -> 0.5f)),
+      (4L, v(0 -> 1.0f, 3 -> 0.5f))
+    ).toDF("cid", "ce")
+    val idx = VecOps.hierIndex(cent) // k=4 -> g=4: every centroid is an anchor
+    // all four fine centroids map to anchor 1 (dot with the big vector wins)
+    assert(idx.f2g.select($"gid").distinct().as[Long].collect().toSeq == Seq(1L))
+    val x = Seq((99L, v(0 -> -1.0f, 1 -> 1.0f, 2 -> 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] { VecOps.hierAssign(x, idx).collect() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("hierAssign"), s"unexpected failure: $msgs")
+  }
+
   test("LSH buckets are deterministic across runs") {
     val emb = graft.Tables(spark, sf("sf0.001")).embeddings
     val b1 = VecOps.lshBucket(emb, 4).select("vec_id", "bucket").collect()
