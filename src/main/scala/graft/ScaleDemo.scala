@@ -411,6 +411,31 @@ object ScaleDemo100 {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
         maxHd = 1).count())
 
+    // round-13: the k-means BUILD itself (VERDICT r12 #1 asked for the
+    // build's own decade row, not just its consumer queries) — 2 snapped
+    // Lloyd iterations at corpus-scaled k. The HIER rows are the
+    // production path (n·√k per iteration); the FLAT contrast below
+    // replays the retired per-iteration broadcast argmax (n·k = n²/128
+    // once k ∝ n) at 100×, where the class is loudest.
+    for ((dir, tag) <- decades if !skip(s"lloydBuildHier@$tag"))
+      time(s"lloyd2 build scaled-k HIER @ $tag")({
+        val emb = Tables(spark, dir).embeddings
+        var cent = graft.vec.VecOps.seedCentroids(emb,
+          graft.vec.VecOps.scaledLists(emb))
+        for (_ <- 0 until 2)
+          cent = graft.vec.VecOps.lloydStepHier(emb, cent, snap = true)
+        cent.count()
+      })
+    if (!skip("contrastLloydFlat@100x"))
+      timeN("CONTRAST lloyd2 build scaled-k FLAT @ 100x", 1)({
+        val emb = Tables(spark, out100).embeddings
+        var cent = graft.vec.VecOps.seedCentroids(emb,
+          graft.vec.VecOps.scaledLists(emb))
+        for (_ <- 0 until 2)
+          cent = graft.vec.VecOps.lloydStep(emb, cent, snap = true)
+        cent.count()
+      })
+
     // ---- fixed-knob defect contrast rows at 100× (single rep) ----------
     if (!skip("contrastLsh@100x"))
       timeN("CONTRAST annLshTopK planes=4 @ 100x", 1)(

@@ -33,12 +33,60 @@ object VecQueries {
                  FROM sig sa JOIN sig sb
                    ON sa.t = sb.t AND sa.bucket = sb.bucket AND sa.vec_id $cmp sb.vec_id)"""
 
+  /** DuckDB CTE block mirroring one [[VecOps.hierIndex]] +
+    * [[VecOps.hierAssign]] pass over the centroid CTE `cent`: ⌈√k⌉
+    * coarse anchor pick (smallest md5-of-cid — the seedCentroids
+    * sampling rule), fine→coarse map, per-vector 2-probe, argmax refine
+    * within probed cells. `sfx` suffixes every CTE name so the block can
+    * appear once per Lloyd iteration plus once for the final assignment
+    * in a single WITH; ends with `assigned$sfx(vec_id, embedding,
+    * cid)`. */
+  private def hierStageCtes(cent: String, sfx: String): String = s"""
+        kc$sfx AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS g
+               FROM $cent),
+        coarse$sfx AS (
+          SELECT gid, ge FROM (
+            SELECT cid AS gid, ce AS ge,
+                   row_number() OVER (ORDER BY
+                     ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 15))::BIGINT,
+                     cid) AS rn
+            FROM $cent), kc$sfx
+          WHERE rn <= kc$sfx.g),
+        f2g$sfx AS (
+          SELECT gid, cid, ce FROM (
+            SELECT g.gid, f.cid, f.ce,
+                   row_number() OVER (PARTITION BY f.cid ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> f.ce[i]::DOUBLE * g.ge[i]::DOUBLE)) DESC, g.gid) AS r
+            FROM $cent f JOIN coarse$sfx g ON true)
+          WHERE r = 1),
+        vp$sfx AS (
+          SELECT vec_id, embedding, gid FROM (
+            SELECT e.vec_id, e.embedding, g.gid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> e.embedding[i]::DOUBLE * g.ge[i]::DOUBLE)) DESC, g.gid) AS pr
+            FROM embeddings e JOIN coarse$sfx g ON true)
+          WHERE pr <= 2),
+        assigned$sfx AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS crank
+            FROM vp$sfx v JOIN f2g$sfx f ON v.gid = f.gid)
+          WHERE crank = 1)"""
+
   /** DuckDB CTEs mirroring [[VecOps.lloyd2CentroidsShared]] exactly:
     * md5-ordered seed sample with k = max(16, ceil(n/TargetCellSize))
     * (the corpus-scaled k formula — both sides resolve 16 at the
     * fixtures' 500/2000 vectors), two snapped (1e-4 grid) Lloyd
-    * iterations. Ends with `c2(cid, ce)` — the centroid table both
-    * ivf_lloyd2_topk and semdedup_keep consume. */
+    * iterations whose assignments are HIERARCHICAL (round 13,
+    * VERDICT r12 #1: each iteration replays the full hierIndex +
+    * hierAssign pass over that iteration's centroids — the
+    * [[hierStageCtes]] block with per-iteration suffixes). Ends with
+    * `c2(cid, ce)` — the centroid table both ivf_lloyd2_topk and
+    * semdedup_keep consume. */
   private val lloyd2Ctes = s"""
         seeds AS (
           SELECT cid, ce FROM (
@@ -49,27 +97,17 @@ object VecQueries {
                    count(*) OVER () AS n
             FROM embeddings)
           WHERE rn <= greatest(16, CAST(ceil(n / ${VecOps.TargetCellSize}.0) AS BIGINT))),
-        a1 AS (
-          SELECT a.vec_id, a.embedding, b.cid,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                   list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN seeds b ON true),
+        ${hierStageCtes("seeds", "_i1")},
         m1 AS (
           SELECT cid, i.i AS i,
                  CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
-          FROM a1, range(64) i(i) WHERE crank = 1 GROUP BY cid, i.i),
+          FROM assigned_i1, range(64) i(i) GROUP BY cid, i.i),
         c1 AS (SELECT cid, list(mf ORDER BY i) AS ce FROM m1 GROUP BY cid),
-        a2 AS (
-          SELECT a.vec_id, a.embedding, b.cid,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                   list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN c1 b ON true),
+        ${hierStageCtes("c1", "_i2")},
         m2 AS (
           SELECT cid, i.i AS i,
                  CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
-          FROM a2, range(64) i(i) WHERE crank = 1 GROUP BY cid, i.i),
+          FROM assigned_i2, range(64) i(i) GROUP BY cid, i.i),
         c2 AS (SELECT cid, list(mf ORDER BY i) AS ce FROM m2 GROUP BY cid)"""
 
   /** The semdedup oracle, shared verbatim with the streaming twin
@@ -79,45 +117,12 @@ object VecQueries {
     * (Defined before `all` — a forward reference from the Reg seq would
     * read null at object init.) */
   /** DuckDB CTEs mirroring [[VecOps.hierIndex]] + [[VecOps.hierAssign]]
-    * over the `c2` centroid table: coarse anchor pick (⌈√k⌉ smallest
-    * md5-of-cid), fine→coarse map, per-vector 2-probe, refine within
-    * probed cells. Ends with `assigned(vec_id, embedding, cid)` — shared
-    * by the semdedup oracle and the two-level IVF search oracle. */
-  private val hierAssignCtes: String = s"""
-        kc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS g
-               FROM c2),
-        coarse AS (
-          SELECT gid, ge FROM (
-            SELECT cid AS gid, ce AS ge,
-                   row_number() OVER (ORDER BY
-                     ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 15))::BIGINT,
-                     cid) AS rn
-            FROM c2), kc
-          WHERE rn <= kc.g),
-        f2g AS (
-          SELECT gid, cid, ce FROM (
-            SELECT g.gid, f.cid, f.ce,
-                   row_number() OVER (PARTITION BY f.cid ORDER BY
-                     list_sum(list_transform(range(1, 65),
-                       i -> f.ce[i]::DOUBLE * g.ge[i]::DOUBLE)) DESC, g.gid) AS r
-            FROM c2 f JOIN coarse g ON true)
-          WHERE r = 1),
-        vp AS (
-          SELECT vec_id, embedding, gid FROM (
-            SELECT e.vec_id, e.embedding, g.gid,
-                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                     list_sum(list_transform(range(1, 65),
-                       i -> e.embedding[i]::DOUBLE * g.ge[i]::DOUBLE)) DESC, g.gid) AS pr
-            FROM embeddings e JOIN coarse g ON true)
-          WHERE pr <= 2),
-        assigned AS (
-          SELECT vec_id, embedding, cid FROM (
-            SELECT v.vec_id, v.embedding, f.cid,
-                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                     list_sum(list_transform(range(1, 65),
-                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS crank
-            FROM vp v JOIN f2g f ON v.gid = f.gid)
-          WHERE crank = 1)"""
+    * over the `c2` centroid table — the FINAL assignment, the same
+    * [[hierStageCtes]] block the Lloyd iterations use, unsuffixed. Ends
+    * with `assigned(vec_id, embedding, cid)` — shared by the semdedup
+    * oracle and the two-level IVF search oracle (whose qf CTEs also read
+    * `vp`/`f2g`). */
+  private val hierAssignCtes: String = hierStageCtes("c2", "")
 
   /** The semdedup oracle, shared verbatim with the streaming twin
     * (`streaming_semdedup_keep`): the incremental foreachBatch pipeline
