@@ -676,7 +676,14 @@ object VecOps {
     * physical plan is unchanged) and falls back to a gid-keyed shuffle
     * join when k ∝ n outgrows executor memory — the hint was the last
     * k-sized broadcast ceiling on this path. */
-  def hierAssign(vecs: DataFrame, idx: HierIndex): DataFrame = {
+  /** Fine-centroid candidate scores of the two-level routing: for each
+    * vector, every fine centroid inside its `probes` best coarse cells,
+    * as (vec_id, cid, cd) — expected probes·√k rows per vector. The
+    * shared candidate stage: [[hierAssign]] is the argmax over this
+    * relation, silhouette's cohesion/separation pair is its top-2. Each
+    * cid appears at most once per vector (probed gids are distinct and
+    * f2g maps each fine centroid to exactly one anchor). */
+  def hierCandidates(vecs: DataFrame, idx: HierIndex): DataFrame = {
     graft.functions.DotF32.register(vecs.sparkSession)
     val heap = org.apache.spark.sql.functions.udaf(
       new graft.functions.TopKAggregator(idx.probes),
@@ -688,9 +695,15 @@ object VecOps {
       .agg(heap(col("vg"), col("gid")).as("top"))
       .select(col("vec_id"), explode(col("top")).as("t"))
       .select(col("vec_id"), col("t.id").as("gid"))
-    val best = probed.join(v, "vec_id")
+    probed.join(v, "vec_id")
       .join(idx.f2g, "gid")
       .withColumn("cd", expr("dot_f32(embedding, ce)"))
+      .select(col("vec_id"), col("cid"), col("cd"))
+  }
+
+  def hierAssign(vecs: DataFrame, idx: HierIndex): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"))
+    val best = hierCandidates(vecs, idx)
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("cd"), (-col("cid")).as("nc"))).as("cid"))
     v.join(best, Seq("vec_id"), "left")

@@ -881,34 +881,40 @@ object VecQueries {
     // watches SIZES, not separation): per-cluster cohesion via the
     // simplified silhouette (Hruschka et al., public) — distances to
     // CENTROIDS only, never member pairs, which is what makes silhouette
-    // computable at 100 TB (O(n·k) broadcast pass, the assignment shape,
-    // vs the classic O(n²) per-pair form). With L2-normalized vectors
-    // and cosine distance d = 1 − dot: a = 1 − dot₁ (own centroid),
-    // b = 1 − dot₂ (best other), s = (b − a)/b = (dot₁ − dot₂)/(1 − dot₂)
-    // — one identical double tree over the established dot contract,
-    // rounded to micros per vector then integer-aggregated per cluster.
-    // Reuses the session-shared 2-iter Lloyd centroids (same build the
-    // IVF/SemDeDup family grades against).
+    // computable at 100 TB. Round 13 (VERDICT r12 #2): the centroid
+    // distances route through the HIERARCHICAL candidate stage (2-probe
+    // coarse → fine centroids in probed cells, n·√k·3 dots), retiring
+    // this query's flat crossJoin(broadcast(cent)) — the last O(n·k)
+    // assignment-shaped pass with k ∝ n. d1/d2 are the top-2 candidate
+    // dots via the bounded heap ((cd DESC, cid ASC) ≡ the oracle's
+    // row_number cut); own cluster = the argmax cid, exactly hierAssign's
+    // assignment, so membership agrees with the semdedup family. b (best
+    // OTHER centroid) is now best-other-WITHIN-PROBED-CELLS — the same
+    // probe approximation the assignment itself makes; a vector whose
+    // probed cells hold only one fine centroid has no separation term
+    // and drops from the stat (mirrored: oracle t2 is an inner join).
+    // With L2-normalized vectors and cosine distance d = 1 − dot:
+    // s = (dot₁ − dot₂)/(1 − dot₂), rounded to micros per vector then
+    // integer-aggregated per cluster. Reuses the session-shared 2-iter
+    // hierarchical Lloyd centroids (same build the IVF/SemDeDup family
+    // grades against).
     Reg("silhouette_simplified",
       (s, dir) => {
         graft.functions.DotF32.register(s)
         val emb = Tables(s, dir).embeddings
         val cent = VecOps.lloyd2CentroidsShared(emb, dir)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
-        val ranked = emb.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cent))
-          .withColumn("cd", expr("dot_f32(embedding, ce)"))
-          .withColumn("crank", row_number().over(w))
-          .filter(col("crank") <= 2)
-        val top1 = ranked.filter(col("crank") === 1)
-          .select(col("vec_id"), col("cid"), col("cd").as("d1"))
-        val top2 = ranked.filter(col("crank") === 2)
-          .select(col("vec_id"), col("cd").as("d2"))
+        val heap2 = org.apache.spark.sql.functions.udaf(
+          new graft.functions.TopKAggregator(2),
+          org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
         // d2 == 1.0 exactly ⇒ zero denominator; Spark would cast the
         // resulting Inf/NaN while DuckDB errors on the cast — sentinel 0
         // on BOTH sides (the pearson/ccf zero-variance discipline).
-        top1.join(top2, "vec_id")
+        VecOps.hierCandidates(emb, VecOps.hierIndex(cent))
+          .groupBy(col("vec_id"))
+          .agg(heap2(col("cd"), col("cid")).as("top"))
+          .filter(size(col("top")) === 2)
+          .select(col("vec_id"), expr("top[0].id").as("cid"),
+            expr("top[0].score").as("d1"), expr("top[1].score").as("d2"))
           .withColumn("s_um", expr(
             """CASE WHEN d2 >= CAST(1 AS DOUBLE) THEN CAST(0 AS BIGINT)
                ELSE CAST(round((d1 - d2) / (CAST(1 AS DOUBLE) - d2)
@@ -924,14 +930,15 @@ object VecQueries {
       },
       Some(s"""
         WITH $lloyd2Ctes,
+        $hierAssignCtes,
         ranked AS (
-          SELECT a.vec_id, b.cid,
+          SELECT v.vec_id, f.cid,
                  list_sum(list_transform(range(1, 65),
-                   i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) AS cd,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) AS cd,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
                    list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN c2 b ON true),
+                     i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS crank
+          FROM vp v JOIN f2g f ON v.gid = f.gid),
         t1 AS (SELECT vec_id, cid, cd AS d1 FROM ranked WHERE crank = 1),
         t2 AS (SELECT vec_id, cd AS d2 FROM ranked WHERE crank = 2),
         sil AS (SELECT t1.cid,

@@ -290,10 +290,11 @@ class PlanShapeSpec extends SparkSpec {
     "dispersion_index_hourly" -> (5, 2),
     // (word, doc) agg + word agg + sort — two linear shuffles
     "word_burstiness" -> (3, 0),
-    // broadcast centroid assignment (shared Lloyd build reads the
-    // InMemoryScan) + vec-keyed window + top1/top2 self-join + cluster
-    // agg + sort
-    "silhouette_simplified" -> (4, 2),
+    // round-13 hierarchical candidate stage (coarse heap agg + unhinted
+    // f2g join + top-2 heap agg replacing the flat broadcast-assignment
+    // window and the top1/top2 self-join) + cluster agg + sort; the
+    // shared Lloyd build reads the InMemoryScan
+    "silhouette_simplified" -> (3, 3),
     // hour agg + lo/hi single-row agg + calendar-bounded window + sort;
     // hour counts, the spine anchor, and the 24-row seasonal table all
     // broadcast
