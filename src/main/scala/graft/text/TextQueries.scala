@@ -1809,6 +1809,104 @@ object TextQueries {
         ORDER BY nr.r
       """)),
 
+    // ---- SGT-smoothed unigram perplexity scoring (round-13) -------------
+    // The consumer that closes the LM-smoothing shelf symmetrically
+    // (VERDICT r12 #7): add-one and Kneser-Ney both have perplexity
+    // scorers; Simple Good-Turing only emitted its smoothed table. Score
+    // every document under the SGT unigram model: a word with training
+    // count r carries probability r*_sgt/N (Gale & Sampson's discounted
+    // count over total tokens), so per-token
+    //   nll = ln N − ln r*_sgt
+    //       = ln N − (ln(r+1) + b·(ln(r+1) − ln(r)))
+    // — ONE double tree whose leaves are ln's of exact integers and the
+    // micro-quantized slope, identical on both engines, rounded to
+    // integer micros per DISTINCT r (a vocabulary-bounded table), then
+    // integer-summed per document. Rare words (small r, steep discount)
+    // score high; boilerplate scores low — the same curation use as
+    // lm/kn_perplexity but trained on unigram frequency classes only,
+    // which is the model that stays estimable on tiny per-language
+    // slices. avg uses the sign-split div (b > 0 on a degenerate
+    // frequency table can push a term negative; natural corpora give
+    // b < 0 and non-negative nll). Scale shape: two vocabulary-bounded
+    // aggs + the OLS fold + a w-keyed join back (NOT hint-broadcast —
+    // the lm_perplexity rationale: AQE broadcasts while the count table
+    // is actually small) + one doc agg.
+    Reg("sgt_perplexity_score",
+      (s, dir) => {
+        val tok = Tables(s, dir).documents
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val nr = cnt.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+        val fit = nr
+          .withColumn("x", expr("ln(CAST(r AS DOUBLE))"))
+          .withColumn("y", expr("ln(CAST(n_r AS DOUBLE))"))
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(struct(col("r"), col("x"), col("y")))).as("arr"))
+          .withColumn("sx", expr("aggregate(arr, CAST(0 AS DOUBLE), (a, s) -> a + s.x)"))
+          .withColumn("sy", expr("aggregate(arr, CAST(0 AS DOUBLE), (a, s) -> a + s.y)"))
+          .withColumn("sxy", expr("aggregate(arr, CAST(0 AS DOUBLE), (a, s) -> a + s.x * s.y)"))
+          .withColumn("sxx", expr("aggregate(arr, CAST(0 AS DOUBLE), (a, s) -> a + s.x * s.x)"))
+          .select(expr(
+            "CASE WHEN n * sxx - sx * sx = CAST(0 AS DOUBLE) THEN 0L" +
+              " ELSE CAST(round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000) AS BIGINT)" +
+              " END").as("slope_um"))
+        val tot = tok.agg(count(lit(1)).as("n_tok"))
+        val nll = nr.crossJoin(broadcast(fit)).crossJoin(broadcast(tot))
+          .select(col("r"), expr(
+            "CAST(round((ln(CAST(n_tok AS DOUBLE)) -" +
+              " (ln(CAST(r + 1 AS DOUBLE)) +" +
+              " (CAST(slope_um AS DOUBLE) / 1000000.0) *" +
+              " (ln(CAST(r + 1 AS DOUBLE)) - ln(CAST(r AS DOUBLE)))))" +
+              " * CAST(1000000 AS DOUBLE)) AS BIGINT)").as("nll_um"))
+        tok.join(cnt, "w").join(nll, col("c") === col("r"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("nll_um")).as("nll_sum_um"))
+          .select(col("doc_id"), col("n_tokens"), col("nll_sum_um"),
+            expr("CASE WHEN nll_sum_um >= 0 THEN nll_sum_um div n_tokens" +
+              " ELSE -((-nll_sum_um) div n_tokens) END").as("avg_nll_um"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        nr AS (SELECT c AS r, count(*) AS n_r FROM cnt GROUP BY 1),
+        p AS (SELECT r, ln(CAST(r AS DOUBLE)) AS x,
+                     ln(CAST(n_r AS DOUBLE)) AS y
+              FROM nr),
+        sums AS (
+          SELECT count(*) AS n,
+                 list_sum(list(x ORDER BY r)) AS sx,
+                 list_sum(list(y ORDER BY r)) AS sy,
+                 list_sum(list(x * y ORDER BY r)) AS sxy,
+                 list_sum(list(x * x ORDER BY r)) AS sxx
+          FROM p),
+        fit AS (
+          SELECT CASE WHEN n * sxx - sx * sx = CAST(0 AS DOUBLE) THEN 0
+                 ELSE CAST(round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000) AS BIGINT)
+                 END AS slope_um
+          FROM sums),
+        tot AS (SELECT count(*) AS n_tok FROM tok),
+        nll AS (SELECT nr.r,
+                       CAST(round((ln(CAST(tot.n_tok AS DOUBLE)) -
+                         (ln(CAST(nr.r + 1 AS DOUBLE)) +
+                          (CAST(fit.slope_um AS DOUBLE) / 1000000.0) *
+                          (ln(CAST(nr.r + 1 AS DOUBLE)) - ln(CAST(nr.r AS DOUBLE)))))
+                         * CAST(1000000 AS DOUBLE)) AS BIGINT) AS nll_um
+                FROM nr, fit, tot),
+        terms AS (SELECT tok.doc_id, nll.nll_um
+                  FROM tok JOIN cnt ON tok.w = cnt.w
+                  JOIN nll ON cnt.c = nll.r),
+        agg AS (SELECT doc_id, count(*) AS n_tokens,
+                       CAST(sum(nll_um) AS BIGINT) AS nll_sum_um
+                FROM terms GROUP BY 1)
+        SELECT doc_id, n_tokens, nll_sum_um,
+               CAST(CASE WHEN nll_sum_um >= 0 THEN nll_sum_um // n_tokens
+                    ELSE -((-nll_sum_um) // n_tokens) END AS BIGINT) AS avg_nll_um
+        FROM agg
+        ORDER BY doc_id
+      """)),
+
     // ---- vocabulary richness per source: type-token ratio ---------------
     // Corpus-quality dashboard stat: distinct token types vs total tokens
     // per source. countDistinct is an exact two-phase agg (partial sets

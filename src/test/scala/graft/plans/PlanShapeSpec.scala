@@ -390,7 +390,10 @@ class PlanShapeSpec extends SparkSpec {
     "ann_ndcg_int8" -> (6, 1),
     "ann_ndcg_opq" -> (8, 7),
     "ann_ndcg_matryoshka" -> (6, 3),
-    "ann_ndcg_hier" -> (11, 7))
+    "ann_ndcg_hier" -> (11, 7),
+    // round-13: SGT unigram perplexity (token agg + count-class agg +
+    // OLS fold + w-keyed count join-back + r join + doc agg + sort)
+    "sgt_perplexity_score" -> (9, 4))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
