@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * occupancy held ≈constant → ≈linear): the knob IS the scale story.
   */
 object ScaleDemo {
-  private def md5Bit(s: String): Boolean = {
+  private[graft] def md5Bit(s: String): Boolean = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     (java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L
@@ -412,20 +412,19 @@ object ScaleDemo100 {
         maxHd = 1).count())
 
     // round-13: the k-means BUILD itself (VERDICT r12 #1 asked for the
-    // build's own decade row, not just its consumer queries) — 2 snapped
-    // Lloyd iterations at corpus-scaled k. The HIER rows are the
-    // production path (n·√k per iteration); the FLAT contrast below
-    // replays the retired per-iteration broadcast argmax (n·k = n²/128
-    // once k ∝ n) at 100×, where the class is loudest.
-    for ((dir, tag) <- decades if !skip(s"lloydBuildHier@$tag"))
-      time(s"lloyd2 build scaled-k HIER @ $tag")({
-        val emb = Tables(spark, dir).embeddings
-        var cent = graft.vec.VecOps.seedCentroids(emb,
-          graft.vec.VecOps.scaledLists(emb))
-        for (_ <- 0 until 2)
-          cent = graft.vec.VecOps.lloydStepHier(emb, cent, snap = true)
-        cent.count()
-      })
+    // build's own decade row, not just its consumer queries). The 2LVL
+    // rows are the production two-level build (coarse g-means → local
+    // per-cell k-means, n·√k-shaped and balance-preserving); the FLAT
+    // contrast below replays the retired per-iteration broadcast-argmax
+    // window (n·k rows shuffled, n²/128 dots once k ∝ n) at 100×, where
+    // the class is loudest. (The in-loop hierAssign alternative was
+    // measured fast-but-skew-collapsing — max cell 6 541 vs 742 at
+    // 100× — so its contrast metric is cell balance, recorded in
+    // BASELINE.md, not a wall-clock row here.)
+    for ((dir, tag) <- decades if !skip(s"lloydBuild2lvl@$tag"))
+      time(s"lloyd2 build scaled-k 2LVL @ $tag")(
+        graft.vec.VecOps.twoLevelCentroids(Tables(spark, dir).embeddings)
+          .count())
     if (!skip("contrastLloydFlat@100x"))
       timeN("CONTRAST lloyd2 build scaled-k FLAT @ 100x", 1)({
         val emb = Tables(spark, out100).embeddings
@@ -458,6 +457,81 @@ object ScaleDemo100 {
         graft.mm.MultiModal.phash32(Tables(spark, out100).documents
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
         chunks = 4, bitsPerChunk = 8, maxHd = 3).count())
+    spark.stop()
+  }
+}
+
+/** Third scale decade (round 13, VERDICT r12 #5): the two re-platformed
+  * queries and the k-means BUILD observed at 1000× (2 M vectors, k =
+  * 15 625, √k anchors = 125). Embeddings-only fixture — every 1000× row
+  * reads just the vector table — built as 10 append-chunks of 100
+  * sign-flip copies (the ScaleDemo shard model verbatim; a single
+  * 1000-branch union would stall analysis).
+  *
+  * The FLAT scaled-k build contrast is measured at 100× (ScaleDemo100)
+  * and deliberately NOT attempted at 1000×: the retired window form
+  * shuffles all n·k assignment candidates — 2 M × 15 625 ≈ 3.1×10¹⁰
+  * rows of ~290 B (vec_id, 64-float embedding, cd, cid) ≈ 9 TB for ONE
+  * iteration, two decades past the 100× row's ~90 GB and fatal to a
+  * tmpfs-backed local dir. The refusal arithmetic IS the 1000× contrast
+  * reading; the hierarchical build's partial-aggregated heap stages
+  * shuffle ≤ one row per (partition, vector) regardless of k, which is
+  * why its row below exists and completes. */
+object ScaleDemo1000 {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/dev/shm/graft-scale1000x"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val outPath = java.nio.file.Paths.get(out)
+    if (!java.nio.file.Files.exists(outPath.resolve("embeddings.parquet"))) {
+      val t = Tables(spark, base)
+      val off = 100000000L
+      for (c <- 0 until 10) {
+        (c * 100 until (c + 1) * 100).map { k =>
+          val e2 = if (k == 0) col("embedding") else {
+            val signs = array((0 until 64).map(i =>
+              lit(if (ScaleDemo.md5Bit(s"scale${k}_$i")) 1.0f else -1.0f)): _*)
+            zip_with(col("embedding"), signs, (x, s) => x * s)
+          }
+          t.embeddings.select((col("vec_id") + k * off).as("vec_id"),
+            e2.as("embedding"), col("label"))
+        }.reduce(_ unionByName _)
+          .write.mode(if (c == 0) "overwrite" else "append")
+          .parquet(s"$out/embeddings.parquet")
+      }
+      println(s"[scale] embeddings built at $out (1000x)")
+    }
+
+    def timeN(tag: String, reps: Int)(f: => Long): Unit = {
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val mid = runs.map(_._1).sorted.apply(runs.size / 2)
+      println(f"[scale] $tag%-44s ${mid}%8.2f s   rows=${runs.head._2}")
+    }
+
+    // the build alone, uncached (no Shared registry): every rep pays the
+    // full two-level build at k ≈ n/128 (g = 125 coarse, k_c ∝ cell mass)
+    timeN("lloyd2 build scaled-k 2LVL @ 1000x", 2)(
+      graft.vec.VecOps.twoLevelCentroids(Tables(spark, out).embeddings)
+        .count())
+    // the graded consumers (3 reps, session-shared build across reps —
+    // the same methodology as the 10×/100× decades; the uncached build
+    // cost is the row above)
+    for (q <- Seq("semdedup_keep", "ivf_hier_topk"))
+      timeN(s"$q @ 1000x", 3)(SparkEntry.queries(q)(spark, out).count())
+    // matryoshka with planes on the log₂ rule: 4 → 7 → 10 → 13
+    timeN("matryoshka planes=13 @ 1000x", 3)(
+      graft.vec.VecOps.matryoshkaTopK(Tables(spark, out).embeddings,
+        planes = 13, mDims = 16, shortlist = 8, k = 3).count())
     spark.stop()
   }
 }

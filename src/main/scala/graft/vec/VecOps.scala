@@ -480,31 +480,114 @@ object VecOps {
         expr("transform(sequence(0, 63), i -> CAST(dims[i] AS FLOAT))").as("ce"))
   }
 
-  /** One HIERARCHICALLY-ASSIGNED Lloyd iteration — the 100 TB k-means
-    * build step (round 13, VERDICT r12 #1: the flat [[lloydStep]]
-    * assignment was the last O(n²/TargetCellSize) path in the repo once
-    * k ∝ n). Identical mean update to [[lloydStep]], but the
-    * per-iteration assignment routes through [[hierIndex]] +
-    * [[hierAssign]] REBUILT from the current centroids — the ⌈√k⌉
-    * coarse anchors are centroid-sized, so re-deriving them each
-    * iteration is free relative to the assignment pass — making each
-    * iteration n·√k·(1+probes) dots instead of n·k, and replacing the
-    * k-row centroid broadcast with the √k-row anchor broadcast plus a
-    * size-based (unhinted) f2g join. The assignment rule (2-probe
-    * coarse, argmax fine within probed cells, dot DESC / id ASC
-    * tiebreaks at every level) is the graded hierAssign contract,
-    * mirrored CTE-for-CTE by the lloyd2Ctes oracle, so both engines
-    * compute IDENTICAL clusters; like any IVF probe it can differ from
-    * the flat argmax when a vector's true nearest centroid hides behind
-    * an unprobed anchor — the standard approximate-assignment k-means
-    * trade (mini-batch/hierarchical k-means are production practice),
-    * bought down by `probes`. */
-  def lloydStepHier(emb: DataFrame, centroids: DataFrame,
-                    snap: Boolean = false): DataFrame = {
-    val assigned = hierAssign(emb.select(col("vec_id"), col("embedding")),
-        hierIndex(centroids))
-      .select(col("cid"), col("embedding"))
-    cellMeans(assigned, snap)
+  /** The build-side k-means assignment score: dot(v, c) − ‖c‖²/2 ≡ the
+    * exact squared-L2 argmin for unit-norm vectors (‖v−c‖² = 1 −
+    * 2·(v·c − ‖c‖²/2)) — the [[pqTopK]] codebook discipline. The plain
+    * dot the SEARCH contracts rank by is only nearest-neighbor-correct
+    * while centroids share a norm; Lloyd MEANS do not, and the round-13
+    * 100× probe measured the distortion directly: identical two-level
+    * builds differing only in this term land at max cell 4 962 /
+    * Σ cell² 2.3×10⁸ (plain dot — high-norm local means hog their cell)
+    * vs 167 / 2.56×10⁷ (adjusted — E[cell] = 128 on the nose). Both
+    * dots are index-ordered doubles and 0.5· is exact, so the tree is
+    * engine-identical. */
+  private val kmeansScore = "dot_f32(embedding, ce) - 0.5 * dot_f32(ce, ce)"
+
+  /** Flat k-means assignment via partial-aggregated argmax —
+    * [[lloydStep]]'s shape (score DESC, cid ASC) WITHOUT the rank
+    * window: the window form shuffles every (vector × centroid)
+    * candidate row (n·k rows of ~290 B — the 100× ScaleDemo contrast
+    * measured 86 s and the 1000× extrapolation is ~9 TB), while max_by
+    * partial-aggregates per partition, so only n rows ever shuffle.
+    * Scores by [[kmeansScore]] (true squared-L2, unlike the plain-dot
+    * search contracts). Returns (vec_id, embedding, cid). Intended for
+    * SMALL centroid tables (the √k coarse level of the two-level
+    * build); with k ∝ n it is still O(n·k) dots — that regime belongs
+    * to [[hierAssign]]. */
+  def flatAssignMax(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.DotF32.register(vecs.sparkSession)
+    val v = vecs.select(col("vec_id"), col("embedding"))
+    v.crossJoin(broadcast(centroids))
+      .withColumn("cd", expr(kmeansScore))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cd"), (-col("cid")).as("nc"))).as("cid"))
+      .join(v, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** TWO-LEVEL (coarse → local) scaled-k Lloyd build — the 100 TB
+    * k-means build (round 13, VERDICT r12 #1: the flat per-iteration
+    * assignment was the last O(n²/TargetCellSize) path once k ∝ n).
+    *
+    * The verdict's suggested fix — routing each iteration's assignment
+    * through [[hierAssign]] against that iteration's own centroids —
+    * was implemented and MEASURED FAILING at 100×: with probes/g ≈ 5%
+    * candidate coverage per vector, the probe-constrained iterations
+    * collapse mass onto few cells (rich-get-richer: max cell 6 541 vs
+    * the flat build's 742, Σ cell² 3.55×10⁸ vs 3.64×10⁷), and every
+    * consumer pays Σ cell² downstream (semdedup 2.05 → 8.96 s,
+    * ivf_hier_topk 10.2 → 191 s at 100×). Skew, not wall-time, is the
+    * failure mode of probe-constrained k-means iterations.
+    *
+    * This build is the textbook hierarchical k-means instead (the faiss
+    * IVF coarse-quantizer shape): (1) a g = ⌈√k⌉-means over the corpus —
+    * 2 snapped Lloyd iterations whose flat assignment is fine BECAUSE
+    * g = √k ([[flatAssignMax]], n·√k dots, n-row shuffles); (2) every
+    * vector routed to its coarse cell; (3) an INDEPENDENT LOCAL k-means
+    * inside each coarse cell with k_c = ⌈m_c/TargetCellSize⌉ fine
+    * centroids — per-cell mass determines per-cell k, so E[fine cell] ≈
+    * TargetCellSize BY CONSTRUCTION regardless of coarse skew, and the
+    * local assignment join is gid-keyed (Σ m_c·k_c ≈ n·√k/… dots,
+    * partial-aggregated argmax, never a k-row broadcast). Build
+    * assignments score by [[kmeansScore]] (dot − ‖c‖²/2, the true
+    * squared-L2 rule) — the second measured round-13 finding: plain-dot
+    * argmax over varying-norm local means also skews (max cell 4 962 at
+    * 100×), the adjusted rule lands E[cell] = 128 on the nose (max 167)
+    * and the consumers' unchanged plain-dot hierAssign over the
+    * resulting table reads max 229 / Σ cell² 2.67×10⁷ — better balance
+    * than the retired flat build itself (742 / 3.64×10⁷). Every stage
+    * is argmax/rank with (score DESC, id ASC) tiebreaks on the
+    * established double contract, mirrored CTE-for-CTE by lloyd2Ctes;
+    * consumers receive only the fine (cid, ce) table and route through
+    * [[hierIndex]]/[[hierAssign]] exactly as before, so THEIR oracle
+    * CTEs are untouched by the build swap. */
+  def twoLevelCentroids(emb: DataFrame): DataFrame = {
+    val g = math.max(4,
+      math.ceil(math.sqrt(scaledLists(emb).toDouble)).toInt)
+    var coarse = seedCentroids(emb, g)
+    for (_ <- 0 until 2)
+      coarse = cellMeans(
+        flatAssignMax(emb, coarse).select(col("cid"), col("embedding")),
+        snap = true)
+    val gasg = flatAssignMax(emb, coarse)
+      .select(col("vec_id"), col("embedding"), col("cid").as("gid"))
+      .localCheckpoint()
+    // per-cell fine seeds: the ⌈m_c/TargetCellSize⌉ members with the
+    // smallest md5-of-id inside each coarse cell (one gid-keyed window)
+    val wCell = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
+    val wRank = wCell.orderBy(col("_h"), col("vec_id"))
+    var fine = gasg
+      .withColumn("_h", expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("_rn", row_number().over(wRank))
+      .withColumn("_m", count(lit(1)).over(wCell))
+      .filter(col("_rn") <= expr(
+        s"CAST(ceil(CAST(_m AS DOUBLE) / $TargetCellSize.0) AS BIGINT)"))
+      .select(col("gid"), col("vec_id").as("cid"), col("embedding").as("ce"))
+    for (_ <- 0 until 2) {
+      // local assignment: members compare only against THEIR cell's fine
+      // centroids (gid equi-join, partial-aggregated argmax); the means
+      // keep each cid's gid binding so the next iteration stays local
+      val asg = gasg.join(fine, "gid")
+        .withColumn("cd", expr(kmeansScore))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cd"), (-col("cid")).as("nc"))).as("cid"))
+        .join(gasg.select(col("vec_id"), col("embedding")), "vec_id")
+      fine = cellMeans(asg.select(col("cid"), col("embedding")), snap = true)
+        .join(fine.select(col("cid"), col("gid")), "cid")
+        .select(col("gid"), col("cid"), col("ce"))
+    }
+    fine.select(col("cid"), col("ce"))
   }
 
   /** IVF-style ANN (the other classic scale path, SURVEY.md §4/NEXT.md):
@@ -575,8 +658,9 @@ object VecOps {
     * action per session is the legitimate price of sizing an index build
     * to its corpus. (At extreme N the O(N·k) flat broadcast assignment
     * itself becomes the next bottleneck; round 13 landed that
-    * escalation — the shared build iterates through [[lloydStepHier]],
-    * so build and final assignment are both n·√k under this k rule.) */
+    * escalation — the shared build is the two-level
+    * [[twoLevelCentroids]], so build and final assignment are both
+    * n·√k-shaped under this k rule.) */
   def scaledLists(emb: DataFrame): Int = {
     val n = emb.count()
     math.max(16L, (n + TargetCellSize - 1) / TargetCellSize).toInt
@@ -587,20 +671,18 @@ object VecOps {
     * ivf_lloyd2_topk, semdedup_keep, and the streaming semdedup twin all
     * consume; each iteration is a full assignment pass over the corpus,
     * so deriving it once per session (bounded [[graft.Shared]] registry)
-    * halves the family's bench cost. Since round 13 the iterations
-    * assign through [[lloydStepHier]] (VERDICT r12 #1): with k ∝ n the
-    * flat per-iteration pass was itself n²/TargetCellSize dots — the
-    * same asymptotic class round 12 retired from the semdedup FINAL
-    * assignment, now retired from the build too. The k formula AND the
-    * hierarchical iteration are part of the oracle contract: lloyd2Ctes
-    * (VecQueries) mirrors both in SQL — at the fixtures' 500/2000
-    * vectors each side resolves k = 16, g = 4. */
+    * halves the family's bench cost. Since round 13 the build is the
+    * TWO-LEVEL [[twoLevelCentroids]] (VERDICT r12 #1): with k ∝ n the
+    * flat per-iteration pass was n²/TargetCellSize dots — the same
+    * asymptotic class round 12 retired from the semdedup FINAL
+    * assignment, now retired from the build too (and the in-loop
+    * hierAssign alternative was measured skew-collapsing; see the build
+    * scaladoc). The sizing formulas AND the two-level iteration are
+    * part of the oracle contract: lloyd2Ctes (VecQueries) mirrors them
+    * in SQL. */
   def lloyd2CentroidsShared(emb: DataFrame, dir: String): DataFrame =
     graft.Shared.relation(emb.sparkSession, dir, "lloyd2_cent_scaled") {
-      val lists = scaledLists(emb)
-      var cent = seedCentroids(emb, lists)
-      for (_ <- 0 until 2) cent = lloydStepHier(emb, cent, snap = true)
-      cent
+      twoLevelCentroids(emb)
     }
 
   /** Two-level assignment index over a (cid, ce) centroid table: the

@@ -77,38 +77,107 @@ object VecQueries {
             FROM vp$sfx v JOIN f2g$sfx f ON v.gid = f.gid)
           WHERE crank = 1)"""
 
-  /** DuckDB CTEs mirroring [[VecOps.lloyd2CentroidsShared]] exactly:
-    * md5-ordered seed sample with k = max(16, ceil(n/TargetCellSize))
-    * (the corpus-scaled k formula — both sides resolve 16 at the
-    * fixtures' 500/2000 vectors), two snapped (1e-4 grid) Lloyd
-    * iterations whose assignments are HIERARCHICAL (round 13,
-    * VERDICT r12 #1: each iteration replays the full hierIndex +
-    * hierAssign pass over that iteration's centroids — the
-    * [[hierStageCtes]] block with per-iteration suffixes). Ends with
-    * `c2(cid, ce)` — the centroid table both ivf_lloyd2_topk and
-    * semdedup_keep consume. */
+  /** One flat snapped Lloyd iteration over the WHOLE corpus against the
+    * `cent` centroid CTE: rank-1 assignment + 1e-4-grid means. Used for
+    * the two coarse (g = ⌈√k⌉) iterations, where the flat pass is n·√k
+    * by construction. Emits `$asg`, `$m`, `$out(cid, ce)`. */
+  private def flatIterCtes(cent: String, asg: String, m: String,
+                           out: String): String = s"""
+        $asg AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT a.vec_id, a.embedding, b.cid,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                     (list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE))
+                      - 0.5 * list_sum(list_transform(range(1, 65),
+                        i -> b.ce[i]::DOUBLE * b.ce[i]::DOUBLE))) DESC, b.cid) AS r
+            FROM embeddings a JOIN $cent b ON true)
+          WHERE r = 1),
+        $m AS (
+          SELECT cid, i.i AS i,
+                 CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
+          FROM $asg, range(64) i(i) GROUP BY cid, i.i),
+        $out AS (SELECT cid, list(mf ORDER BY i) AS ce FROM $m GROUP BY cid)"""
+
+  /** One LOCAL snapped Lloyd iteration: every vector compares only
+    * against the fine centroids of ITS coarse cell (`gasg.gid` equi-join
+    * with `$fineIn(gid, cid, ce)`), rank-1 argmax, 1e-4-grid means.
+    * `$out` keeps the cid→gid binding (from `fs`) when `withGid`, so the
+    * next local iteration stays cell-local; the LAST iteration emits the
+    * plain (cid, ce) fine table. */
+  private def localIterCtes(fineIn: String, asg: String, m: String,
+                            out: String, withGid: Boolean): String = {
+    val tail =
+      if (withGid) s"""
+        ${out}p AS (SELECT cid, list(mf ORDER BY i) AS ce FROM $m GROUP BY cid),
+        $out AS (SELECT f.gid, p.cid, p.ce
+                 FROM ${out}p p JOIN (SELECT gid, cid FROM fs) f ON p.cid = f.cid)"""
+      else s"""
+        $out AS (SELECT cid, list(mf ORDER BY i) AS ce FROM $m GROUP BY cid)"""
+    s"""
+        $asg AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     (list_sum(list_transform(range(1, 65),
+                        i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE))
+                      - 0.5 * list_sum(list_transform(range(1, 65),
+                        i -> f.ce[i]::DOUBLE * f.ce[i]::DOUBLE))) DESC, f.cid) AS r
+            FROM gasg v JOIN $fineIn f ON v.gid = f.gid)
+          WHERE r = 1),
+        $m AS (
+          SELECT cid, i.i AS i,
+                 CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
+          FROM $asg, range(64) i(i) GROUP BY cid, i.i),$tail"""
+  }
+
+  /** DuckDB CTEs mirroring [[VecOps.lloyd2CentroidsShared]] (the
+    * two-level [[VecOps.twoLevelCentroids]] build, round 13) exactly:
+    * g = ⌈√k⌉ md5-seeded coarse anchors (k = max(16, ceil(n/128)) —
+    * the corpus-scaled formula), two flat snapped g-means iterations,
+    * every vector routed to its coarse cell, per-cell fine seeds
+    * (⌈m_c/TargetCellSize⌉ smallest-md5 members — per-cell mass sets
+    * per-cell k, the balance-by-construction rule), then two LOCAL
+    * snapped Lloyd iterations whose assignment joins on the coarse
+    * cell. Ends with `c2(cid, ce)` — the fine centroid table every
+    * consumer reads; the consumers' own hierAssign/ranked CTEs are
+    * untouched by the build swap. */
   private val lloyd2Ctes = s"""
-        seeds AS (
+        gk AS (SELECT greatest(4, CAST(ceil(sqrt(greatest(16,
+                 CAST(ceil(count(*) / ${VecOps.TargetCellSize}.0) AS BIGINT))))
+                 AS BIGINT)) AS g
+               FROM embeddings),
+        gseeds AS (
           SELECT cid, ce FROM (
             SELECT vec_id AS cid, embedding AS ce,
                    row_number() OVER (ORDER BY
                      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                     vec_id) AS rn
+            FROM embeddings), gk
+          WHERE rn <= gk.g),
+        ${flatIterCtes("gseeds", "ga1", "gm1", "gc1")},
+        ${flatIterCtes("gc1", "ga2", "gm2", "gc2")},
+        gasg AS (
+          SELECT vec_id, embedding, cid AS gid FROM (
+            SELECT a.vec_id, a.embedding, b.cid,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                     (list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE))
+                      - 0.5 * list_sum(list_transform(range(1, 65),
+                        i -> b.ce[i]::DOUBLE * b.ce[i]::DOUBLE))) DESC, b.cid) AS r
+            FROM embeddings a JOIN gc2 b ON true)
+          WHERE r = 1),
+        fs AS (
+          SELECT gid, vec_id AS cid, embedding AS ce FROM (
+            SELECT gid, vec_id, embedding,
+                   row_number() OVER (PARTITION BY gid ORDER BY
+                     ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
                      vec_id) AS rn,
-                   count(*) OVER () AS n
-            FROM embeddings)
-          WHERE rn <= greatest(16, CAST(ceil(n / ${VecOps.TargetCellSize}.0) AS BIGINT))),
-        ${hierStageCtes("seeds", "_i1")},
-        m1 AS (
-          SELECT cid, i.i AS i,
-                 CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
-          FROM assigned_i1, range(64) i(i) GROUP BY cid, i.i),
-        c1 AS (SELECT cid, list(mf ORDER BY i) AS ce FROM m1 GROUP BY cid),
-        ${hierStageCtes("c1", "_i2")},
-        m2 AS (
-          SELECT cid, i.i AS i,
-                 CAST(round(avg(embedding[i.i + 1]::DOUBLE) * 10000) / 10000 AS REAL) AS mf
-          FROM assigned_i2, range(64) i(i) GROUP BY cid, i.i),
-        c2 AS (SELECT cid, list(mf ORDER BY i) AS ce FROM m2 GROUP BY cid)"""
+                   count(*) OVER (PARTITION BY gid) AS m
+            FROM gasg)
+          WHERE rn <= CAST(ceil(m / ${VecOps.TargetCellSize}.0) AS BIGINT)),
+        ${localIterCtes("fs", "la1", "lm1", "lc1", withGid = true)},
+        ${localIterCtes("lc1", "la2", "lm2", "c2", withGid = false)}"""
 
   /** The semdedup oracle, shared verbatim with the streaming twin
     * (`streaming_semdedup_keep`): the incremental foreachBatch pipeline
