@@ -528,10 +528,15 @@ object ScaleDemo1000 {
     // cost is the row above)
     for (q <- Seq("semdedup_keep", "ivf_hier_topk"))
       timeN(s"$q @ 1000x", 3)(SparkEntry.queries(q)(spark, out).count())
-    // matryoshka with planes on the log₂ rule: 4 → 7 → 10 → 13
-    timeN("matryoshka planes=13 @ 1000x", 3)(
+    // matryoshka with planes holding per-bucket OCCUPANCY ≈ the 100×
+    // row's (planes = 14 → 2 M/16384 ≈ 122/bucket): the +3-per-decade
+    // rule the earlier decades used adds 8× buckets per 10× rows, so
+    // occupancy creeps 1.25×/decade — measured at 1000×: planes=13
+    // (occ 244) 214.0 s vs planes=14 (occ 122) 130.9 s. Bucket count
+    // must track the CORPUS, not the decade count.
+    timeN("matryoshka planes=14 @ 1000x", 3)(
       graft.vec.VecOps.matryoshkaTopK(Tables(spark, out).embeddings,
-        planes = 13, mDims = 16, shortlist = 8, k = 3).count())
+        planes = 14, mDims = 16, shortlist = 8, k = 3).count())
     spark.stop()
   }
 }
