@@ -197,6 +197,24 @@ class VecOpsSpec extends SparkSpec {
     assert(msgs.contains("hierAssign"), s"unexpected failure: $msgs")
   }
 
+  test("two-level build: deterministic, 64-dim, corpus-preserving, balance-bounded") {
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    val a = VecOps.twoLevelCentroids(emb).orderBy("cid").collect()
+    val b = VecOps.twoLevelCentroids(emb).orderBy("cid").collect()
+    assert(a.nonEmpty && a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0) && x.getSeq[Float](1) == y.getSeq[Float](1))
+    }
+    assert(a.head.getSeq[Float](1).length == 64)
+    // the consumer routing over the build preserves every vector and the
+    // per-cell mass rule (k_c = ceil(m_c/128)) keeps cells bounded
+    val asg = VecOps.hierAssign(emb,
+      VecOps.hierIndex(VecOps.twoLevelCentroids(emb).localCheckpoint()))
+    assert(asg.count() == emb.count())
+    val maxCell = asg.groupBy("cid").count().agg(max("count")).head().getLong(0)
+    assert(maxCell <= 8L * VecOps.TargetCellSize, s"max cell $maxCell")
+  }
+
   test("LSH buckets are deterministic across runs") {
     val emb = graft.Tables(spark, sf("sf0.001")).embeddings
     val b1 = VecOps.lshBucket(emb, 4).select("vec_id", "bucket").collect()
