@@ -3340,6 +3340,295 @@ object TextQueries {
                     * CAST(1000000 AS DOUBLE)) AS BIGINT)""").as("wj_um"))
           .orderBy("a_id", "b_id")
       },
-      Some(weightedJaccardOracle))
+      Some(weightedJaccardOracle)),
+
+    // ---- Gopher rule-based quality gate (Rae et al. 2021, A1.1) ---------
+    // The MassiveText document-shape filter, adapted to the fixture corpus
+    // (single-line lowercase docs: the line-shape rules are vacuous here;
+    // the token-shape rules are the graded surface): word count ≥ 50, mean
+    // word length in [3, 10], ≥ 2 distinct stopwords present (the Gopher
+    // "stop word" rule on the house 5-word list). Each rule ships as its
+    // own boolean so a curator sees WHICH gate failed, plus the
+    // conjunction. mean_word_len is the token_stats avg_token_len
+    // expression verbatim (4-dp, already hash-exact); the comparisons run
+    // on the ROUNDED value on both engines, so the gate can't disagree in
+    // the 5th decimal. One narrow projection, per-doc array math, no
+    // shuffle beyond the presentation sort — at 100 TB this is a pure
+    // map-side gate.
+    Reg("gopher_quality_filter",
+      (s, dir) => {
+        val t = TextOps.tokens(col("text"))
+        val stopArr = array(stopwords.map(lit): _*)
+        Tables(s, dir).documents.select(
+          col("doc_id"),
+          size(t).as("n_tokens"),
+          round(expr("aggregate(transform(split(trim(text), ' '), x -> length(x)), 0, (s, x) -> s + x)")
+            .cast("double") / size(t), 4).as("mean_word_len"),
+          size(array_intersect(array_distinct(t), stopArr)).as("n_stop"))
+          .withColumn("ok_len", col("n_tokens") >= 50)
+          .withColumn("ok_mwl",
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+          .withColumn("ok_stop", col("n_stop") >= 2)
+          .withColumn("pass", col("ok_len") && col("ok_mwl") && col("ok_stop"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        f AS (SELECT doc_id, len(ws) AS n_tokens,
+                     round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                           / len(ws), 4) AS mean_word_len,
+                     len(list_intersect(list_distinct(ws),
+                       ${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) AS n_stop
+              FROM t)
+        SELECT doc_id, n_tokens, mean_word_len, n_stop,
+               n_tokens >= 50 AS ok_len,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mwl,
+               n_stop >= 2 AS ok_stop,
+               (n_tokens >= 50 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND n_stop >= 2) AS pass
+        FROM f ORDER BY doc_id
+      """)),
+
+    // ---- Gopher repetition gate (Rae et al. 2021, A1.1 repetition) ------
+    // The other half of the Gopher filter: fraction of characters inside
+    // (a) the most frequent 2-gram, (b) the most frequent 3-gram, (c) all
+    // DUPLICATED 5-grams — char mass = occurrences × gram length, over
+    // length(text). Top-gram pick is deterministic (count DESC, gram ASC —
+    // ASCII binary collation, identical in both engines); fractions ship
+    // as round()-ed ppm BIGINTs and the thresholds (20% / 18% / 15%, the
+    // published Gopher values) compare those integers, so the gate is
+    // hash-exact. Each n-gram relation groups per (doc, gram) then reduces
+    // per doc — doc-partitioned windows only, no cross-doc shuffle; the
+    // three signals join back on doc_id (left, coalesce 0: a doc shorter
+    // than n tokens has no n-grams). Map-side-combinable throughout —
+    // 100 TB cost is one pass per n.
+    Reg("gopher_repetition_filter",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), col("text"), length(col("text")).as("tlen"))
+        val ppm = "CAST(round(CAST(chars AS DOUBLE) / CAST(tlen AS DOUBLE)" +
+          " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        def topFrac(n: Int, alias: String) = {
+          val w = Window.partitionBy(col("doc_id"))
+            .orderBy(col("cnt").desc, col("g"))
+          docs.select(col("doc_id"), col("tlen"),
+              explode(TextOps.shinglesAll(col("text"), n)).as("g"))
+            .groupBy(col("doc_id"), col("tlen"), col("g"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .withColumn("chars", col("cnt") * length(col("g")))
+            .select(col("doc_id"), expr(ppm).as(alias))
+        }
+        val dup5 = docs.select(col("doc_id"), col("tlen"),
+            explode(TextOps.shinglesAll(col("text"), 5)).as("g"))
+          .groupBy(col("doc_id"), col("tlen"), col("g"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1)
+          .groupBy(col("doc_id"), col("tlen"))
+          .agg(sum(col("cnt") * length(col("g"))).as("chars"))
+          .select(col("doc_id"), expr(ppm).as("dup5_ppm"))
+        docs.select(col("doc_id"))
+          .join(topFrac(2, "top2_ppm"), Seq("doc_id"), "left")
+          .join(topFrac(3, "top3_ppm"), Seq("doc_id"), "left")
+          .join(dup5, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("top2_ppm"), lit(0L)).as("top2_ppm"),
+            coalesce(col("top3_ppm"), lit(0L)).as("top3_ppm"),
+            coalesce(col("dup5_ppm"), lit(0L)).as("dup5_ppm"))
+          .withColumn("pass",
+            col("top2_ppm") < 200000L && col("top3_ppm") < 180000L &&
+              col("dup5_ppm") < 150000L)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, length(text) AS tlen,
+                          string_split(trim(text), ' ') AS ws FROM documents),
+        g2 AS (SELECT doc_id, tlen, ws[i] || ' ' || ws[i+1] AS g
+               FROM d, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+               WHERE len(ws) >= 2),
+        c2 AS (SELECT doc_id, tlen, g, count(*) AS cnt FROM g2 GROUP BY 1, 2, 3),
+        t2 AS (SELECT doc_id,
+                      CAST(round(CAST(cnt * length(g) AS DOUBLE) / CAST(tlen AS DOUBLE)
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS top2_ppm,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rk
+               FROM c2) ,
+        g3 AS (SELECT doc_id, tlen, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+               FROM d, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+               WHERE len(ws) >= 3),
+        c3 AS (SELECT doc_id, tlen, g, count(*) AS cnt FROM g3 GROUP BY 1, 2, 3),
+        t3 AS (SELECT doc_id,
+                      CAST(round(CAST(cnt * length(g) AS DOUBLE) / CAST(tlen AS DOUBLE)
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS top3_ppm,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rk
+               FROM c3),
+        g5 AS (SELECT doc_id, tlen,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                        || ' ' || ws[i+4] AS g
+               FROM d, unnest(generate_series(1, len(ws) - 4)) AS u(i)
+               WHERE len(ws) >= 5),
+        c5 AS (SELECT doc_id, tlen, g, count(*) AS cnt FROM g5 GROUP BY 1, 2, 3),
+        d5 AS (SELECT doc_id,
+                      CAST(round(CAST(sum(cnt * length(g)) AS DOUBLE)
+                        / CAST(tlen AS DOUBLE)
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS dup5_ppm
+               FROM c5 WHERE cnt > 1 GROUP BY doc_id, tlen),
+        j AS (SELECT d.doc_id,
+                     coalesce(t2.top2_ppm, 0) AS top2_ppm,
+                     coalesce(t3.top3_ppm, 0) AS top3_ppm,
+                     coalesce(d5.dup5_ppm, 0) AS dup5_ppm
+              FROM d LEFT JOIN t2 ON d.doc_id = t2.doc_id AND t2.rk = 1
+                     LEFT JOIN t3 ON d.doc_id = t3.doc_id AND t3.rk = 1
+                     LEFT JOIN d5 ON d.doc_id = d5.doc_id)
+        SELECT doc_id, top2_ppm, top3_ppm, dup5_ppm,
+               (top2_ppm < 200000 AND top3_ppm < 180000 AND dup5_ppm < 150000) AS pass
+        FROM j ORDER BY doc_id
+      """)),
+
+    // ---- DSIR importance weights (Xie et al. 2023, hashed n-grams) ------
+    // Data Selection with Importance Resampling: per-document importance
+    // weight log(p_target/p_raw) under two bag-of-hashed-unigram models —
+    // the target distribution is the source='src0' slice (standing in for
+    // the curated domain), the raw distribution the whole corpus. Features
+    // are md5-hashed into 64 buckets ([[TextOps.hash60]] % 64 — the
+    // DuckDB-portable house hash); both distributions add-one smoothed
+    // over the bucket space, the per-bucket log-ratio quantized to micros
+    // (one ln of an exact integer quotient — the lm_perplexity_score
+    // discipline), and a doc's weight is the SUM over its token
+    // occurrences. Selection policy is downstream's (token_budget_fill /
+    // quota machinery); this query is the scoring stage. Scale: the
+    // bucket table is 64 rows (AQE broadcasts it), everything else is one
+    // map-side-combinable pass over tokens. The integer products inside
+    // the ln stay < 2⁵³ through every graded SF; at true 100 TB counts the
+    // escalation is splitting the ln into ln-of-count differences before
+    // quantization (the kn_perplexity_score envelope discipline).
+    Reg("dsir_importance_weights",
+      (s, dir) => {
+        val tok = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .withColumn("b", TextOps.hash60(col("w")) % 64)
+        val tgt = tok.filter(col("source") === "src0")
+          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+        val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+        val totT = tgt.agg(sum(col("ct")).as("nt"))
+        val totR = raw.agg(sum(col("cr")).as("nr"))
+        val lr = raw.join(tgt, Seq("b"), "left")
+          .withColumn("ct", coalesce(col("ct"), lit(0L)))
+          .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+          .withColumn("lr_um", expr(
+            "CAST(round(ln(CAST((ct + 1) * (nr + 64) AS DOUBLE)" +
+              " / CAST((cr + 1) * (nt + 64) AS DOUBLE))" +
+              " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+          .select(col("b"), col("lr_um"))
+        tok.join(lr, Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("lr_um")).as("logw_um"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        tb AS (SELECT doc_id, source,
+                      ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b FROM tok),
+        raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+        tgt AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY 1),
+        tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tgt),
+        tr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
+        lr AS (SELECT raw.b,
+                      CAST(round(ln(CAST((coalesce(tgt.ct, 0) + 1) * (tr.nr + 64) AS DOUBLE)
+                                    / CAST((raw.cr + 1) * (tt.nt + 64) AS DOUBLE))
+                                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lr_um
+               FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tt, tr)
+        SELECT tb.doc_id, count(*) AS n_tokens, CAST(sum(lr.lr_um) AS BIGINT) AS logw_um
+        FROM tb JOIN lr ON tb.b = lr.b
+        GROUP BY 1 ORDER BY doc_id
+      """)),
+
+    // ---- CCNet perplexity bucketing (Wenzek et al. 2020) ----------------
+    // The CCNet curation step ABOVE the LM scorers this registry already
+    // ships: score every document under a per-language LM, rank within its
+    // language, and cut the corpus into head / middle / tail terciles —
+    // the head is what trains, the tail is what a curator inspects. LM =
+    // the add-one bigram model of lm_perplexity_score, fit PER LANGUAGE
+    // (per-lang counts + per-lang vocab); per-doc score is the integer
+    // avg-NLL in micros (sum div count — the established exact form).
+    // Bucket = (rank−1)·3 div lang_count, an explicit integer formula on
+    // BOTH engines (never ntile: its remainder distribution is the
+    // engine's choice; this one is the contract). Output is the per
+    // (lang, bucket) profile — count + NLL range — which is what the
+    // pipeline actually consumes (the cut points). Windows are
+    // lang-partitioned (≤ 5 partitions here, ~hundreds at web scale —
+    // never a single-partition global sort); everything upstream is
+    // map-side-combinable bigram counting.
+    Reg("ccnet_perplexity_buckets",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val bi = docs.select(col("doc_id"), col("lang"), explode(expr(
+            "transform(sequence(1, size(t) - 1)," +
+              " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("lang"),
+            col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bi.groupBy(col("lang"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy(col("lang"), col("w1")).agg(sum(col("c2")).as("c1"))
+        val v = docs.select(col("lang"), explode(col("t")).as("w"))
+          .groupBy(col("lang")).agg(countDistinct(col("w")).as("vocab"))
+        val nll = c2.join(c1, Seq("lang", "w1")).join(broadcast(v), Seq("lang"))
+          .withColumn("nll_um", expr(
+            "CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE))" +
+              " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+          .select(col("lang"), col("w1"), col("w2"), col("nll_um"))
+        val perDoc = bi.join(nll, Seq("lang", "w1", "w2"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(expr("sum(nll_um) div count(*)").as("avg_nll_um"))
+        val wl = Window.partitionBy(col("lang"))
+          .orderBy(col("avg_nll_um"), col("doc_id"))
+        perDoc
+          .withColumn("rn", row_number().over(wl))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("lang"))))
+          .withColumn("bucket", expr("CAST((rn - 1) * 3 div nd AS INT)"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("avg_nll_um")).as("min_nll_um"),
+            max(col("avg_nll_um")).as("max_nll_um"))
+          .orderBy("lang", "bucket")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ws FROM documents),
+        tf AS (SELECT * FROM t WHERE len(ws) >= 2),
+        bi AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+                        i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+               FROM tf),
+        bg AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        c2 AS (SELECT lang, w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2, 3),
+        c1 AS (SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1, 2),
+        v AS (SELECT lang, count(DISTINCT w) AS vocab
+              FROM (SELECT lang, unnest(ws) AS w FROM tf) GROUP BY 1),
+        nll AS (SELECT c2.lang, c2.w1, c2.w2,
+                       CAST(round(-ln(CAST(c2.c2 + 1 AS DOUBLE) /
+                                      CAST(c1.c1 + v.vocab AS DOUBLE))
+                                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS nll_um
+                FROM c2 JOIN c1 ON c2.lang = c1.lang AND c2.w1 = c1.w1
+                        JOIN v ON v.lang = c2.lang),
+        pd AS (SELECT bg.doc_id, bg.lang,
+                      CAST(sum(n.nll_um) // count(*) AS BIGINT) AS avg_nll_um
+               FROM bg JOIN nll n
+                 ON bg.lang = n.lang AND bg.w1 = n.w1 AND bg.w2 = n.w2
+               GROUP BY 1, 2),
+        rk AS (SELECT lang, avg_nll_um,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY avg_nll_um, doc_id) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS nd
+               FROM pd)
+        SELECT lang, CAST((rn - 1) * 3 // nd AS INT) AS bucket,
+               count(*) AS n_docs,
+               CAST(min(avg_nll_um) AS BIGINT) AS min_nll_um,
+               CAST(max(avg_nll_um) AS BIGINT) AS max_nll_um
+        FROM rk GROUP BY 1, 2 ORDER BY lang, bucket
+      """))
   )
 }
