@@ -434,6 +434,80 @@ object VecOps {
       .select(col("vec_id"), col("s"), col("cid"), col("x"), col("cw"))
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the faiss IndexIVFPQ shape, the rung
+    * between the plain-IVF and plain-PQ families this registry already
+    * grades: (1) every vector is assigned to its nearest of `lists`
+    * md5-seeded coarse centroids (one broadcast pass, plain dot — the
+    * search contract; seeds are unit-norm corpus vectors so dot ≡ L2);
+    * (2) the RESIDUAL r = v − c(v) is what gets product-quantized —
+    * residuals are centered near zero, so the same 4×8 codebook spends
+    * its codewords on the local structure the coarse level can't see
+    * (the reason faiss encodes residuals, not raw vectors); (3) search
+    * probes the query's `probes` nearest coarse cells and ranks their
+    * members by dot(q, c + PQ(r)) — asymmetric distance against the
+    * residual-reconstructed vector. Codeword seeds are md5-picked with a
+    * distinct salt ('rs') and EXCLUDE the coarse seed vectors, whose
+    * residual is exactly the zero vector (their nearest centroid is
+    * themselves) — half the codebook would otherwise be degenerate.
+    * Float parity: residual (v−c) and reconstruction (c+cw) are float
+    * ops on both engines (CAST AS FLOAT in the oracle — double-compute +
+    * round-to-float of float operands is exactly float arithmetic, the
+    * 2p+2 double-rounding theorem), so reconstructed vectors are
+    * bit-identical; scoring dots are index-ordered doubles as everywhere.
+    * Assignment/code/rank ties all break on id. Scale: coarse table
+    * `lists` rows and codebook 32 rows (broadcast), candidate join is
+    * cell-keyed (cost ∝ probed-cell sizes, never n²); the assigned
+    * relation is localCheckpointed once for its three consumers (the
+    * heavy-hitters discipline). */
+  def ivfPqResidualTopK(emb: DataFrame, lists: Int, probes: Int,
+                        k: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val m = 4
+    val cent = seedCentroids(emb, lists)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
+    val ranked = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cd", expr("dot_f32(embedding, ce)"))
+      .withColumn("crank", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crank") === 1)
+      .withColumn("res", expr("zip_with(embedding, ce, (x, y) -> CAST(x - y AS FLOAT))"))
+      .select(col("vec_id"), col("embedding"), col("cid"), col("ce"), col("res"))
+      .localCheckpoint()
+    val rseeds = assigned
+      .join(cent.select(col("cid").as("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("_h", graft.text.TextOps.hash60(
+        concat(lit("rs"), col("vec_id").cast("string"))))
+      .orderBy(col("_h"), col("vec_id")).limit(8)
+      .select(col("vec_id").as("rcid"), col("res").as("rce"))
+    val rcb = rseeds.crossJoin(spark_range_s(emb, m))
+      .select(col("s"), col("rcid"), expr("slice(rce, s * 16 + 1, 16)").as("x_cw"))
+    val wCode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("d").desc, col("rcid"))
+    val codes = assigned.crossJoin(spark_range_s(emb, m))
+      .select(col("vec_id"), col("s"), expr("slice(res, s * 16 + 1, 16)").as("x"))
+      .join(broadcast(rcb), Seq("s"))
+      .withColumn("d", expr("dot_f32(x, x_cw) - 0.5 * dot_f32(x_cw, x_cw)"))
+      .withColumn("crank", row_number().over(wCode))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("s"), col("rcid"))
+    val reconRes = codes.join(broadcast(rcb), Seq("s", "rcid"))
+      .groupBy(col("vec_id"))
+      .agg(map_from_arrays(collect_list(col("s")), collect_list(col("x_cw"))).as("parts"))
+      .select(col("vec_id"),
+        expr(s"flatten(transform(sequence(0, ${m - 1}), s -> parts[s]))").as("rrec"))
+    val recon = assigned.select(col("vec_id"), col("cid"), col("ce"))
+      .join(reconRes, "vec_id")
+      .select(col("vec_id").as("nid"), col("cid"),
+        expr("zip_with(ce, rrec, (x, y) -> CAST(x + y AS FLOAT))").as("recon"))
+    val probed = ranked.filter(col("crank") <= probes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
+    val scores = probed.join(recon, "cid").filter(col("qid") =!= col("nid"))
+      .withColumn("score", expr("dot_f32(qe, recon)"))
+      .select("qid", "nid", "score")
+    topK(scores, k)
+  }
+
   /** One Lloyd (k-means) iteration over (cid, ce) centroids: assign each
     * vector to its nearest centroid (broadcast O(n·k) pass, the same
     * shape as [[ivfTopK]]'s assignment), then recompute each cell's

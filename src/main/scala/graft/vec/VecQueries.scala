@@ -577,6 +577,70 @@ object VecQueries {
                 WHERE rank <= 3
                   AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
 
+  /** DuckDB CTEs mirroring [[VecOps.ivfPqResidualTopK]] (lists=16,
+    * probes=2) stage-for-stage, ending in `ipr(qid, nid, d, rank)` — the
+    * full ranked candidate relation the three IVF-PQ-residual consumers
+    * (topk / recall / NDCG) slice differently. Residual and
+    * reconstruction arithmetic is CAST AS FLOAT (double-compute +
+    * round-to-float of float operands ≡ float ops — the 2p+2 theorem),
+    * so reconstructed vectors match Spark bit-for-bit. */
+  private val ivfpqCoreCtes: String = """
+        seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 16),
+        ranked AS (
+          SELECT a.vec_id, a.embedding, b.cid, b.ce,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
+          FROM embeddings a JOIN seeds b ON true),
+        asg AS (SELECT vec_id, embedding, cid, ce,
+                       list_transform(range(1, 65),
+                         i -> CAST(embedding[i] - ce[i] AS FLOAT)) AS res
+                FROM ranked WHERE crank = 1),
+        rseeds AS (SELECT vec_id AS rcid, res AS rce FROM asg
+                   WHERE vec_id NOT IN (SELECT cid FROM seeds)
+                   ORDER BY ('0x' || substr(md5('rs' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id
+                   LIMIT 8),
+        rcb AS (SELECT s.s, rcid, rce[s.s * 16 + 1 : s.s * 16 + 16] AS cw
+                FROM rseeds, range(4) s(s)),
+        rxs AS (SELECT vec_id, s.s, res[s.s * 16 + 1 : s.s * 16 + 16] AS x
+                FROM asg, range(4) s(s)),
+        rassign AS (
+          SELECT x.vec_id, x.s, c.rcid,
+                 row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
+                   (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
+                    - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
+                   DESC, c.rcid) AS crank
+          FROM rxs x JOIN rcb c ON x.s = c.s),
+        rrec AS (SELECT a.vec_id, flatten(list(c.cw ORDER BY a.s)) AS rrec
+                 FROM rassign a JOIN rcb c ON a.s = c.s AND a.rcid = c.rcid
+                 WHERE a.crank = 1
+                 GROUP BY a.vec_id),
+        recon AS (SELECT g.vec_id AS nid, g.cid,
+                         list_transform(range(1, 65),
+                           i -> CAST(g.ce[i] + r.rrec[i] AS FLOAT)) AS recon
+                  FROM asg g JOIN rrec r ON g.vec_id = r.vec_id),
+        probed AS (SELECT vec_id AS qid, embedding AS qe, cid
+                   FROM ranked WHERE crank <= 2),
+        scored AS (
+          SELECT p.qid, c.nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> p.qe[i]::DOUBLE * c.recon[i]::DOUBLE)) AS d
+          FROM probed p JOIN recon c ON p.cid = c.cid AND p.qid <> c.nid),
+        ipr AS (SELECT qid, nid, d,
+                       row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+                FROM scored)"""
+
+  private val ndcgIvfpqIdxCtes: String = s"""
+        $ivfpqCoreCtes,
+        idx AS (SELECT qid, nid, rank AS pos FROM ipr
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
+
   val all: Seq[Reg] = Seq(
 
     // ---- embedding hygiene validation (norms ≈ 1) -----------------------
@@ -2507,6 +2571,71 @@ object VecQueries {
         UNION ALL SELECT 3, vec_id, round(maxd, 4) FROM n3
         UNION ALL SELECT 4, vec_id, round(maxd, 4) FROM n4
         ORDER BY sel_rank
-      """))
+      """)),
+
+    // ---- IVF-PQ with residual encoding (faiss IndexIVFPQ shape) ---------
+    // The TENTH index family of the ANN ladder: coarse IVF assignment,
+    // product quantization of the RESIDUAL v − c(v) (what faiss encodes —
+    // residuals are centered, so the codebook resolves the structure the
+    // coarse level can't), search = probe 2 coarse cells, rank by
+    // asymmetric distance against c + PQ(r). See ivfPqResidualTopK's
+    // scaladoc for the float-parity and degenerate-seed arguments.
+    Reg("ann_ivfpq_topk",
+      (s, dir) => VecOps.ivfPqResidualTopK(Tables(s, dir).embeddings,
+          lists = 16, probes = 2, k = 3)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank"),
+      Some(s"""
+        WITH $ivfpqCoreCtes
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM ipr WHERE rank <= 3
+        ORDER BY qid, rank
+      """)),
+
+    // recall@3 lens for the residual rung — the same contract as the other
+    // nine families: hits against the shared 25% md5-sampled brute truth.
+    Reg("ann_recall_ivfpq",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
+          .select(col("qid"), col("nid"))
+        val ipq = VecOps.ivfPqResidualTopK(emb, lists = 16, probes = 2, k = 3)
+          .filter(keep)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(ipq, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH $ivfpqCoreCtes,
+        ipq AS (SELECT qid, nid FROM ipr
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(i.nid) AS n_hit
+        FROM brute b LEFT JOIN ipq i ON b.qid = i.qid AND b.nid = i.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // NDCG@3 lens for the residual rung — the ranking-quality twin,
+    // completing the 10×2 recall/NDCG evaluation matrix.
+    Reg("ann_ndcg_ivfpq",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir,
+          VecOps.ivfPqResidualTopK(emb, lists = 16, probes = 2, k = 3)
+            .filter(keep).select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(ndcgIvfpqIdxCtes)))
   )
 }
