@@ -1520,6 +1520,12 @@ object StreamQueries {
         graft.sources.Fixtures.md5Hex(dir)),
       Some(graft.text.TextQueries.weightedJaccardOracle)),
 
+    Reg("streaming_decontam_overlap",
+      (s, dir) => decontamIncrementalRun(s, dir,
+        graft.sources.Fixtures.ensureDocStreamFiles(s, dir, n = 3),
+        graft.sources.Fixtures.md5Hex(dir)),
+      Some(graft.text.TextQueries.decontaminationOracle)),
+
     Reg("streaming_phash_neardup",
       (s, dir) => phashIncrementalRun(s, dir,
         graft.sources.Fixtures.ensureDocStreamFiles(s, dir, n = 3),
@@ -1996,5 +2002,65 @@ object StreamQueries {
         when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
         col("dup_of"))
       .orderBy("vec_id")
+  }
+
+  /** SIXTH incremental screen: ONLINE benchmark decontamination — the
+    * training corpus streams in (3 micro-batches) while the eval set is a
+    * FIXED reference relation derived once OUTSIDE the drain (the
+    * semdedup-twin index discipline; an eval set is static by
+    * definition). Per batch: the batch's train docs' distinct 5-grams
+    * equi-join the eval (doc, gram) index and the hit pairs append to a
+    * store. The hit set is a monotone UNION over batches — a pair hit by
+    * some batch is hit by the full corpus and vice versa — so the
+    * accumulated distinct hits equal the batch semi-join under ANY
+    * batching (see [[graft.text.TextQueries.decontaminationOracle]],
+    * the shared oracle). Read-out: distinct hits → per-eval-doc counts →
+    * the batch query's exact output. Per-batch cost: gram-keyed join of
+    * batch grams × eval index (never batch × corpus); the hit store is
+    * bounded by the eval pair count — OUTPUT-sized, the only screen with
+    * zero growing state. This is the cheapest possible incremental
+    * shape: nothing is re-aggregated, ever. */
+  private[graft] def decontamIncrementalRun(s: SparkSession, dir: String,
+      srcDir: String, tag: String): DataFrame = {
+    val hitStore = s"/dev/shm/graft-decon/hits_$tag"
+    val ckpt = s"/dev/shm/graft-ckpt/decon_$tag"
+    rmrf(new java.io.File(hitStore)); rmrf(new java.io.File(ckpt))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val evalG = graft.Tables(s, dir).documents
+      .filter(col("source") === "src0")
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.shingles(col("text"), 5)).as("g"))
+      .localCheckpoint()
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bg = batch.filter(col("source") =!= "src0")
+            .select(explode(
+              graft.text.TextOps.shingles(col("text"), 5)).as("g"))
+            .distinct()
+          evalG.join(bg, Seq("g"), "left_semi")
+            .coalesce(1).write.mode("append").parquet(hitStore)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val totals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = s.read.parquet(hitStore).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) * 10 >= col("n_grams") * 8)
+          .as("is_contaminated"))
+      .orderBy("doc_id")
   }
 }

@@ -27,6 +27,53 @@ object TextQueries {
     * scale. */
   private[graft] val JaccardDfCeiling = 64
 
+  /** Benchmark-decontamination Spark fn + oracle, shared verbatim with
+    * the streaming twin (`streaming_decontam_overlap`): the hit set
+    * {(eval doc, gram) : gram seen in ANY train doc} is a monotone UNION
+    * over micro-batches — a pair hit by some batch is hit by the full
+    * corpus and vice versa — so the screen's accumulated distinct hits
+    * equal this batch semi-join under any batching. Edits apply to both
+    * consumers or neither. Contamination verdict: ≥ 80% of an eval doc's
+    * distinct 5-grams appear somewhere in the training split (integer
+    * cross-multiplication, no float threshold). */
+  private[graft] val decontaminationFn
+      : (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val evalG = docs.filter(col("source") === "src0")
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("g"))
+      val trainG = docs.filter(col("source") =!= "src0")
+        .select(explode(TextOps.shingles(col("text"), 5)).as("g")).distinct()
+      val totals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val hits = evalG.join(trainG, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      totals.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) * 10 >= col("n_grams") * 8)
+            .as("is_contaminated"))
+        .orderBy("doc_id")
+    }
+
+  private[graft] val decontaminationOracle: String = """
+        WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+                   FROM documents),
+        sh AS (SELECT doc_id, source,
+                      list_distinct([array_to_string(ws[i:i+4], ' ')
+                                     FOR i IN range(1, len(ws) - 3)]) AS s
+               FROM t WHERE len(ws) >= 5),
+        ev AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source = 'src0'),
+        tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source <> 'src0'),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+        hit AS (SELECT ev.doc_id, count(*) AS n_hit
+                FROM ev JOIN tr ON ev.g = tr.g GROUP BY 1)
+        SELECT tot.doc_id, tot.n_grams,
+               coalesce(hit.n_hit, 0) AS n_hit,
+               coalesce(hit.n_hit, 0) * 10 >= tot.n_grams * 8 AS is_contaminated
+        FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+        ORDER BY tot.doc_id
+      """
+
   /** The weighted-jaccard oracle, shared verbatim with the streaming twin
     * (`streaming_wj_neardup`): the incremental screen's candidate set is
     * a superset of every final-df-banded gram-sharing pair under any
@@ -1355,40 +1402,8 @@ object TextQueries {
     // is_contaminated flag (>= 80% containment) is integer
     // cross-multiplied.
     Reg("decontamination_overlap",
-      (s, dir) => {
-        val docs = Tables(s, dir).documents
-        val evalG = docs.filter(col("source") === "src0")
-          .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("g"))
-        val trainG = docs.filter(col("source") =!= "src0")
-          .select(explode(TextOps.shingles(col("text"), 5)).as("g")).distinct()
-        val totals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-        val hits = evalG.join(trainG, Seq("g"), "left_semi")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-        totals.join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_grams"),
-            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-            (coalesce(col("n_hit"), lit(0L)) * 10 >= col("n_grams") * 8)
-              .as("is_contaminated"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws
-                   FROM documents),
-        sh AS (SELECT doc_id, source,
-                      list_distinct([array_to_string(ws[i:i+4], ' ')
-                                     FOR i IN range(1, len(ws) - 3)]) AS s
-               FROM t WHERE len(ws) >= 5),
-        ev AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source = 'src0'),
-        tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source <> 'src0'),
-        tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
-        hit AS (SELECT ev.doc_id, count(*) AS n_hit
-                FROM ev JOIN tr ON ev.g = tr.g GROUP BY 1)
-        SELECT tot.doc_id, tot.n_grams,
-               coalesce(hit.n_hit, 0) AS n_hit,
-               coalesce(hit.n_hit, 0) * 10 >= tot.n_grams * 8 AS is_contaminated
-        FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
-        ORDER BY tot.doc_id
-      """)),
+      decontaminationFn,
+      Some(decontaminationOracle)),
 
     // ---- custom Catalyst Generator: streamed positional n-grams ---------
     // The true UDTF tier graded end to end: ngrams_gen is a registered
