@@ -373,9 +373,33 @@ object ScaleDemo100 {
            "weighted_jaccard_pairs", "adamic_adar_links",
            // round-12: the two-level IVF search (hier build + hier
            // routing — the n·√k shape under k ∝ n, measured not claimed)
-           "ivf_hier_topk")
+           "ivf_hier_topk",
+           // round-13 second session: the curation shelf's scale-relevant
+           // members — gopher_repetition is per-doc gram math (expected
+           // flat-linear), dsir is one token pass against a 64-row bucket
+           // table, ccnet is lm_perplexity's bigram shape per language
+           "gopher_repetition_filter", "dsir_importance_weights",
+           "ccnet_perplexity_buckets")
          if !skip(s"$q@$tag"))
       time(s"$q @ $tag")(SparkEntry.queries(q)(spark, dir).count())
+    // round-13: the IVF-PQ residual rung. The graded fixed-lists=16 knob
+    // stops at 10× like mm_phash: with fixed lists the probed-cell
+    // candidate join is 2n·(n/lists) — the documented fixed-knob IVF
+    // quadratic. The production sizing is lists ∝ n (cell size held
+    // ≈ constant), timed at 10× with lists=160; at 100× lists ∝ n makes
+    // the broadcast-argmax coarse assignment itself the retired flat
+    // class (1600 × 508 k ≈ 8×10⁸ window rows ≈ 450 GB shuffled) — the
+    // refusal arithmetic is the reading, and the shipped escalation is
+    // the hierarchical coarse quantizer already graded as ivf_hier_topk
+    // (its decade rows above stand in for this rung's 100× routing).
+    for ((dir, tag) <- Seq((base, "1x"), (out10, "10x"))
+         if !skip(s"annIvfpq@$tag"))
+      time(s"ann_ivfpq_topk lists=16 @ $tag")(
+        SparkEntry.queries("ann_ivfpq_topk")(spark, dir).count())
+    if (!skip("annIvfpqScaled@10x"))
+      time("ivfPqResidualTopK lists=160 @ 10x")(
+        graft.vec.VecOps.ivfPqResidualTopK(Tables(spark, out10).embeddings,
+          lists = 160, probes = 2, k = 3).count())
     for ((dir, tag) <- Seq((base, "1x"), (out10, "10x"))
          if !skip(s"mm_phash_neardup_pairs@$tag"))
       time(s"mm_phash_neardup_pairs @ $tag")(

@@ -74,6 +74,62 @@ object TextQueries {
         ORDER BY tot.doc_id
       """
 
+  /** Per-doc Gopher quality-gate signals — (doc_id, n_tokens,
+    * mean_word_len, n_stop), shared by `gopher_quality_filter` and the
+    * funnel. The 4-dp mean is the token_stats avg_token_len expression
+    * verbatim. */
+  private def gopherQualitySignals(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      round(expr("aggregate(transform(split(trim(text), ' '), x -> length(x)), 0, (s, x) -> s + x)")
+        .cast("double") / size(t), 4).as("mean_word_len"),
+      size(array_intersect(array_distinct(t), stopArr)).as("n_stop"))
+  }
+
+  /** Per-doc Gopher repetition-gate signals — (doc_id, top2_ppm,
+    * top3_ppm, dup5_ppm), shared by `gopher_repetition_filter` and the
+    * funnel. Char-fraction ppm of the top 2-/3-gram and of all
+    * duplicated 5-grams; doc-partitioned windows only. */
+  private def gopherRepetitionSignals(
+      docsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), col("text"), length(col("text")).as("tlen"))
+    val ppm = "CAST(round(CAST(chars AS DOUBLE) / CAST(tlen AS DOUBLE)" +
+      " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    def topFrac(n: Int, alias: String) = {
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("g"))
+      docs.select(col("doc_id"), col("tlen"),
+          explode(TextOps.shinglesAll(col("text"), n)).as("g"))
+        .groupBy(col("doc_id"), col("tlen"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .withColumn("chars", col("cnt") * length(col("g")))
+        .select(col("doc_id"), expr(ppm).as(alias))
+    }
+    val dup5 = docs.select(col("doc_id"), col("tlen"),
+        explode(TextOps.shinglesAll(col("text"), 5)).as("g"))
+      .groupBy(col("doc_id"), col("tlen"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .groupBy(col("doc_id"), col("tlen"))
+      .agg(sum(col("cnt") * length(col("g"))).as("chars"))
+      .select(col("doc_id"), expr(ppm).as("dup5_ppm"))
+    docs.select(col("doc_id"))
+      .join(topFrac(2, "top2_ppm"), Seq("doc_id"), "left")
+      .join(topFrac(3, "top3_ppm"), Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top2_ppm"), lit(0L)).as("top2_ppm"),
+        coalesce(col("top3_ppm"), lit(0L)).as("top3_ppm"),
+        coalesce(col("dup5_ppm"), lit(0L)).as("dup5_ppm"))
+  }
+
   /** The weighted-jaccard oracle, shared verbatim with the streaming twin
     * (`streaming_wj_neardup`): the incremental screen's candidate set is
     * a superset of every final-df-banded gram-sharing pair under any
@@ -3371,22 +3427,13 @@ object TextQueries {
     // shuffle beyond the presentation sort — at 100 TB this is a pure
     // map-side gate.
     Reg("gopher_quality_filter",
-      (s, dir) => {
-        val t = TextOps.tokens(col("text"))
-        val stopArr = array(stopwords.map(lit): _*)
-        Tables(s, dir).documents.select(
-          col("doc_id"),
-          size(t).as("n_tokens"),
-          round(expr("aggregate(transform(split(trim(text), ' '), x -> length(x)), 0, (s, x) -> s + x)")
-            .cast("double") / size(t), 4).as("mean_word_len"),
-          size(array_intersect(array_distinct(t), stopArr)).as("n_stop"))
-          .withColumn("ok_len", col("n_tokens") >= 50)
-          .withColumn("ok_mwl",
-            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
-          .withColumn("ok_stop", col("n_stop") >= 2)
-          .withColumn("pass", col("ok_len") && col("ok_mwl") && col("ok_stop"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => gopherQualitySignals(Tables(s, dir).documents)
+        .withColumn("ok_len", col("n_tokens") >= 50)
+        .withColumn("ok_mwl",
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+        .withColumn("ok_stop", col("n_stop") >= 2)
+        .withColumn("pass", col("ok_len") && col("ok_mwl") && col("ok_stop"))
+        .orderBy("doc_id"),
       Some(s"""
         WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
         f AS (SELECT doc_id, len(ws) AS n_tokens,
@@ -3418,44 +3465,11 @@ object TextQueries {
     // than n tokens has no n-grams). Map-side-combinable throughout —
     // 100 TB cost is one pass per n.
     Reg("gopher_repetition_filter",
-      (s, dir) => {
-        val docs = Tables(s, dir).documents
-          .select(col("doc_id"), col("text"), length(col("text")).as("tlen"))
-        val ppm = "CAST(round(CAST(chars AS DOUBLE) / CAST(tlen AS DOUBLE)" +
-          " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
-        def topFrac(n: Int, alias: String) = {
-          val w = Window.partitionBy(col("doc_id"))
-            .orderBy(col("cnt").desc, col("g"))
-          docs.select(col("doc_id"), col("tlen"),
-              explode(TextOps.shinglesAll(col("text"), n)).as("g"))
-            .groupBy(col("doc_id"), col("tlen"), col("g"))
-            .agg(count(lit(1)).as("cnt"))
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") === 1)
-            .withColumn("chars", col("cnt") * length(col("g")))
-            .select(col("doc_id"), expr(ppm).as(alias))
-        }
-        val dup5 = docs.select(col("doc_id"), col("tlen"),
-            explode(TextOps.shinglesAll(col("text"), 5)).as("g"))
-          .groupBy(col("doc_id"), col("tlen"), col("g"))
-          .agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") > 1)
-          .groupBy(col("doc_id"), col("tlen"))
-          .agg(sum(col("cnt") * length(col("g"))).as("chars"))
-          .select(col("doc_id"), expr(ppm).as("dup5_ppm"))
-        docs.select(col("doc_id"))
-          .join(topFrac(2, "top2_ppm"), Seq("doc_id"), "left")
-          .join(topFrac(3, "top3_ppm"), Seq("doc_id"), "left")
-          .join(dup5, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("top2_ppm"), lit(0L)).as("top2_ppm"),
-            coalesce(col("top3_ppm"), lit(0L)).as("top3_ppm"),
-            coalesce(col("dup5_ppm"), lit(0L)).as("dup5_ppm"))
-          .withColumn("pass",
-            col("top2_ppm") < 200000L && col("top3_ppm") < 180000L &&
-              col("dup5_ppm") < 150000L)
-          .orderBy("doc_id")
-      },
+      (s, dir) => gopherRepetitionSignals(Tables(s, dir).documents)
+        .withColumn("pass",
+          col("top2_ppm") < 200000L && col("top3_ppm") < 180000L &&
+            col("dup5_ppm") < 150000L)
+        .orderBy("doc_id"),
       Some("""
         WITH d AS (SELECT doc_id, length(text) AS tlen,
                           string_split(trim(text), ' ') AS ws FROM documents),
@@ -3644,6 +3658,96 @@ object TextQueries {
                CAST(min(avg_nll_um) AS BIGINT) AS min_nll_um,
                CAST(max(avg_nll_um) AS BIGINT) AS max_nll_um
         FROM rk GROUP BY 1, 2 ORDER BY lang, bucket
+      """)),
+
+    // ---- Gopher filter funnel: quality → repetition → exact dedup -------
+    // The end-to-end curation pipeline the two named gates feed (the
+    // curation_funnel shape on the Gopher rules): per-stage survivor
+    // counts — corpus → quality-gate pass → +repetition-gate pass →
+    // distinct texts among survivors. One row; each stage reuses the
+    // shared signal builders, so funnel and gates can never drift. The
+    // single-row aggregates cross-join (4 broadcast one-row relations) —
+    // the curation_funnel scale shape: counting is map-side-combinable,
+    // the joins move 4 rows.
+    Reg("gopher_filter_funnel",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val q = gopherQualitySignals(docs)
+          .filter(col("n_tokens") >= 50 && col("mean_word_len") >= 3.0 &&
+            col("mean_word_len") <= 10.0 && col("n_stop") >= 2)
+          .select(col("doc_id"))
+        val b = gopherRepetitionSignals(docs)
+          .filter(col("top2_ppm") < 200000L && col("top3_ppm") < 180000L &&
+            col("dup5_ppm") < 150000L)
+          .join(q, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"))
+        val n0 = docs.agg(count(lit(1)).as("n_total"))
+        val n1 = q.agg(count(lit(1)).as("n_quality"))
+        val n2 = b.agg(count(lit(1)).as("n_repetition"))
+        val n3 = docs.join(b, Seq("doc_id"), "left_semi")
+          .agg(countDistinct(md5(lower(trim(col("text")))))
+            .as("n_unique_texts"))
+        n0.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        f AS (SELECT doc_id, len(ws) AS n_tokens,
+                     round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                           / len(ws), 4) AS mean_word_len,
+                     len(list_intersect(list_distinct(ws),
+                       ${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) AS n_stop
+              FROM t),
+        d AS (SELECT doc_id, length(text) AS tlen,
+                     string_split(trim(text), ' ') AS ws FROM documents),
+        g2 AS (SELECT doc_id, tlen, ws[i] || ' ' || ws[i+1] AS g
+               FROM d, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+               WHERE len(ws) >= 2),
+        c2 AS (SELECT doc_id, tlen, g, count(*) AS cnt FROM g2 GROUP BY 1, 2, 3),
+        t2 AS (SELECT doc_id,
+                      CAST(round(CAST(cnt * length(g) AS DOUBLE) / CAST(tlen AS DOUBLE)
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS top2_ppm,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rk
+               FROM c2),
+        g3 AS (SELECT doc_id, tlen, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+               FROM d, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+               WHERE len(ws) >= 3),
+        c3 AS (SELECT doc_id, tlen, g, count(*) AS cnt FROM g3 GROUP BY 1, 2, 3),
+        t3 AS (SELECT doc_id,
+                      CAST(round(CAST(cnt * length(g) AS DOUBLE) / CAST(tlen AS DOUBLE)
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS top3_ppm,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rk
+               FROM c3),
+        g5 AS (SELECT doc_id, tlen,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                        || ' ' || ws[i+4] AS g
+               FROM d, unnest(generate_series(1, len(ws) - 4)) AS u(i)
+               WHERE len(ws) >= 5),
+        c5 AS (SELECT doc_id, tlen, g, count(*) AS cnt FROM g5 GROUP BY 1, 2, 3),
+        d5 AS (SELECT doc_id,
+                      CAST(round(CAST(sum(cnt * length(g)) AS DOUBLE)
+                        / CAST(tlen AS DOUBLE)
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS dup5_ppm
+               FROM c5 WHERE cnt > 1 GROUP BY doc_id, tlen),
+        rep AS (SELECT d.doc_id,
+                       coalesce(t2.top2_ppm, 0) AS top2_ppm,
+                       coalesce(t3.top3_ppm, 0) AS top3_ppm,
+                       coalesce(d5.dup5_ppm, 0) AS dup5_ppm
+                FROM d LEFT JOIN t2 ON d.doc_id = t2.doc_id AND t2.rk = 1
+                       LEFT JOIN t3 ON d.doc_id = t3.doc_id AND t3.rk = 1
+                       LEFT JOIN d5 ON d.doc_id = d5.doc_id),
+        q AS (SELECT doc_id FROM f
+              WHERE n_tokens >= 50 AND mean_word_len >= 3.0
+                AND mean_word_len <= 10.0 AND n_stop >= 2),
+        b AS (SELECT rep.doc_id FROM rep JOIN q USING (doc_id)
+              WHERE rep.top2_ppm < 200000 AND rep.top3_ppm < 180000
+                AND rep.dup5_ppm < 150000),
+        n0 AS (SELECT count(*) AS n_total FROM documents),
+        n1 AS (SELECT count(*) AS n_quality FROM q),
+        n2 AS (SELECT count(*) AS n_repetition FROM b),
+        n3 AS (SELECT count(DISTINCT md5(lower(trim(text)))) AS n_unique_texts
+               FROM documents JOIN b USING (doc_id))
+        SELECT n_total, n_quality, n_repetition, n_unique_texts
+        FROM n0, n1, n2, n3
       """))
   )
 }

@@ -2636,6 +2636,54 @@ object VecQueries {
           VecOps.ivfPqResidualTopK(emb, lists = 16, probes = 2, k = 3)
             .filter(keep).select(col("qid"), col("nid"), col("rank").as("pos")))
       },
-      Some(ndcg3OracleSql(ndcgIvfpqIdxCtes)))
+      Some(ndcg3OracleSql(ndcgIvfpqIdxCtes))),
+
+    // ---- hard-negative mining (contrastive training-data prep) ----------
+    // The embedding-side curation op a contrastive trainer consumes: for
+    // each anchor, the top-3 most-similar vectors with a DIFFERENT label
+    // — near the anchor in embedding space but semantically distinct,
+    // the "hard negatives" that make InfoNCE-style losses learn.
+    // Candidates come from the session-shared (planes=4, tables=6)
+    // directed LSH pair relation (the knn_label_purity discipline — both
+    // engines see the identical candidate set, so grading is independent
+    // of LSH recall); labels equi-join in, same-label pairs drop, rank
+    // by (score DESC, nid). Scale: the pair relation is bucket-keyed
+    // (Σ bucket², never n²) and derived once per session; the label
+    // joins are id-keyed. Output: anchor, rank, negative, both labels,
+    // 4-dp score.
+    Reg("hard_negative_mining",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val labels = emb.select(col("vec_id"), col("label"))
+        val scored = VecOps.lshScoredP4T6Shared(emb, dir, directed = true)
+          .join(labels.select(col("vec_id").as("qid"),
+            col("label").as("q_label")), "qid")
+          .join(labels.select(col("vec_id").as("nid"),
+            col("label").as("n_label")), "nid")
+          .filter(col("q_label") =!= col("n_label"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("nid"),
+            col("q_label"), col("n_label"),
+            round(col("score"), 4).as("score"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH ${duckSigCtes(4, 6, "<>")},
+        scored AS (SELECT c.qid, c.nid,
+                          a.label AS q_label, b.label AS n_label, $duckDot AS d
+                   FROM cand c
+                   JOIN embeddings a ON a.vec_id = c.qid
+                   JOIN embeddings b ON b.vec_id = c.nid
+                   WHERE a.label <> b.label),
+        r AS (SELECT qid, nid, q_label, n_label, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM scored)
+        SELECT qid, rank, nid, q_label, n_label, round(d, 4) AS score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """))
   )
 }

@@ -393,7 +393,44 @@ class PlanShapeSpec extends SparkSpec {
     "ann_ndcg_hier" -> (11, 7),
     // round-13: SGT unigram perplexity (token agg + count-class agg +
     // OLS fold + w-keyed count join-back + r join + doc agg + sort)
-    "sgt_perplexity_score" -> (9, 4))
+    "sgt_perplexity_score" -> (9, 4),
+    // round-13 curation shelf + residual rung.
+    // gopher_quality: pure map-side gate — the only exchange is the
+    // output sort (the shape the scaladoc promises)
+    "gopher_quality_filter" -> (1, 0),
+    // gopher_repetition: per-n (doc,gram) agg + doc-keyed top window
+    // (2- and 3-gram branches) / dup agg (5-gram branch) + three
+    // doc_id join-backs (broadcast at fixture scale) + sort — every
+    // window is doc-partitioned, no cross-doc shuffle
+    "gopher_repetition_filter" -> (7, 3),
+    // dsir: token bucket agg ×2 (target/raw) + two one-row totals +
+    // the 64-row lr join (SMJ in the static plan; AQE broadcasts at
+    // runtime) + per-doc agg + sort
+    "dsir_importance_weights" -> (8, 4),
+    // ccnet: per-lang bigram counts + c1 agg + vocab agg (broadcast) +
+    // the vocabulary-sized nll join (shuffle by design — the
+    // lm_perplexity_score 100 TB argument) + per-doc agg + lang-
+    // partitioned rank window + bucket agg + sort
+    "ccnet_perplexity_buckets" -> (8, 3),
+    // ivfpq: coarse assignment window + residual checkpoint reads +
+    // code assignment window + recon agg + cell-keyed candidate join +
+    // rank window + sort; the 8 broadcasts are all bounded plan-time
+    // relations (16-row coarse table ×2, 32-row codebook ×2, subspace
+    // ranges, rseed pick) — never the embeddings table
+    "ann_ivfpq_topk" -> (8, 8),
+    // the recall/NDCG lenses add the shared-brute InMemoryScan join +
+    // hit/idcg aggs on top of the same index pipeline
+    "ann_recall_ivfpq" -> (11, 8),
+    "ann_ndcg_ivfpq" -> (12, 8),
+    // funnel: the quality branch (1 sort-free map pass) + the full
+    // repetition machinery (7) replayed for stages 2-4 + the four
+    // single-row count aggs; 11 broadcasts = the 3 gate join-backs + the
+    // semi-joins + four 1-row cross-join sides — all bounded relations,
+    // counting itself is map-side-combinable
+    "gopher_filter_funnel" -> (19, 11),
+    // reads the session-shared directed p4t6 pair relation (InMemoryScan)
+    // + rank window + sort; both label lookups broadcast
+    "hard_negative_mining" -> (2, 2))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
