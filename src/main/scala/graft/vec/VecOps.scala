@@ -508,6 +508,16 @@ object VecOps {
     topK(scores, k)
   }
 
+  /** Session-shared IVF-PQ-residual top-3 (lists=16, probes=2): the
+    * index build + candidate ranking is the expensive part, and its
+    * three graded consumers (ann_ivfpq_topk + the recall/NDCG lenses)
+    * slice the same OUTPUT-sized ranked relation — the bruteTop5Shared
+    * discipline (derive once per (session, dir), n·3 rows persisted). */
+  def ivfpqTop3Shared(emb: DataFrame, dir: String): DataFrame =
+    graft.Shared.relation(emb.sparkSession, dir, "ivfpq_top3") {
+      ivfPqResidualTopK(emb, lists = 16, probes = 2, k = 3)
+    }
+
   /** One Lloyd (k-means) iteration over (cid, ce) centroids: assign each
     * vector to its nearest centroid (broadcast O(n·k) pass, the same
     * shape as [[ivfTopK]]'s assignment), then recompute each cell's

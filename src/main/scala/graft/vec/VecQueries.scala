@@ -2581,8 +2581,7 @@ object VecQueries {
     // asymmetric distance against c + PQ(r). See ivfPqResidualTopK's
     // scaladoc for the float-parity and degenerate-seed arguments.
     Reg("ann_ivfpq_topk",
-      (s, dir) => VecOps.ivfPqResidualTopK(Tables(s, dir).embeddings,
-          lists = 16, probes = 2, k = 3)
+      (s, dir) => VecOps.ivfpqTop3Shared(Tables(s, dir).embeddings, dir)
         .select(col("qid"), col("rank"), col("nid"),
           round(col("score"), 4).as("score"))
         .orderBy("qid", "rank"),
@@ -2601,8 +2600,7 @@ object VecQueries {
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val ipq = VecOps.ivfPqResidualTopK(emb, lists = 16, probes = 2, k = 3)
-          .filter(keep)
+        val ipq = VecOps.ivfpqTop3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(ipq, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -2632,9 +2630,8 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        annNdcg3(emb, dir,
-          VecOps.ivfPqResidualTopK(emb, lists = 16, probes = 2, k = 3)
-            .filter(keep).select(col("qid"), col("nid"), col("rank").as("pos")))
+        annNdcg3(emb, dir, VecOps.ivfpqTop3Shared(emb, dir)
+          .filter(keep).select(col("qid"), col("nid"), col("rank").as("pos")))
       },
       Some(ndcg3OracleSql(ndcgIvfpqIdxCtes))),
 

@@ -412,16 +412,15 @@ class PlanShapeSpec extends SparkSpec {
     // lm_perplexity_score 100 TB argument) + per-doc agg + lang-
     // partitioned rank window + bucket agg + sort
     "ccnet_perplexity_buckets" -> (8, 3),
-    // ivfpq: coarse assignment window + residual checkpoint reads +
-    // code assignment window + recon agg + cell-keyed candidate join +
-    // rank window + sort; the 8 broadcasts are all bounded plan-time
-    // relations (16-row coarse table ×2, 32-row codebook ×2, subspace
-    // ranges, rseed pick) — never the embeddings table
-    "ann_ivfpq_topk" -> (8, 8),
-    // the recall/NDCG lenses add the shared-brute InMemoryScan join +
-    // hit/idcg aggs on top of the same index pipeline
-    "ann_recall_ivfpq" -> (11, 8),
-    "ann_ndcg_ivfpq" -> (12, 8),
+    // ivfpq family: all three consumers read the session-shared top-3
+    // relation (ivfpqTop3Shared InMemoryScan — output sort / hit + idcg
+    // aggs only); the index pipeline's own exchanges (coarse assignment
+    // window + code window + recon agg + cell join + rank window, with
+    // every broadcast a bounded plan-time relation) are paid ONCE at
+    // materialization, the bruteTop5Shared discipline
+    "ann_ivfpq_topk" -> (1, 0),
+    "ann_recall_ivfpq" -> (4, 0),
+    "ann_ndcg_ivfpq" -> (5, 0),
     // funnel: the quality branch (1 sort-free map pass) + the full
     // repetition machinery (7) replayed for stages 2-4 + the four
     // single-row count aggs; 11 broadcasts = the 3 gate join-backs + the
