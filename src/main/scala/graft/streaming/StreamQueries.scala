@@ -1520,6 +1520,12 @@ object StreamQueries {
         graft.sources.Fixtures.md5Hex(dir)),
       Some(graft.text.TextQueries.weightedJaccardOracle)),
 
+    Reg("streaming_dsir_weights",
+      (s, dir) => dsirIncrementalRun(s, dir,
+        graft.sources.Fixtures.ensureDocStreamFiles(s, dir, n = 3),
+        graft.sources.Fixtures.md5Hex(dir)),
+      Some(graft.text.TextQueries.dsirOracle)),
+
     Reg("streaming_decontam_overlap",
       (s, dir) => decontamIncrementalRun(s, dir,
         graft.sources.Fixtures.ensureDocStreamFiles(s, dir, n = 3),
@@ -2002,6 +2008,69 @@ object StreamQueries {
         when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
         col("dup_of"))
       .orderBy("vec_id")
+  }
+
+  /** SEVENTH incremental screen: ONLINE DSIR importance scoring — the
+    * corpus streams in (3 micro-batches) and every piece of screen state
+    * is ADDITIVE: per batch, the batch's hashed-unigram bucket counts
+    * append to a (b, source-split) count store and its per-(doc, bucket)
+    * token counts to a doc store (each doc arrives in exactly one batch,
+    * so doc rows never merge; bucket counts are plain sums — the
+    * streaming_wj additive-df discipline with NOTHING ELSE: no candidate
+    * join, no store scan, per-batch cost ∝ batch). Read-out: the add-one
+    * log-ratio table derives from the SUMMED final counts and doc
+    * weights from the doc store — equal to the batch aggregates under
+    * any batching, so the drained output equals the batch SQL verbatim
+    * ([[graft.text.TextQueries.dsirOracle]], the shared oracle). */
+  private[graft] def dsirIncrementalRun(s: SparkSession, dir: String,
+      srcDir: String, tag: String): DataFrame = {
+    val bStore = s"/dev/shm/graft-dsir/buckets_$tag"
+    val dStore = s"/dev/shm/graft-dsir/docs_$tag"
+    val ckpt = s"/dev/shm/graft-ckpt/dsir_$tag"
+    rmrf(new java.io.File(bStore)); rmrf(new java.io.File(dStore))
+    rmrf(new java.io.File(ckpt))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val tok = batch.select(col("doc_id"), col("source"),
+              explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+            .withColumn("b", graft.text.TextOps.hash60(col("w")) % 64)
+          tok.groupBy(col("b"))
+            .agg(count(lit(1)).as("cr"),
+              count(when(col("source") === "src0", 1)).as("ct"))
+            .coalesce(1).write.mode("append").parquet(bStore)
+          tok.groupBy(col("doc_id"), col("b"))
+            .agg(count(lit(1)).as("cnt"))
+            .coalesce(1).write.mode("append").parquet(dStore)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val counts = s.read.parquet(bStore)
+      .groupBy(col("b"))
+      .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .withColumn("lr_um", expr(
+        "CAST(round(ln(CAST((ct + 1) * (nr + 64) AS DOUBLE)" +
+          " / CAST((cr + 1) * (nt + 64) AS DOUBLE))" +
+          " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+      .select(col("b"), col("lr_um"))
+    s.read.parquet(dStore).join(lr, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lr_um")).as("logw_um"))
+      .orderBy("doc_id")
   }
 
   /** SIXTH incremental screen: ONLINE benchmark decontamination — the

@@ -74,6 +74,33 @@ object TextQueries {
         ORDER BY tot.doc_id
       """
 
+  /** DSIR oracle, shared verbatim with the streaming twin
+    * (`streaming_dsir_weights`): every piece of screen state is ADDITIVE
+    * — per-bucket target/raw counts and per-(doc, bucket) token counts
+    * sum across micro-batches to exactly the batch aggregates (each doc
+    * arrives in one batch; bucket counts are plain sums) — and the
+    * read-out computes the log-ratio table and doc weights on the FINAL
+    * counts, so the drained output equals this batch SQL row-for-row
+    * under any batching. Edits apply to both consumers or neither. */
+  private[graft] val dsirOracle: String = """
+        WITH tok AS (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        tb AS (SELECT doc_id, source,
+                      ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b FROM tok),
+        raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+        tgt AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY 1),
+        tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tgt),
+        tr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
+        lr AS (SELECT raw.b,
+                      CAST(round(ln(CAST((coalesce(tgt.ct, 0) + 1) * (tr.nr + 64) AS DOUBLE)
+                                    / CAST((raw.cr + 1) * (tt.nt + 64) AS DOUBLE))
+                                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lr_um
+               FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tt, tr)
+        SELECT tb.doc_id, count(*) AS n_tokens, CAST(sum(lr.lr_um) AS BIGINT) AS logw_um
+        FROM tb JOIN lr ON tb.b = lr.b
+        GROUP BY 1 ORDER BY doc_id
+      """
+
   /** Per-doc Gopher quality-gate signals — (doc_id, n_tokens,
     * mean_word_len, n_stop), shared by `gopher_quality_filter` and the
     * funnel. The 4-dp mean is the token_stats avg_token_len expression
@@ -3555,24 +3582,7 @@ object TextQueries {
           .agg(count(lit(1)).as("n_tokens"), sum(col("lr_um")).as("logw_um"))
           .orderBy("doc_id")
       },
-      Some("""
-        WITH tok AS (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS w
-                     FROM documents),
-        tb AS (SELECT doc_id, source,
-                      ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b FROM tok),
-        raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
-        tgt AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY 1),
-        tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tgt),
-        tr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
-        lr AS (SELECT raw.b,
-                      CAST(round(ln(CAST((coalesce(tgt.ct, 0) + 1) * (tr.nr + 64) AS DOUBLE)
-                                    / CAST((raw.cr + 1) * (tt.nt + 64) AS DOUBLE))
-                                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lr_um
-               FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tt, tr)
-        SELECT tb.doc_id, count(*) AS n_tokens, CAST(sum(lr.lr_um) AS BIGINT) AS logw_um
-        FROM tb JOIN lr ON tb.b = lr.b
-        GROUP BY 1 ORDER BY doc_id
-      """)),
+      Some(dsirOracle)),
 
     // ---- CCNet perplexity bucketing (Wenzek et al. 2020) ----------------
     // The CCNet curation step ABOVE the LM scorers this registry already

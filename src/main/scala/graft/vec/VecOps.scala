@@ -508,6 +508,49 @@ object VecOps {
     topK(scores, k)
   }
 
+  /** The residual-PQ encode stage alone — each vector's per-subspace
+    * nearest RESIDUAL codeword, keeping the subvector and codeword
+    * columns for the reconstruction-quality diagnostic: (vec_id, s,
+    * rcid, x, cw). Identical coarse assignment / residuals / salted
+    * codeword seeds / adjusted-dot assignment to [[ivfPqResidualTopK]]
+    * (the [[pqEncode]] discipline: kept separate so the graded ANN plan
+    * stays untouched). Because x is the residual slice, Σ‖x − cw‖² over
+    * subspaces IS the full scheme's reconstruction error
+    * ‖v − (c + PQ(r))‖² — directly comparable to [[pqEncode]]'s raw-PQ
+    * error, which is the point of the diagnostic. */
+  def ivfPqEncode(emb: DataFrame, lists: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val m = 4
+    val cent = seedCentroids(emb, lists)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cd", expr("dot_f32(embedding, ce)"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .withColumn("res", expr("zip_with(embedding, ce, (x, y) -> CAST(x - y AS FLOAT))"))
+      .select(col("vec_id"), col("res"))
+      .localCheckpoint()
+    val rseeds = assigned
+      .join(cent.select(col("cid").as("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("_h", graft.text.TextOps.hash60(
+        concat(lit("rs"), col("vec_id").cast("string"))))
+      .orderBy(col("_h"), col("vec_id")).limit(8)
+      .select(col("vec_id").as("rcid"), col("res").as("rce"))
+    val rcb = rseeds.crossJoin(spark_range_s(emb, m))
+      .select(col("s"), col("rcid"), expr("slice(rce, s * 16 + 1, 16)").as("cw"))
+    val wCode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("d").desc, col("rcid"))
+    assigned.crossJoin(spark_range_s(emb, m))
+      .select(col("vec_id"), col("s"), expr("slice(res, s * 16 + 1, 16)").as("x"))
+      .join(broadcast(rcb), Seq("s"))
+      .withColumn("d", expr("dot_f32(x, cw) - 0.5 * dot_f32(cw, cw)"))
+      .withColumn("crank", row_number().over(wCode))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("s"), col("rcid"), col("x"), col("cw"))
+  }
+
   /** Session-shared IVF-PQ-residual top-3 (lists=16, probes=2): the
     * index build + candidate ranking is the expensive part, and its
     * three graded consumers (ann_ivfpq_topk + the recall/NDCG lenses)

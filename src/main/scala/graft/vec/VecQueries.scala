@@ -584,7 +584,7 @@ object VecQueries {
     * reconstruction arithmetic is CAST AS FLOAT (double-compute +
     * round-to-float of float operands ≡ float ops — the 2p+2 theorem),
     * so reconstructed vectors match Spark bit-for-bit. */
-  private val ivfpqCoreCtes: String = """
+  private val ivfpqEncCtes: String = """
         seeds AS (
           SELECT vec_id AS cid, embedding AS ce
           FROM embeddings
@@ -610,16 +610,19 @@ object VecQueries {
         rxs AS (SELECT vec_id, s.s, res[s.s * 16 + 1 : s.s * 16 + 16] AS x
                 FROM asg, range(4) s(s)),
         rassign AS (
-          SELECT x.vec_id, x.s, c.rcid,
+          SELECT x.vec_id, x.s, c.rcid, x.x, c.cw,
                  row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
                    (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
                     - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
                    DESC, c.rcid) AS crank
-          FROM rxs x JOIN rcb c ON x.s = c.s),
-        rrec AS (SELECT a.vec_id, flatten(list(c.cw ORDER BY a.s)) AS rrec
-                 FROM rassign a JOIN rcb c ON a.s = c.s AND a.rcid = c.rcid
-                 WHERE a.crank = 1
-                 GROUP BY a.vec_id),
+          FROM rxs x JOIN rcb c ON x.s = c.s)"""
+
+  private val ivfpqCoreCtes: String = s"""
+        $ivfpqEncCtes,
+        rrec AS (SELECT vec_id, flatten(list(cw ORDER BY s)) AS rrec
+                 FROM rassign
+                 WHERE crank = 1
+                 GROUP BY vec_id),
         recon AS (SELECT g.vec_id AS nid, g.cid,
                          list_transform(range(1, 65),
                            i -> CAST(g.ce[i] + r.rrec[i] AS FLOAT)) AS recon
@@ -2681,6 +2684,45 @@ object VecQueries {
         SELECT qid, rank, nid, q_label, n_label, round(d, 4) AS score
         FROM r WHERE rank <= 3
         ORDER BY qid, rank
+      """)),
+
+    // ---- residual-PQ reconstruction error (the rung's honest lens) ------
+    // The per-subspace ‖x − cw‖² profile of the RESIDUAL codebook —
+    // because x is the residual slice, this is the full scheme's
+    // reconstruction error ‖v − (c + PQ(r))‖², directly comparable to
+    // pq_reconstruction_error's raw-PQ numbers. MEASURED NEGATIVE on
+    // this fixture (sum_err ≈ 2.2×10⁸ vs raw PQ's 1.5×10⁸ at sf0.01):
+    // the fixture embeddings are near-uniform on the sphere, so
+    // ‖r‖² = 2 − 2·v·c > 1 — residuals carry MORE variance than the unit
+    // vectors and an 8-codeword book covers them worse. The classic
+    // faiss advantage (residuals shrink, v·c → 1) needs clustered data;
+    // the recall twin still wins (0.19 vs 0.12) because IVF ROUTING, not
+    // quantization quality, is what the probe restriction buys. The
+    // diagnostic exists exactly to adjudicate this per corpus. Same
+    // integer ×10⁶ quantization, same output shape as the raw-PQ twin.
+    Reg("ivfpq_reconstruction_error",
+      (s, dir) => VecOps.ivfPqEncode(Tables(s, dir).embeddings, lists = 16)
+        .withColumn("err", expr(
+          "dot_f32(x, x) - 2 * dot_f32(x, cw) + dot_f32(cw, cw)"))
+        .withColumn("err_x1e6", round(col("err") * 1000000).cast("long"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("err_x1e6")).as("sum_err_x1e6"),
+          max(col("err_x1e6")).as("max_err_x1e6"))
+        .orderBy("s"),
+      Some(s"""
+        WITH $ivfpqEncCtes,
+        e AS (
+          SELECT s, CAST(round(
+                   (list_sum(list_transform(range(1, 17), i -> x[i]::DOUBLE * x[i]::DOUBLE))
+                    - 2 * list_sum(list_transform(range(1, 17), i -> x[i]::DOUBLE * cw[i]::DOUBLE))
+                    + list_sum(list_transform(range(1, 17), i -> cw[i]::DOUBLE * cw[i]::DOUBLE)))
+                   * 1000000) AS BIGINT) AS err_x1e6
+          FROM rassign WHERE crank = 1)
+        SELECT s, count(*) AS n,
+               CAST(sum(err_x1e6) AS BIGINT) AS sum_err_x1e6,
+               max(err_x1e6) AS max_err_x1e6
+        FROM e GROUP BY 1 ORDER BY 1
       """))
   )
 }

@@ -429,7 +429,12 @@ class PlanShapeSpec extends SparkSpec {
     "gopher_filter_funnel" -> (19, 11),
     // reads the session-shared directed p4t6 pair relation (InMemoryScan)
     // + rank window + sort; both label lookups broadcast
-    "hard_negative_mining" -> (2, 2))
+    "hard_negative_mining" -> (2, 2),
+    // encode stage (coarse-assignment exchanges land before the residual
+    // localCheckpoint; the plan sees the checkpoint scan) + code window +
+    // error agg + sort; broadcasts = coarse table, codebook sides, rseed
+    // anti-join — all bounded
+    "ivfpq_reconstruction_error" -> (3, 4))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
