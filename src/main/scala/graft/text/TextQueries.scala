@@ -3670,6 +3670,126 @@ object TextQueries {
         FROM rk GROUP BY 1, 2 ORDER BY lang, bucket
       """)),
 
+    // ---- quality ↔ perplexity rank agreement (curation diagnostic) ------
+    // Do the two scorer families agree? Spearman ρ between the heuristic
+    // quality_score and the add-one-LM avg NLL, PER LANGUAGE — the
+    // neardup_signal_agreement idea applied to the scoring shelf. A
+    // strongly negative ρ (higher quality ↔ lower NLL) means either
+    // scorer can gate; ρ ≈ 0 means they see different things and the
+    // pipeline should keep both. Machinery is the spearman_corr_types
+    // discipline verbatim: doubled mid-ranks (2·rank + ties − 1, integer
+    // forever), Pearson on ranks via integer sums, one sqrt at the end,
+    // ppm-quantized, zero-variance guard. Windows are lang-partitioned;
+    // the LM is the global add-one bigram model of lm_perplexity_score
+    // (scores identical to that query's by construction).
+    Reg("quality_nll_agreement",
+      (s, dir) => {
+        val t = TextOps.tokens(col("text"))
+        val stopArr = array(stopwords.map(lit): _*)
+        val q = Tables(s, dir).documents.select(
+          col("doc_id"), col("lang"),
+          round(size(array_distinct(t)).cast("double") / size(t), 4).as("ttr"),
+          round(size(array_intersect(array_distinct(t), stopArr)).cast("double")
+            / size(array_distinct(t)), 4).as("stop_ratio"))
+          .withColumn("q_x1e4", round(
+            round(col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.6, 4)
+              * 10000).cast("long"))
+          .select(col("doc_id"), col("lang"), col("q_x1e4"))
+        val bi = Tables(s, dir).documents
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 1)," +
+              " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        val v = Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .agg(countDistinct(col("w")).as("vocab"))
+        val nllTab = c2.join(c1, "w1").crossJoin(broadcast(v))
+          .withColumn("nll_um", expr(
+            "CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE))" +
+              " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+          .select(col("w1"), col("w2"), col("nll_um"))
+        val y = bi.join(nllTab, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(expr("sum(nll_um) div count(*)").as("avg_nll_um"))
+        val j = q.join(y, "doc_id")
+        val wl = Window.partitionBy(col("lang"))
+        val ranked = j
+          .withColumn("x", lit(2L) * rank().over(
+              wl.orderBy(col("q_x1e4"))).cast("long")
+            + count(lit(1)).over(Window.partitionBy(col("lang"), col("q_x1e4"))) - 1L)
+          .withColumn("y", lit(2L) * rank().over(
+              wl.orderBy(col("avg_nll_um"))).cast("long")
+            + count(lit(1)).over(Window.partitionBy(col("lang"), col("avg_nll_um"))) - 1L)
+        ranked.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("lang"), col("n_docs"),
+            expr("""CASE WHEN n_docs * sxx - sx * sx > 0 AND n_docs * syy - sy * sy > 0
+                    THEN CAST(round(CAST(n_docs * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                             * CAST(n_docs * syy - sy * sy AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END""").as("rho_um"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ws FROM documents),
+        q AS (SELECT doc_id, lang,
+                     CAST(round(round(
+                       round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) * 0.4
+                       + (1.0 - round(CAST(len(list_intersect(list_distinct(ws),
+                           ${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) AS DOUBLE)
+                           / len(list_distinct(ws)), 4)) * 0.6, 4) * 10000) AS BIGINT) AS q_x1e4
+              FROM t),
+        tf AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
+        bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                        i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+               FROM tf),
+        bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS vocab FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)),
+        nll AS (SELECT c2.w1, c2.w2,
+                       CAST(round(-ln(CAST(c2.c2 + 1 AS DOUBLE) /
+                                      CAST(c1.c1 + v.vocab AS DOUBLE))
+                                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS nll_um
+                FROM c2 JOIN c1 USING (w1), v),
+        y AS (SELECT bg.doc_id,
+                     CAST(sum(n.nll_um) // count(*) AS BIGINT) AS avg_nll_um
+              FROM bg JOIN nll n ON bg.w1 = n.w1 AND bg.w2 = n.w2
+              GROUP BY 1),
+        j AS (SELECT q.lang, q.q_x1e4, y.avg_nll_um
+              FROM q JOIN y ON q.doc_id = y.doc_id),
+        rk AS (SELECT lang,
+                      2 * CAST(rank() OVER (PARTITION BY lang ORDER BY q_x1e4) AS BIGINT)
+                        + count(*) OVER (PARTITION BY lang, q_x1e4) - 1 AS x,
+                      2 * CAST(rank() OVER (PARTITION BY lang ORDER BY avg_nll_um) AS BIGINT)
+                        + count(*) OVER (PARTITION BY lang, avg_nll_um) - 1 AS y
+               FROM j),
+        st AS (SELECT lang, count(*) AS n_docs,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM rk GROUP BY 1)
+        SELECT lang, n_docs,
+               CASE WHEN n_docs * sxx - sx * sx > 0 AND n_docs * syy - sy * sy > 0
+                    THEN CAST(round(CAST(n_docs * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                             * CAST(n_docs * syy - sy * sy AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS rho_um
+        FROM st ORDER BY lang
+      """)),
+
     // ---- Gopher filter funnel: quality → repetition → exact dedup -------
     // The end-to-end curation pipeline the two named gates feed (the
     // curation_funnel shape on the Gopher rules): per-stage survivor

@@ -67,7 +67,9 @@ class RegistrySpec extends AnyFunSuite {
       // one agreement-statistic row (round-11)
       "cohens_kappa_langid",
       // one Newman degree-correlation row (round-11)
-      "degree_assortativity")
+      "degree_assortativity",
+      // one wide funnel row (round-13): Gopher-gate survivor counts
+      "gopher_filter_funnel")
     val offenders = noOrder.filterNot(exempt)
     assert(offenders.isEmpty,
       s"oracles without ORDER BY (row order is engine-arbitrary): $offenders")

@@ -434,7 +434,11 @@ class PlanShapeSpec extends SparkSpec {
     // localCheckpoint; the plan sees the checkpoint scan) + code window +
     // error agg + sort; broadcasts = coarse table, codebook sides, rseed
     // anti-join — all bounded
-    "ivfpq_reconstruction_error" -> (3, 4))
+    "ivfpq_reconstruction_error" -> (3, 4),
+    // the lm_perplexity bigram spine (c2/c1 aggs + vocab broadcast +
+    // vocabulary-sized nll shuffle join + per-doc agg) + quality join +
+    // TWO lang-partitioned doubled-midrank windows + per-lang agg + sort
+    "quality_nll_agreement" -> (8, 4))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
