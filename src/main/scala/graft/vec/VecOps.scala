@@ -508,6 +508,28 @@ object VecOps {
     topK(scores, k)
   }
 
+  /** Shortlist-then-refine ANN — the production two-stage shape (the
+    * faiss IndexRefineFlat idea): a cheap compressed index (the int8
+    * bucket rerank) retrieves a `shortlist` of candidates per query,
+    * then ONLY those pairs are re-scored at full float precision and the
+    * final top-k is cut on the exact score. Buys back the quantization
+    * ranking error at the cost of `shortlist` exact dots per query —
+    * the standard accuracy/cost dial between a compressed index and
+    * brute force. Shortlist cut ties break (int8 score DESC, nid); the
+    * refine joins are id-keyed equi-joins on a shortlist-sized relation
+    * (n·shortlist rows — never a second candidate expansion). */
+  def annRefineTopK(emb: DataFrame, planes: Int, shortlist: Int,
+                    k: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val short = annInt8TopK(emb, planes, shortlist).select(col("qid"), col("nid"))
+    val scores = short
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
+      .withColumn("score", expr("dot_f32(qe, ne)"))
+      .select("qid", "nid", "score")
+    topK(scores, k)
+  }
+
   /** The residual-PQ encode stage alone — each vector's per-subspace
     * nearest RESIDUAL codeword, keeping the subvector and codeword
     * columns for the reconstruction-quality diagnostic: (vec_id, s,

@@ -644,6 +644,38 @@ object VecQueries {
                 WHERE rank <= 3
                   AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
 
+  /** Shortlist-then-refine CTEs mirroring [[VecOps.annRefineTopK]]
+    * (planes=4, shortlist=10): int8 bucket rerank → top-10 cut → exact
+    * float re-score, ending in `rr(qid, nid, d, rank)`. `sample` narrows
+    * the query side for the recall/NDCG lenses ("" = all queries). */
+  private def refineCoreCtes(sample: String): String = s"""
+        $ndcgHpSig,
+        q8 AS (SELECT vec_id, bucket,
+                      list_transform(embedding, x -> CAST(round(x::DOUBLE * 127) AS INT)) AS q
+               FROM sig),
+        ip AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS iscore
+               FROM q8 a JOIN q8 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+               $sample),
+        sl AS (SELECT qid, nid FROM (
+                 SELECT qid, nid,
+                        row_number() OVER (PARTITION BY qid ORDER BY iscore DESC, nid) AS r
+                 FROM ip) WHERE r <= 10),
+        rx AS (SELECT sl.qid, sl.nid, $duckDot AS d
+               FROM sl JOIN embeddings a ON a.vec_id = sl.qid
+                       JOIN embeddings b ON b.vec_id = sl.nid),
+        rr AS (SELECT qid, nid, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM rx)"""
+
+  private val refineSample: String =
+    "WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0"
+
+  private val ndcgRefineIdxCtes: String = s"""
+        ${refineCoreCtes(refineSample)},
+        idx AS (SELECT qid, nid, rank AS pos FROM rr WHERE rank <= 3)"""
+
   val all: Seq[Reg] = Seq(
 
     // ---- embedding hygiene validation (norms ≈ 1) -----------------------
@@ -2723,6 +2755,65 @@ object VecQueries {
                CAST(sum(err_x1e6) AS BIGINT) AS sum_err_x1e6,
                max(err_x1e6) AS max_err_x1e6
         FROM e GROUP BY 1 ORDER BY 1
-      """))
+      """)),
+
+    // ---- shortlist-then-refine ANN (the ELEVENTH index family) ----------
+    // The production two-stage shape: int8 bucket rerank retrieves 10
+    // candidates per query, full-float re-scoring cuts the final top-3
+    // — compressed-index cost, near-exact ranking on the survivors.
+    Reg("ann_refine_topk",
+      (s, dir) => VecOps.annRefineTopK(Tables(s, dir).embeddings,
+          planes = 4, shortlist = 10, k = 3)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank"),
+      Some(s"""
+        WITH ${refineCoreCtes("")}
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM rr WHERE rank <= 3
+        ORDER BY qid, rank
+      """)),
+
+    // recall@3 — must dominate ann_recall_int8 (same candidates, exact
+    // ranking), which is the measurable value of the refine stage.
+    Reg("ann_recall_refine",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
+          .select(col("qid"), col("nid"))
+        val ref = VecOps.annRefineTopK(emb, planes = 4, shortlist = 10, k = 3)
+          .filter(keep)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(ref, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH ${refineCoreCtes(refineSample)},
+        ref AS (SELECT qid, nid FROM rr WHERE rank <= 3),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(i.nid) AS n_hit
+        FROM brute b LEFT JOIN ref i ON b.qid = i.qid AND b.nid = i.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // NDCG@3 — the 11×2 eval-matrix closer for the refine rung.
+    Reg("ann_ndcg_refine",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir,
+          VecOps.annRefineTopK(emb, planes = 4, shortlist = 10, k = 3)
+            .filter(keep).select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(ndcgRefineIdxCtes)))
   )
 }

@@ -438,7 +438,13 @@ class PlanShapeSpec extends SparkSpec {
     // the lm_perplexity bigram spine (c2/c1 aggs + vocab broadcast +
     // vocabulary-sized nll shuffle join + per-doc agg) + quality join +
     // TWO lang-partitioned doubled-midrank windows + per-lang agg + sort
-    "quality_nll_agreement" -> (8, 4))
+    "quality_nll_agreement" -> (8, 4),
+    // refine: int8 bucket join + shortlist window riding one exchange +
+    // final rank window + sort; both full-precision refine lookups
+    // broadcast at fixture scale (id-keyed equi-joins at scale)
+    "ann_refine_topk" -> (2, 3),
+    "ann_recall_refine" -> (5, 3),
+    "ann_ndcg_refine" -> (6, 3))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
