@@ -379,7 +379,11 @@ object ScaleDemo100 {
            // flat-linear), dsir is one token pass against a 64-row bucket
            // table, ccnet is lm_perplexity's bigram shape per language
            "gopher_repetition_filter", "dsir_importance_weights",
-           "ccnet_perplexity_buckets")
+           "ccnet_perplexity_buckets",
+           // round-13 second session, later additions: the funnel
+           // (re-runs the repetition machinery per stage) and the
+           // cross-scorer Spearman (lm bigram spine + lang windows)
+           "gopher_filter_funnel", "quality_nll_agreement")
          if !skip(s"$q@$tag"))
       time(s"$q @ $tag")(SparkEntry.queries(q)(spark, dir).count())
     // round-13: the IVF-PQ residual rung. The graded fixed-lists=16 knob
@@ -400,6 +404,15 @@ object ScaleDemo100 {
       time("ivfPqResidualTopK lists=160 @ 10x")(
         graft.vec.VecOps.ivfPqResidualTopK(Tables(spark, out10).embeddings,
           lists = 160, probes = 2, k = 3).count())
+    // round-13: the refine rung with the LSH planes knob scaled ∝ log n
+    // (the annLshTopK sizing rule) — the exact re-score is n·shortlist
+    // id-keyed dots regardless of decade, so the rung inherits the
+    // bucket knob's scaling and adds nothing super-linear of its own
+    for (((dir, tag), planes) <- decades.zip(Seq(4, 8, 11))
+         if !skip(s"annRefine@$tag"))
+      time(s"annRefineTopK planes=$planes @ $tag")(
+        graft.vec.VecOps.annRefineTopK(Tables(spark, dir).embeddings,
+          planes = planes, shortlist = 10, k = 3).count())
     for ((dir, tag) <- Seq((base, "1x"), (out10, "10x"))
          if !skip(s"mm_phash_neardup_pairs@$tag"))
       time(s"mm_phash_neardup_pairs @ $tag")(
