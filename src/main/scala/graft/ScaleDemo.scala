@@ -413,6 +413,17 @@ object ScaleDemo100 {
       time(s"annRefineTopK planes=$planes @ $tag")(
         graft.vec.VecOps.annRefineTopK(Tables(spark, dir).embeddings,
           planes = planes, shortlist = 10, k = 3).count())
+    // round-13: hierarchical IVF-PQ — the lists ∝ n residual rung running
+    // THROUGH the decades where the flat coarse assignment refuses (its
+    // arithmetic row in BASELINE.md): scaled-k Lloyd table + hier
+    // routing + residual PQ, k ∝ n at every decade
+    for ((dir, tag) <- decades if !skip(s"annIvfpqHier@$tag"))
+      time(s"ivfPqHierTopK scaled-k @ $tag")({
+        val emb = Tables(spark, dir).embeddings
+        graft.vec.VecOps.ivfPqHierTopK(emb,
+          graft.vec.VecOps.lloyd2CentroidsShared(emb, dir),
+          fprobes = 2, k = 3).count()
+      })
     for ((dir, tag) <- Seq((base, "1x"), (out10, "10x"))
          if !skip(s"mm_phash_neardup_pairs@$tag"))
       time(s"mm_phash_neardup_pairs @ $tag")(

@@ -573,6 +573,87 @@ object VecOps {
       .select(col("vec_id"), col("s"), col("rcid"), col("x"), col("cw"))
   }
 
+  /** HIERARCHICAL IVF-PQ — [[ivfPqResidualTopK]] with the coarse
+    * quantizer replaced by the shipped hierarchical machinery, which is
+    * what makes lists ∝ n viable: vector assignment routes through
+    * [[hierIndex]]/[[hierAssign]] (n·√k dots) instead of the flat
+    * broadcast argmax (at lists ∝ n that is the retired O(n·k) window
+    * class whose 100× refusal arithmetic BASELINE.md records — 8×10⁸
+    * window rows ≈ 450 GB shuffled), queries route coarse→fine exactly
+    * like [[ivfHierTopK]], and the residual v − ce(cell) is
+    * product-quantized against an 8-codeword salted-seed book with
+    * candidates re-scored by dot(q, ce + PQ(r)). NO seed exclusion
+    * here, unlike the flat sibling: fine centroids are Lloyd MEANS, not
+    * member vectors, so no corpus vector's residual is identically zero.
+    * Float parity: the snapped means are stored FLOAT on this side, so
+    * the oracle casts its double-snapped ce to FLOAT before the
+    * residual subtraction — both engines then subtract identical floats
+    * and the residual/recon arrays are bit-identical (the 2p+2
+    * theorem). Every join off the assignment (ce lookup, f2g, recon
+    * cells) is an equi-join left unhinted — size-based planning, the
+    * hierAssign stage-2 discipline. */
+  def ivfPqHierTopK(emb: DataFrame, centroids: DataFrame, fprobes: Int,
+                    k: Int): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val m = 4
+    val idx = hierIndex(centroids)
+    val asg = hierAssign(emb, idx)
+      .join(centroids.select(col("cid"), col("ce")), "cid")
+      .withColumn("res", expr("zip_with(embedding, ce, (x, y) -> CAST(x - y AS FLOAT))"))
+      .select(col("vec_id"), col("cid"), col("ce"), col("res"))
+      .localCheckpoint()
+    val rseeds = asg
+      .withColumn("_h", graft.text.TextOps.hash60(
+        concat(lit("rs"), col("vec_id").cast("string"))))
+      .orderBy(col("_h"), col("vec_id")).limit(8)
+      .select(col("vec_id").as("rcid"), col("res").as("rce"))
+    val rcb = rseeds.crossJoin(spark_range_s(emb, m))
+      .select(col("s"), col("rcid"), expr("slice(rce, s * 16 + 1, 16)").as("cw"))
+    val wCode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("d").desc, col("rcid"))
+    val codes = asg.crossJoin(spark_range_s(emb, m))
+      .select(col("vec_id"), col("s"), expr("slice(res, s * 16 + 1, 16)").as("x"))
+      .join(broadcast(rcb), Seq("s"))
+      .withColumn("d", expr("dot_f32(x, cw) - 0.5 * dot_f32(cw, cw)"))
+      .withColumn("crank", row_number().over(wCode))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("s"), col("cw"))
+    val reconRes = codes.groupBy(col("vec_id"))
+      .agg(map_from_arrays(collect_list(col("s")), collect_list(col("cw"))).as("parts"))
+      .select(col("vec_id"),
+        expr(s"flatten(transform(sequence(0, ${m - 1}), s -> parts[s]))").as("rrec"))
+    val recon = asg.select(col("vec_id"), col("cid"), col("ce"))
+      .join(reconRes, "vec_id")
+      .select(col("vec_id").as("nid"), col("cid"),
+        expr("zip_with(ce, rrec, (x, y) -> CAST(x + y AS FLOAT))").as("recon"))
+    val v = emb.select(col("vec_id"), col("embedding"))
+    val heapG = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(idx.probes),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    val heapF = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(fprobes),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    val qCoarse = v.crossJoin(broadcast(idx.coarse))
+      .withColumn("vg", expr("dot_f32(embedding, ge)"))
+      .groupBy(col("vec_id"))
+      .agg(heapG(col("vg"), col("gid")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t.id").as("gid"))
+    val qFine = qCoarse.join(v, "vec_id")
+      .join(idx.f2g, "gid")
+      .withColumn("qd", expr("dot_f32(embedding, ce)"))
+      .groupBy(col("vec_id"))
+      .agg(heapF(col("qd"), col("cid")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id").as("qid"), col("t.id").as("cid"))
+    val scores = qFine
+      .join(v.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(recon, "cid").filter(col("qid") =!= col("nid"))
+      .withColumn("score", expr("dot_f32(qe, recon)"))
+      .select("qid", "nid", "score")
+    topK(scores, k)
+  }
+
   /** Session-shared IVF-PQ-residual top-3 (lists=16, probes=2): the
     * index build + candidate ranking is the expensive part, and its
     * three graded consumers (ann_ivfpq_topk + the recall/NDCG lenses)

@@ -2814,6 +2814,78 @@ object VecQueries {
           VecOps.annRefineTopK(emb, planes = 4, shortlist = 10, k = 3)
             .filter(keep).select(col("qid"), col("nid"), col("rank").as("pos")))
       },
-      Some(ndcg3OracleSql(ndcgRefineIdxCtes)))
+      Some(ndcg3OracleSql(ndcgRefineIdxCtes))),
+
+    // ---- hierarchical IVF-PQ (the lists ∝ n residual rung) --------------
+    // The escalation BASELINE.md's refusal-arithmetic row names, shipped:
+    // the fixed-lists ivfpq family's coarse quantizer replaced by the
+    // two-level machinery (scaled-k Lloyd table + hierIndex/hierAssign
+    // routing — n·√k build-side dots where lists ∝ n makes the flat
+    // broadcast argmax the retired O(n·k) window class), residual PQ and
+    // asymmetric re-scoring on top exactly as in ann_ivfpq_topk. Shares
+    // the session Lloyd centroid table with the semdedup/hier family;
+    // residual/recon arrays are bit-identical cross-engine (the oracle
+    // casts its double-snapped means to FLOAT before subtracting — see
+    // ivfPqHierTopK's scaladoc).
+    Reg("ann_ivfpq_hier_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        VecOps.ivfPqHierTopK(emb, VecOps.lloyd2CentroidsShared(emb, dir),
+            fprobes = 2, k = 3)
+          .select(col("qid"), col("rank"), col("nid"),
+            round(col("score"), 4).as("score"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH $lloyd2Ctes,
+        $hierAssignCtes,
+        hres AS (
+          SELECT a.vec_id, a.cid,
+                 list_transform(range(1, 65), i -> CAST(c.ce[i] AS FLOAT)) AS fce,
+                 list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] - CAST(c.ce[i] AS FLOAT) AS FLOAT)) AS res
+          FROM assigned a JOIN c2 c ON a.cid = c.cid),
+        hseeds AS (SELECT vec_id AS rcid, res AS rce FROM hres
+                   ORDER BY ('0x' || substr(md5('rs' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id
+                   LIMIT 8),
+        hcb AS (SELECT s.s, rcid, rce[s.s * 16 + 1 : s.s * 16 + 16] AS cw
+                FROM hseeds, range(4) s(s)),
+        hxs AS (SELECT vec_id, s.s, res[s.s * 16 + 1 : s.s * 16 + 16] AS x
+                FROM hres, range(4) s(s)),
+        hasg AS (
+          SELECT x.vec_id, x.s, c.cw,
+                 row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
+                   (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
+                    - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
+                   DESC, c.rcid) AS crank
+          FROM hxs x JOIN hcb c ON x.s = c.s),
+        hrrec AS (SELECT vec_id, flatten(list(cw ORDER BY s)) AS rrec
+                  FROM hasg WHERE crank = 1
+                  GROUP BY vec_id),
+        hrecon AS (SELECT h.vec_id AS nid, h.cid,
+                          list_transform(range(1, 65),
+                            i -> CAST(h.fce[i] + r.rrec[i] AS FLOAT)) AS recon
+                   FROM hres h JOIN hrrec r ON h.vec_id = r.vec_id),
+        qf AS (
+          SELECT vec_id AS qid, embedding AS qe, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS fr
+            FROM vp v JOIN f2g f ON v.gid = f.gid)
+          WHERE fr <= 2),
+        sc AS (
+          SELECT q.qid, h.nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qe[i]::DOUBLE * h.recon[i]::DOUBLE)) AS d
+          FROM qf q JOIN hrecon h ON q.cid = h.cid AND q.qid <> h.nid),
+        r AS (SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+              FROM sc)
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM r WHERE rank <= 3
+        ORDER BY qid, rank
+      """))
   )
 }

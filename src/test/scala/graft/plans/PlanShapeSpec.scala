@@ -444,7 +444,15 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast at fixture scale (id-keyed equi-joins at scale)
     "ann_refine_topk" -> (2, 3),
     "ann_recall_refine" -> (5, 3),
-    "ann_ndcg_refine" -> (6, 3))
+    "ann_ndcg_refine" -> (6, 3),
+    // hier IVF-PQ: reads the session-shared scaled-k centroid
+    // InMemoryScan; hier assignment heap aggs + ce join + code window +
+    // recon agg + query coarse/fine heap aggs + cell join + rank + sort
+    // ride 8 exchanges; the 7 broadcasts are the √k coarse anchors (×2),
+    // the 32-row residual codebook (×2), the rseed pick, and the heap
+    // explode sides — never the embeddings table, and f2g/ce joins stay
+    // unhinted size-based
+    "ann_ivfpq_hier_topk" -> (8, 7))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
