@@ -654,6 +654,15 @@ object VecOps {
     topK(scores, k)
   }
 
+  /** Session-shared hierarchical IVF-PQ top-3 over the scaled-k Lloyd
+    * table — the [[ivfpqTop3Shared]] discipline for the hierarchical
+    * sibling: three graded consumers (topk + recall/NDCG lenses) slice
+    * one OUTPUT-sized ranked relation. */
+  def ivfpqHierTop3Shared(emb: DataFrame, dir: String): DataFrame =
+    graft.Shared.relation(emb.sparkSession, dir, "ivfpq_hier_top3") {
+      ivfPqHierTopK(emb, lloyd2CentroidsShared(emb, dir), fprobes = 2, k = 3)
+    }
+
   /** Session-shared IVF-PQ-residual top-3 (lists=16, probes=2): the
     * index build + candidate ranking is the expensive part, and its
     * three graded consumers (ann_ivfpq_topk + the recall/NDCG lenses)

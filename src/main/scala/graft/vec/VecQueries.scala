@@ -676,6 +676,57 @@ object VecQueries {
         ${refineCoreCtes(refineSample)},
         idx AS (SELECT qid, nid, rank AS pos FROM rr WHERE rank <= 3)"""
 
+  /** DuckDB CTEs mirroring [[VecOps.ivfPqHierTopK]] over the shared
+    * scaled-k Lloyd table, ending in `hr(qid, nid, d, rank)` — sliced by
+    * the three hierarchical-residual consumers. */
+  private val ivfpqHierCoreCtes: String = s"""
+        $lloyd2Ctes,
+        $hierAssignCtes,
+        hres AS (
+          SELECT a.vec_id, a.cid,
+                 list_transform(range(1, 65), i -> CAST(c.ce[i] AS FLOAT)) AS fce,
+                 list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] - CAST(c.ce[i] AS FLOAT) AS FLOAT)) AS res
+          FROM assigned a JOIN c2 c ON a.cid = c.cid),
+        hseeds AS (SELECT vec_id AS rcid, res AS rce FROM hres
+                   ORDER BY ('0x' || substr(md5('rs' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id
+                   LIMIT 8),
+        hcb AS (SELECT s.s, rcid, rce[s.s * 16 + 1 : s.s * 16 + 16] AS cw
+                FROM hseeds, range(4) s(s)),
+        hxs AS (SELECT vec_id, s.s, res[s.s * 16 + 1 : s.s * 16 + 16] AS x
+                FROM hres, range(4) s(s)),
+        hasg AS (
+          SELECT x.vec_id, x.s, c.cw,
+                 row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
+                   (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
+                    - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
+                   DESC, c.rcid) AS crank
+          FROM hxs x JOIN hcb c ON x.s = c.s),
+        hrrec AS (SELECT vec_id, flatten(list(cw ORDER BY s)) AS rrec
+                  FROM hasg WHERE crank = 1
+                  GROUP BY vec_id),
+        hrecon AS (SELECT h.vec_id AS nid, h.cid,
+                          list_transform(range(1, 65),
+                            i -> CAST(h.fce[i] + r.rrec[i] AS FLOAT)) AS recon
+                   FROM hres h JOIN hrrec r ON h.vec_id = r.vec_id),
+        qf AS (
+          SELECT vec_id AS qid, embedding AS qe, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS fr
+            FROM vp v JOIN f2g f ON v.gid = f.gid)
+          WHERE fr <= 2),
+        hsc AS (
+          SELECT q.qid, h.nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qe[i]::DOUBLE * h.recon[i]::DOUBLE)) AS d
+          FROM qf q JOIN hrecon h ON q.cid = h.cid AND q.qid <> h.nid),
+        hr AS (SELECT qid, nid, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM hsc)"""
+
   val all: Seq[Reg] = Seq(
 
     // ---- embedding hygiene validation (norms ≈ 1) -----------------------
@@ -2830,62 +2881,61 @@ object VecQueries {
     Reg("ann_ivfpq_hier_topk",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        VecOps.ivfPqHierTopK(emb, VecOps.lloyd2CentroidsShared(emb, dir),
-            fprobes = 2, k = 3)
+        VecOps.ivfpqHierTop3Shared(emb, dir)
           .select(col("qid"), col("rank"), col("nid"),
             round(col("score"), 4).as("score"))
           .orderBy("qid", "rank")
       },
       Some(s"""
-        WITH $lloyd2Ctes,
-        $hierAssignCtes,
-        hres AS (
-          SELECT a.vec_id, a.cid,
-                 list_transform(range(1, 65), i -> CAST(c.ce[i] AS FLOAT)) AS fce,
-                 list_transform(range(1, 65),
-                   i -> CAST(a.embedding[i] - CAST(c.ce[i] AS FLOAT) AS FLOAT)) AS res
-          FROM assigned a JOIN c2 c ON a.cid = c.cid),
-        hseeds AS (SELECT vec_id AS rcid, res AS rce FROM hres
-                   ORDER BY ('0x' || substr(md5('rs' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-                            vec_id
-                   LIMIT 8),
-        hcb AS (SELECT s.s, rcid, rce[s.s * 16 + 1 : s.s * 16 + 16] AS cw
-                FROM hseeds, range(4) s(s)),
-        hxs AS (SELECT vec_id, s.s, res[s.s * 16 + 1 : s.s * 16 + 16] AS x
-                FROM hres, range(4) s(s)),
-        hasg AS (
-          SELECT x.vec_id, x.s, c.cw,
-                 row_number() OVER (PARTITION BY x.vec_id, x.s ORDER BY
-                   (list_sum(list_transform(range(1, 17), i -> x.x[i]::DOUBLE * c.cw[i]::DOUBLE))
-                    - 0.5 * list_sum(list_transform(range(1, 17), i -> c.cw[i]::DOUBLE * c.cw[i]::DOUBLE)))
-                   DESC, c.rcid) AS crank
-          FROM hxs x JOIN hcb c ON x.s = c.s),
-        hrrec AS (SELECT vec_id, flatten(list(cw ORDER BY s)) AS rrec
-                  FROM hasg WHERE crank = 1
-                  GROUP BY vec_id),
-        hrecon AS (SELECT h.vec_id AS nid, h.cid,
-                          list_transform(range(1, 65),
-                            i -> CAST(h.fce[i] + r.rrec[i] AS FLOAT)) AS recon
-                   FROM hres h JOIN hrrec r ON h.vec_id = r.vec_id),
-        qf AS (
-          SELECT vec_id AS qid, embedding AS qe, cid FROM (
-            SELECT v.vec_id, v.embedding, f.cid,
-                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                     list_sum(list_transform(range(1, 65),
-                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS fr
-            FROM vp v JOIN f2g f ON v.gid = f.gid)
-          WHERE fr <= 2),
-        sc AS (
-          SELECT q.qid, h.nid,
-                 list_sum(list_transform(range(1, 65),
-                   i -> q.qe[i]::DOUBLE * h.recon[i]::DOUBLE)) AS d
-          FROM qf q JOIN hrecon h ON q.cid = h.cid AND q.qid <> h.nid),
-        r AS (SELECT qid, nid, d,
-                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
-              FROM sc)
+        WITH $ivfpqHierCoreCtes
         SELECT qid, rank, nid, round(d, 4) AS score
-        FROM r WHERE rank <= 3
+        FROM hr WHERE rank <= 3
         ORDER BY qid, rank
-      """))
+      """)),
+
+    // recall@3 + NDCG@3 lenses for the hierarchical residual rung — the
+    // 12×2 eval-matrix closers (every graded index family carries both).
+    Reg("ann_recall_ivfpq_hier",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
+          .select(col("qid"), col("nid"))
+        val h = VecOps.ivfpqHierTop3Shared(emb, dir).filter(keep)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(h, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH $ivfpqHierCoreCtes,
+        hq AS (SELECT qid, nid FROM hr
+               WHERE rank <= 3
+                 AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(i.nid) AS n_hit
+        FROM brute b LEFT JOIN hq i ON b.qid = i.qid AND b.nid = i.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    Reg("ann_ndcg_ivfpq_hier",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir, VecOps.ivfpqHierTop3Shared(emb, dir)
+          .filter(keep).select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(s"""
+        $ivfpqHierCoreCtes,
+        idx AS (SELECT qid, nid, rank AS pos FROM hr
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)""")))
   )
 }

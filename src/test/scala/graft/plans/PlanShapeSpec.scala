@@ -445,14 +445,15 @@ class PlanShapeSpec extends SparkSpec {
     "ann_refine_topk" -> (2, 3),
     "ann_recall_refine" -> (5, 3),
     "ann_ndcg_refine" -> (6, 3),
-    // hier IVF-PQ: reads the session-shared scaled-k centroid
-    // InMemoryScan; hier assignment heap aggs + ce join + code window +
-    // recon agg + query coarse/fine heap aggs + cell join + rank + sort
-    // ride 8 exchanges; the 7 broadcasts are the √k coarse anchors (×2),
-    // the 32-row residual codebook (×2), the rseed pick, and the heap
-    // explode sides — never the embeddings table, and f2g/ce joins stay
-    // unhinted size-based
-    "ann_ivfpq_hier_topk" -> (8, 7))
+    // hier IVF-PQ family: all three consumers read the session-shared
+    // top-3 relation (ivfpqHierTop3Shared InMemoryScan — output sort /
+    // hit + idcg aggs only); the index pipeline's own exchanges (hier
+    // assignment heap aggs, residual code window, recon agg, query
+    // coarse/fine heap routing, unhinted f2g/ce joins) are paid ONCE at
+    // materialization, the shared-relation discipline
+    "ann_ivfpq_hier_topk" -> (1, 0),
+    "ann_recall_ivfpq_hier" -> (4, 0),
+    "ann_ndcg_ivfpq_hier" -> (5, 0))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
