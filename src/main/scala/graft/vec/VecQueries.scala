@@ -36,12 +36,13 @@ object VecQueries {
   /** DuckDB CTE block mirroring one [[VecOps.hierIndex]] +
     * [[VecOps.hierAssign]] pass over the centroid CTE `cent`: ⌈√k⌉
     * coarse anchor pick (smallest md5-of-cid — the seedCentroids
-    * sampling rule), fine→coarse map, per-vector 2-probe, argmax refine
-    * within probed cells. `sfx` suffixes every CTE name so the block can
-    * appear once per Lloyd iteration plus once for the final assignment
-    * in a single WITH; ends with `assigned$sfx(vec_id, embedding,
-    * cid)`. */
-  private def hierStageCtes(cent: String, sfx: String): String = s"""
+    * sampling rule), fine→coarse map, per-vector `probes`-probe (the
+    * hierIndex probes knob, default 2), argmax refine within probed
+    * cells. `sfx` suffixes every CTE name so the block can appear once
+    * per Lloyd iteration plus once for the final assignment in a single
+    * WITH; ends with `assigned$sfx(vec_id, embedding, cid)`. */
+  private def hierStageCtes(cent: String, sfx: String,
+                            probes: Int = 2): String = s"""
         kc$sfx AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS g
                FROM $cent),
         coarse$sfx AS (
@@ -67,7 +68,7 @@ object VecQueries {
                      list_sum(list_transform(range(1, 65),
                        i -> e.embedding[i]::DOUBLE * g.ge[i]::DOUBLE)) DESC, g.gid) AS pr
             FROM embeddings e JOIN coarse$sfx g ON true)
-          WHERE pr <= 2),
+          WHERE pr <= $probes),
         assigned$sfx AS (
           SELECT vec_id, embedding, cid FROM (
             SELECT v.vec_id, v.embedding, f.cid,
@@ -1088,13 +1089,14 @@ object VecQueries {
                          FOR j IN range(64)] AS embedding
                  FROM embeddings e, pm, sg),""", src = "emb2"))),
 
-    // ---- IVF ANN after 2 Lloyd refinement iterations --------------------
-    // The distributed k-means build graded end to end: seed centroids by
-    // md5-of-id, 2 Lloyd steps with means SNAPPED to the 1e-4 grid (the
-    // integer-scaled vwap pattern — raw float means are summation-order
-    // sensitive, snapped ones only at a round() boundary), then the same
-    // probe-2 search as ivf_ann_topk. The oracle replays both iterations
-    // exactly, so the hash-match is independent of k-means quality.
+    // ---- IVF ANN over the 2-iteration Lloyd build -----------------------
+    // The distributed k-means build graded end to end: the shared
+    // two-level (coarse → local) scaled-k build with means SNAPPED to
+    // the 1e-4 grid (the integer-scaled vwap pattern — raw float means
+    // are summation-order sensitive, snapped ones only at a round()
+    // boundary). The oracle replays the build exactly, so the hash-match
+    // is independent of k-means quality. Search side is hierarchical
+    // since round 14 (see ivf_lloyd2_topk below).
     // ---- simplified silhouette over the shared Lloyd clustering ---------
     // The clustering-evaluation rung beside ivf_cell_balance (which
     // watches SIZES, not separation): per-cluster cohesion via the
@@ -1172,32 +1174,52 @@ object VecQueries {
         FROM sil GROUP BY 1 ORDER BY cid
       """)),
 
+    // ---- Lloyd-refined IVF search, WIDE coarse routing (round 14) -------
+    // Round 14 (VERDICT r13 #1): this query's flat probe —
+    // crossJoin(broadcast(c2)) + an n·k rank window over the k ∝ n
+    // centroid table — was the LAST graded plan in the flat O(n·k)
+    // window class (measured 56.35 s at 100× while the hier sibling read
+    // 7.8 s; at 1000× the 3.1×10¹⁰-candidate window is the refusal
+    // arithmetic BASELINE.md records for the retired build). It now
+    // routes through the SAME hierCandidates machinery as ivf_hier_topk
+    // (silhouette's round-13 re-platform precedent) but grades the
+    // probes = 3 point of the coarse-routing dial: three coarse anchors
+    // instead of two on BOTH the neighbor assignment and the query side,
+    // buying back part of the recall the flat ranking had (a vector's
+    // cell can differ from flat argmax only when its true nearest
+    // centroid's anchor is outside the probed set — probes is exactly
+    // that dial). Distinct accuracy point from ivf_hier_topk's 2-probe
+    // rung; the flat form survives only as the ScaleDemo contrast row.
+    // Oracle mirrors the 3-probe assignment CTE-for-CTE (hierStageCtes
+    // probes = 3, suffixed so names never collide with the 2-probe
+    // block).
     Reg("ivf_lloyd2_topk",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
-        VecOps.ivfSearch(emb, VecOps.lloyd2CentroidsShared(emb, dir),
-            probes = 2, k = 3)
+        VecOps.ivfHierTopK(emb, VecOps.lloyd2CentroidsShared(emb, dir),
+            fprobes = 2, k = 3, probes = 3)
           .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
           .orderBy("qid", "rank")
       },
       Some(s"""
         WITH $lloyd2Ctes,
-        ranked AS (
-          SELECT a.vec_id, a.embedding, b.cid,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                   list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN c2 b ON true),
-        cells AS (SELECT vec_id AS nid, embedding AS ne, cid FROM ranked WHERE crank = 1),
-        probed AS (SELECT vec_id AS qid, embedding AS qe, cid FROM ranked WHERE crank <= 2),
-        scored AS (
-          SELECT p.qid, c.nid,
+        ${hierStageCtes("c2", "w3", probes = 3)},
+        qfw3 AS (
+          SELECT vec_id AS qid, embedding AS qe, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS fr
+            FROM vpw3 v JOIN f2gw3 f ON v.gid = f.gid)
+          WHERE fr <= 2),
+        scw3 AS (
+          SELECT q.qid, a.vec_id AS nid,
                  list_sum(list_transform(range(1, 65),
-                   i -> p.qe[i]::DOUBLE * c.ne[i]::DOUBLE)) AS d
-          FROM probed p JOIN cells c ON p.cid = c.cid AND p.qid <> c.nid),
+                   i -> q.qe[i]::DOUBLE * a.embedding[i]::DOUBLE)) AS d
+          FROM qfw3 q JOIN assignedw3 a ON q.cid = a.cid AND q.qid <> a.vec_id),
         r AS (SELECT qid, nid, d,
                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
-              FROM scored)
+              FROM scw3)
         SELECT qid, rank, nid, round(d, 4) AS score
         FROM r WHERE rank <= 3
         ORDER BY qid, rank
@@ -2812,9 +2834,10 @@ object VecQueries {
     // The production two-stage shape: int8 bucket rerank retrieves 10
     // candidates per query, full-float re-scoring cuts the final top-3
     // — compressed-index cost, near-exact ranking on the survivors.
+    // All three consumers slice the session-shared top-3 relation
+    // (round 14, ADVICE r13 — the ivfpqTop3Shared discipline).
     Reg("ann_refine_topk",
-      (s, dir) => VecOps.annRefineTopK(Tables(s, dir).embeddings,
-          planes = 4, shortlist = 10, k = 3)
+      (s, dir) => VecOps.refineTop3Shared(Tables(s, dir).embeddings, dir)
         .select(col("qid"), col("rank"), col("nid"),
           round(col("score"), 4).as("score"))
         .orderBy("qid", "rank"),
@@ -2833,8 +2856,7 @@ object VecQueries {
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val ref = VecOps.annRefineTopK(emb, planes = 4, shortlist = 10, k = 3)
-          .filter(keep)
+        val ref = VecOps.refineTop3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(ref, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -2862,7 +2884,7 @@ object VecQueries {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         annNdcg3(emb, dir,
-          VecOps.annRefineTopK(emb, planes = 4, shortlist = 10, k = 3)
+          VecOps.refineTop3Shared(emb, dir)
             .filter(keep).select(col("qid"), col("nid"), col("rank").as("pos")))
       },
       Some(ndcg3OracleSql(ndcgRefineIdxCtes))),

@@ -378,6 +378,11 @@ class PlanShapeSpec extends SparkSpec {
     // f2g is small — removing the k ∝ n broadcast ceiling, not the
     // broadcast itself at fixture scale)
     "ivf_hier_topk" -> (7, 7),
+    // round-14 (VERDICT r13 #1): re-platformed from the flat
+    // crossJoin(broadcast(k ∝ n)) + n·k rank window onto the hier
+    // machinery at probes = 3 — same shape class as ivf_hier_topk; the
+    // flat form survives only as a ScaleDemo contrast row
+    "ivf_lloyd2_topk" -> (7, 7),
     // round-12: recall-ladder completions (shared brute InMemoryScan +
     // the sibling index pipelines + hit-count agg)
     "ann_recall_multiprobe" -> (5, 1),
@@ -439,12 +444,18 @@ class PlanShapeSpec extends SparkSpec {
     // vocabulary-sized nll shuffle join + per-doc agg) + quality join +
     // TWO lang-partitioned doubled-midrank windows + per-lang agg + sort
     "quality_nll_agreement" -> (8, 4),
+    // refine family re-pinned round 14 (ADVICE r13): all three consumers
+    // read the session-shared refineTop3Shared relation (InMemoryScan —
+    // output sort / hit + idcg aggs only); the int8 bucket join +
+    // shortlist + full-precision re-rank exchanges are paid once at
+    // materialization, exactly the ivfpq family's pin pattern.
+    // Previous (derive-per-consumer) pins, for the record:
     // refine: int8 bucket join + shortlist window riding one exchange +
     // final rank window + sort; both full-precision refine lookups
     // broadcast at fixture scale (id-keyed equi-joins at scale)
-    "ann_refine_topk" -> (2, 3),
-    "ann_recall_refine" -> (5, 3),
-    "ann_ndcg_refine" -> (6, 3),
+    "ann_refine_topk" -> (1, 0),
+    "ann_recall_refine" -> (4, 0),
+    "ann_ndcg_refine" -> (5, 0),
     // hier IVF-PQ family: all three consumers read the session-shared
     // top-3 relation (ivfpqHierTop3Shared InMemoryScan — output sort /
     // hit + idcg aggs only); the index pipeline's own exchanges (hier
@@ -480,6 +491,29 @@ class PlanShapeSpec extends SparkSpec {
       assert(got == want,
         s"$name exchange counts moved: got $got, pinned $want — " +
           "diff the .explain against the pinned note")
+    }
+
+  // Round 14 (VERDICT r13 #1 + #2): the hierarchical IVF family must
+  // never carry a window operator at all — coarse/fine routing is
+  // bounded-heap aggregation, assignment is max_by, and the final top-k
+  // cut is topKHeap (partial-aggregated, never a per-qid sort over the
+  // candidate volume). A WindowExec reappearing here means either the
+  // flat n·k centroid ranking or the n·E[cell] rank-window rescore
+  // snuck back in a refactor — both are the retired 100×/1000×
+  // scale-killers BASELINE.md prices.
+  for (name <- Seq("ivf_lloyd2_topk", "ivf_hier_topk"))
+    test(s"$name: window-free plan (heap routing + heap final cut)") {
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      val plan: SparkPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.isEmpty,
+        s"$name grew a window operator — the flat ranking or the " +
+          s"rank-window rescore is back:\n$plan")
     }
 
   // The sliding-KMV merge expands sketch days to window ends with
