@@ -459,6 +459,43 @@ object ScaleDemo100 {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
         maxHd = 1).count())
 
+    // round-14: ivf_lloyd2_topk re-platformed onto the hierarchical
+    // machinery at coarse probes = 3 (VERDICT r13 #1 — the last flat
+    // O(n·k) graded plan retired). Production rows across the decades;
+    // the FLAT probe it replaced is replayed once at 100× as the
+    // contrast (its 56.35 s r13 reading came from the graded path; the
+    // class must stay measured now that no graded query carries it).
+    for ((dir, tag) <- decades if !skip(s"ivfLloyd2Hier@$tag"))
+      time(s"ivf_lloyd2_topk hier p=3 @ $tag")(
+        SparkEntry.queries("ivf_lloyd2_topk")(spark, dir).count())
+    if (!skip("contrastIvfFlat@100x"))
+      timeN("CONTRAST ivfSearch flat k∝n probes=2 @ 100x", 1)({
+        val emb = Tables(spark, out100).embeddings
+        graft.vec.VecOps.ivfSearch(emb,
+          graft.vec.VecOps.lloyd2CentroidsShared(emb, out100),
+          probes = 2, k = 3).count()
+      })
+    // round-14: the 64-bit fingerprint rung (VERDICT r13 #5) — the
+    // "wider fingerprint" escalation autoChunkBits' refusal names, as a
+    // measured occupancy row: at 100× (508 k docs) fpBits=64/maxHd=3
+    // resolves 4×16-bit chunks (occupancy ≈ 7.8 — the measured-fine
+    // regime), where fpBits=32/maxHd=3 is pigeonhole-capped at 4×8 and
+    // REFUSES (occupancy ≈ 1 985 > 256, the measured-OOM regime). The
+    // refusal itself is asserted as the contrast reading.
+    for ((dir, tag) <- decades if !skip(s"phash64@$tag"))
+      time(s"mm_phash64_neardup_pairs @ $tag")(
+        SparkEntry.queries("mm_phash64_neardup_pairs")(spark, dir).count())
+    if (!skip("phash64refusal@100x")) {
+      val n = Tables(spark, out100).documents.count()
+      val refused =
+        try { graft.mm.MultiModal.autoChunkBits(32, 3, n); false }
+        catch { case _: IllegalArgumentException => true }
+      println(s"[scale] CONTRAST autoChunkBits fpBits=32 maxHd=3 @ 100x " +
+        s"(n=$n): ${if (refused) "REFUSED (correct - corpus outgrew " +
+          "the 32-bit fingerprint; the 64-bit row above is the " +
+          "escalation)" else "UNEXPECTEDLY ACCEPTED"}")
+    }
+
     // round-13: the k-means BUILD itself (VERDICT r12 #1 asked for the
     // build's own decade row, not just its consumer queries). The 2LVL
     // rows are the production two-level build (coarse g-means → local
@@ -524,11 +561,26 @@ object ScaleDemo100 {
   * tmpfs-backed local dir. The refusal arithmetic IS the 1000× contrast
   * reading; the hierarchical build's partial-aggregated heap stages
   * shuffle ≤ one row per (partition, vector) regardless of k, which is
-  * why its row below exists and completes. */
+  * why its row below exists and completes.
+  *
+  * PER-ROW JVM ISOLATION (round 14, VERDICT r13 #6): the first 1000×
+  * pass was kernel-OOM-killed by localCheckpoint blocks ACCUMULATING
+  * across rows in one long-lived JVM (BASELINE.md's protocol note) —
+  * checkpointed RDDs unpersist only on JVM exit here, and three
+  * 2 M-vector rows' worth of retained blocks plus tmpfs shuffle space
+  * exceed physical memory together even though each row alone fits.
+  * An optional third arg names the row(s) to run ("build" /
+  * "semdedup_keep" / "ivf_hier_topk" / "matryoshka", comma-separable);
+  * tools/scaledemo1000.sh drives one sbt JVM per row so every reading
+  * starts from a clean heap — the scripted, babysit-free protocol. No
+  * arg = all rows (the old single-JVM behavior, for small re-checks). */
 object ScaleDemo1000 {
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/dev/shm/graft-scale1000x"
+    val rows: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet
+      else Set("build", "semdedup_keep", "ivf_hier_topk", "matryoshka")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -568,13 +620,14 @@ object ScaleDemo1000 {
 
     // the build alone, uncached (no Shared registry): every rep pays the
     // full two-level build at k ≈ n/128 (g = 125 coarse, k_c ∝ cell mass)
-    timeN("lloyd2 build scaled-k 2LVL @ 1000x", 2)(
-      graft.vec.VecOps.twoLevelCentroids(Tables(spark, out).embeddings)
-        .count())
+    if (rows("build"))
+      timeN("lloyd2 build scaled-k 2LVL @ 1000x", 2)(
+        graft.vec.VecOps.twoLevelCentroids(Tables(spark, out).embeddings)
+          .count())
     // the graded consumers (3 reps, session-shared build across reps —
     // the same methodology as the 10×/100× decades; the uncached build
     // cost is the row above)
-    for (q <- Seq("semdedup_keep", "ivf_hier_topk"))
+    for (q <- Seq("semdedup_keep", "ivf_hier_topk") if rows(q))
       timeN(s"$q @ 1000x", 3)(SparkEntry.queries(q)(spark, out).count())
     // matryoshka with planes holding per-bucket OCCUPANCY ≈ the 100×
     // row's (planes = 14 → 2 M/16384 ≈ 122/bucket): the +3-per-decade
@@ -582,9 +635,10 @@ object ScaleDemo1000 {
     // occupancy creeps 1.25×/decade — measured at 1000×: planes=13
     // (occ 244) 214.0 s vs planes=14 (occ 122) 130.9 s. Bucket count
     // must track the CORPUS, not the decade count.
-    timeN("matryoshka planes=14 @ 1000x", 3)(
-      graft.vec.VecOps.matryoshkaTopK(Tables(spark, out).embeddings,
-        planes = 14, mDims = 16, shortlist = 8, k = 3).count())
+    if (rows("matryoshka"))
+      timeN("matryoshka planes=14 @ 1000x", 3)(
+        graft.vec.VecOps.matryoshkaTopK(Tables(spark, out).embeddings,
+          planes = 14, mDims = 16, shortlist = 8, k = 3).count())
     spark.stop()
   }
 }
