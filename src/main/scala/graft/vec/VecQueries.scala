@@ -578,6 +578,44 @@ object VecQueries {
                 WHERE rank <= 3
                   AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
 
+  /** DuckDB CTEs mirroring [[VecOps.ivfHierRefineTopK]] (fprobes = 2,
+    * shortlist = 16, mDims = 32) stage-for-stage over the shared
+    * lloyd2/hierAssign blocks: qf (2 best fine cells per query, as in
+    * ivf_hier), sl (the 32-dim-prefix prescore shortlist — row_number
+    * on (prefix-dot DESC, nid) ≡ the bounded heap's total order),
+    * rx/rr (full-precision re-rank of shortlist pairs only). Ends with
+    * `rr(qid, nid, d, rank)` — the relation the rung's three consumers
+    * slice. Knobs are part of the oracle contract: change them in
+    * hierRefineTop3Shared and here together or not at all. */
+  private lazy val hierRefineCoreCtes: String = s"""
+        $lloyd2Ctes,
+        $hierAssignCtes,
+        qf AS (
+          SELECT vec_id AS qid, embedding AS qe, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS fr
+            FROM vp v JOIN f2g f ON v.gid = f.gid)
+          WHERE fr <= 2),
+        sl AS (
+          SELECT qid, nid FROM (
+            SELECT q.qid, a.vec_id AS nid,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     list_sum(list_transform(range(1, 33),
+                       i -> q.qe[i]::DOUBLE * a.embedding[i]::DOUBLE)) DESC, a.vec_id) AS sr
+            FROM qf q JOIN assigned a ON q.cid = a.cid AND q.qid <> a.vec_id)
+          WHERE sr <= 16),
+        rx AS (
+          SELECT s.qid, s.nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> qa.embedding[i]::DOUBLE * na.embedding[i]::DOUBLE)) AS d
+          FROM sl s JOIN embeddings qa ON s.qid = qa.vec_id
+                    JOIN embeddings na ON s.nid = na.vec_id),
+        rr AS (SELECT qid, nid, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM rx)"""
+
   /** DuckDB CTEs mirroring [[VecOps.ivfPqResidualTopK]] (lists=16,
     * probes=2) stage-for-stage, ending in `ipr(qid, nid, d, rank)` — the
     * full ranked candidate relation the three IVF-PQ-residual consumers
@@ -2957,6 +2995,75 @@ object VecQueries {
       Some(ndcg3OracleSql(s"""
         $ivfpqHierCoreCtes,
         idx AS (SELECT qid, nid, rank AS pos FROM hr
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""))),
+
+    // ---- hier IVF + prefix-prescored refine (the THIRTEENTH family) -----
+    // Round 14: the hier family's rescore bound as a graded rung (the
+    // VERDICT r13 watch item — ivf_hier's 1000× row is dominated by
+    // full-precision-scoring every candidate in the probed cells). Same
+    // coarse→fine routing as ivf_hier_topk; candidates pre-score on the
+    // leading 32 dims only (matryoshka-head discipline: half the
+    // arithmetic and shuffled bytes), a bounded heap keeps 16 per query
+    // on (prefix-dot DESC, nid), and only those pairs fetch full
+    // vectors for the exact top-3. Full-dot cost per query:
+    // shortlist-sized (16 vs E[cell]·fprobes ≈ 256). The prefix recall
+    // trade was MEASURED across the dial before picking (32, 16) —
+    // 0.480 vs unrefined hier's 0.643 on this worst-case near-uniform
+    // fixture; see ivfHierRefineTopK's scaladoc for the full curve.
+    // All three consumers slice the session-shared top-3.
+    Reg("ivf_hier_refine_topk",
+      (s, dir) => VecOps.hierRefineTop3Shared(Tables(s, dir).embeddings, dir)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank"),
+      Some(s"""
+        WITH $hierRefineCoreCtes
+        SELECT qid, rank, nid, round(d, 4) AS score
+        FROM rr WHERE rank <= 3
+        ORDER BY qid, rank
+      """)),
+
+    Reg("ann_recall_hier_refine",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
+          .select(col("qid"), col("nid"))
+        val h = VecOps.hierRefineTop3Shared(emb, dir).filter(keep)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        brute.join(h, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH $hierRefineCoreCtes,
+        ref AS (SELECT qid, nid FROM rr
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        br AS (SELECT qid, nid,
+                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+               FROM bp),
+        brute AS (SELECT qid, nid FROM br WHERE rank <= 3)
+        SELECT b.qid, count(i.nid) AS n_hit
+        FROM brute b LEFT JOIN ref i ON b.qid = i.qid AND b.nid = i.nid
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    Reg("ann_ndcg_hier_refine",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
+        annNdcg3(emb, dir, VecOps.hierRefineTop3Shared(emb, dir)
+          .filter(keep).select(col("qid"), col("nid"), col("rank").as("pos")))
+      },
+      Some(ndcg3OracleSql(s"""
+        $hierRefineCoreCtes,
+        idx AS (SELECT qid, nid, rank AS pos FROM rr
                 WHERE rank <= 3
                   AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)""")))
   )

@@ -464,7 +464,13 @@ class PlanShapeSpec extends SparkSpec {
     // materialization, the shared-relation discipline
     "ann_ivfpq_hier_topk" -> (1, 0),
     "ann_recall_ivfpq_hier" -> (4, 0),
-    "ann_ndcg_ivfpq_hier" -> (5, 0))
+    "ann_ndcg_ivfpq_hier" -> (5, 0),
+    // round-14: hier-refine family — all three consumers read the
+    // session-shared hierRefineTop3Shared relation (the ivfpq/refine
+    // pin pattern)
+    "ivf_hier_refine_topk" -> (1, 0),
+    "ann_recall_hier_refine" -> (4, 0),
+    "ann_ndcg_hier_refine" -> (5, 0))
     // hits_hubs_authorities stays out of the pin table: in-query
     // localCheckpoints make its explain show only the tail plan
 
