@@ -8,6 +8,12 @@
 # build is existence-gated inside ScaleDemo1000, so only the first row
 # pays it.
 #
+# Heap: 64g, NOT larger (measured round 14): /dev/shm is RAM, so a 96g
+# heap plus tens of GB of tmpfs shuffle scratch exceeds a 126 GiB host
+# mid-row — exit 137. The scratch dir is wiped between rows for the
+# same reason (stale spill from a previous row counts against the next
+# row's budget).
+#
 # Usage: tools/scaledemo1000.sh [baseDir] [outDir]
 set -e
 cd "$(dirname "$0")/.."
@@ -15,6 +21,7 @@ BASE="${1:-/root/testdata/sf0.1}"
 OUT="${2:-/dev/shm/graft-scale1000x}"
 for row in build semdedup_keep ivf_hier_topk matryoshka; do
   echo "[scaledemo1000] row=$row (fresh JVM)"
-  SPARK_GRAFT_CPUS=32 sbt -batch \
-    "runMain graft.ScaleDemo1000 $BASE $OUT $row"
+  rm -rf /dev/shm/graft-spark/* 2>/dev/null || true
+  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.ScaleDemo1000 $BASE $OUT $row"
 done
