@@ -580,7 +580,8 @@ object ScaleDemo1000 {
     val out = if (args.length > 1) args(1) else "/dev/shm/graft-scale1000x"
     val rows: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
-      else Set("build", "semdedup_keep", "ivf_hier_topk", "matryoshka")
+      else Set("build", "semdedup_keep", "ivf_hier_topk",
+        "ivf_hier_refine_topk", "matryoshka")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -629,6 +630,20 @@ object ScaleDemo1000 {
     // cost is the row above)
     for (q <- Seq("semdedup_keep", "ivf_hier_topk") if rows(q))
       timeN(s"$q @ 1000x", 3)(SparkEntry.queries(q)(spark, out).count())
+    // ivf_hier_refine (round 14): the rescore-bounding rung at the
+    // decade where the bound matters — full-dot volume per query is 16
+    // (shortlist) instead of fprobes·E[cell] ≈ 256, and only 32-dim
+    // heads travel to the prescore join. Calls the RAW pipeline, not
+    // the registry entry: the graded query reads the session-shared
+    // top-3 relation, whose reps 2-3 would time a cache read, not the
+    // search (the annRefineTopK-row discipline in ScaleDemo100).
+    if (rows("ivf_hier_refine_topk"))
+      timeN("ivf_hier_refine_topk @ 1000x", 3)({
+        val emb = Tables(spark, out).embeddings
+        graft.vec.VecOps.ivfHierRefineTopK(emb,
+          graft.vec.VecOps.lloyd2CentroidsShared(emb, out),
+          fprobes = 2, shortlist = 16, k = 3).count()
+      })
     // matryoshka with planes holding per-bucket OCCUPANCY ≈ the 100×
     // row's (planes = 14 → 2 M/16384 ≈ 122/bucket): the +3-per-decade
     // rule the earlier decades used adds 8× buckets per 10× rows, so
