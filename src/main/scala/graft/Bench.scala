@@ -172,15 +172,35 @@ object Bench {
     // budget, and the 5 slowest medians for at-a-glance hotspot triage.
     val slow5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => f"${jstr(k)}:$v%.3f" }.mkString("{", ",", "}")
+    // err NAMES in the tail (VERDICT r14 #1a): r14's n_errs:1 was
+    // unattributable because the full errs map sits before the per-query
+    // map and died in the 2 KB truncation. First 5 names only — the tail
+    // must stay small enough that the counters themselves survive.
+    val errQs =
+      if (errs.isEmpty) ""
+      else ",\"err_qs\":" + errs.keys.take(5).map(jstr).mkString("[", ",", "]")
     val tailJson =
-      f""","n_errs":${errs.size},"n_reps1":${singleRep.size},"n_fast2":$nFast2,"budget_s":$budgetS%.0f,"wall_s":$wallS%.1f,"over_budget":${wallS > budgetS},"slowest":$slow5"""
+      f""","n_errs":${errs.size}$errQs,"n_reps1":${singleRep.size},"n_fast2":$nFast2,"budget_s":$budgetS%.0f,"wall_s":$wallS%.1f,"over_budget":${wallS > budgetS},"slowest":$slow5"""
     // Field order is deliberate: the driver archives only the LAST ~2 KB
     // of stdout (BENCH_r05.json's "tail"), so the headline "value" goes at
     // the END of the line — anything before the per-query map is what gets
     // truncated away. Full errs/reps1 detail sits before "queries"; the
     // calibration fields and the counter tail sit AFTER it so they
     // survive the truncation.
-    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir"$errJson,"queries":$qs$calJson$tailJson,"value":$total}""")
+    val line = s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir"$errJson,"queries":$qs$calJson$tailJson,"value":$total}"""
+    println(line)
+    // Full-artifact sidecar (VERDICT r14 #1b): the driver archives only
+    // the last ~2 KB of stdout, which discards the per-query map and made
+    // the r13→r14 cross-round drift unadjudicable. Write the SAME line to
+    // a file so every round keeps a diffable per-query record; the round
+    // close commits it as BENCH_FULL_r{N}.json. Best-effort: a read-only
+    // cwd must not fail the bench itself.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT", "BENCH_FULL_latest.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullOut),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: full-artifact write to $fullOut failed: $e") }
     spark.stop()
   }
 }

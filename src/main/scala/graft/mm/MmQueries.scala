@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * decode step is a deterministic stub (see MultiModal), the binary
   * schema/partition plumbing is real. Oracles recompute the byte stats
   * from the text in DuckDB (ASCII corpus ⇒ bytes ≡ chars, verified
-  * FIXTURES-side: 0 docs where octet_length ≠ length). */
+  * FIXTURES-side: 0 docs where octet_length ≠ length, and asserted
+  * executably by MultiModalSpec's "phash oracle ASCII contract" test —
+  * the length-gate and block boundaries of the phash rungs diverge for
+  * multi-byte text, so a non-ASCII regeneration must fail loud). */
 object MmQueries {
 
   val all: Seq[Reg] = Seq(
@@ -151,7 +154,14 @@ object MmQueries {
     // invariant to the banding. maxHd = 3 on a 64-bit fingerprint is a
     // TIGHTER similarity contract than the 32-bit family's (3/64 vs
     // 3/32 of the bit budget) — pair sets are not comparable across the
-    // two rungs by design.
+    // two rungs by design. ASCII-fixture assumption (ADVICE r14): the
+    // Spark side gates/blocks on UTF-8 BYTE length of the payload while
+    // the oracle uses CHARACTER count + ascii() code points; the 64-byte
+    // gate and block boundaries diverge for any multi-byte text. The
+    // module-header contract (bytes ≡ chars) is asserted executably by
+    // MultiModalSpec's "phash oracle ASCII contract" test, so a
+    // regenerated non-ASCII fixture fails loud instead of silently
+    // desyncing engine and oracle.
     Reg("mm_phash64_neardup_pairs",
       (s, dir) => MultiModal.hammingPairs(
           MultiModal.phash64(Tables(s, dir).documents

@@ -981,29 +981,45 @@ object VecOps {
     * index). */
   case class HierIndex(coarse: DataFrame, f2g: DataFrame, probes: Int)
 
-  /** Session memo for [[hierIndex]], keyed on (application, session,
-    * centroid-DataFrame OBJECT identity) — round 14 (NEXT.md's carried
-    * item: the index was re-derived per consumer). The shared scaled-k
-    * centroid table IS one DataFrame instance per (session, dir)
-    * ([[graft.Shared.relation]]'s cache), so its ~7 consumers per
-    * session (silhouette, the three ivf_hier lenses, ivf_lloyd2,
-    * ivfpq_hier, semdedup + streaming twin) now derive coarse/f2g once.
-    * Identity keying cannot false-hit: a different DataFrame object —
-    * any freshly-built pipeline, e.g. the ScaleDemo contrast rows —
-    * misses and derives its own index exactly as before (DataFrames are
-    * immutable, so same object ⇒ same logical table). The coarse/f2g
-    * artifacts are probes-INDEPENDENT (probes only parameterizes the
-    * query-side heap), so one entry serves every probes value via
-    * copy(). Entries are centroid-sized localCheckpointed relations —
-    * bounded like the Shared registry itself. */
+  /** Session memo for [[hierIndex]], keyed on the centroid DataFrame
+    * OBJECT itself — round 14 (NEXT.md's carried item: the index was
+    * re-derived per consumer), key discipline fixed round 15 (ADVICE
+    * r14 medium). The shared scaled-k centroid table IS one DataFrame
+    * instance per (session, dir) ([[graft.Shared.relation]]'s cache), so
+    * its ~7 consumers per session (silhouette, the three ivf_hier
+    * lenses, ivf_lloyd2, ivfpq_hier, semdedup + streaming twin) derive
+    * coarse/f2g once. The map is a WeakHashMap that HOLDS the key:
+    * Dataset does not override equals/hashCode (verified against the
+    * Spark 4.1.2 jars), so lookup is reference identity on a live
+    * object — unlike the previous stringified identityHashCode, which
+    * could alias a GC'd DataFrame's hash to a different centroid table
+    * and answer with the wrong index. Weak keys also give eviction: once
+    * a caller's ad-hoc centroid pipeline (e.g. a ScaleDemo contrast row)
+    * becomes unreachable, its entry — and the localCheckpointed
+    * coarse/f2g blocks it pins — clears at the next GC instead of
+    * accumulating for the JVM's lifetime. HierIndex holds only
+    * localCheckpointed LogicalRDD-backed frames, which do not reference
+    * the key DataFrame, so entries are actually collectable. The
+    * coarse/f2g artifacts are probes-INDEPENDENT (probes only
+    * parameterizes the query-side heap), so one entry serves every
+    * probes value via copy(). Build runs outside the map lock: a racing
+    * duplicate build for the same key is benign (identical artifacts,
+    * one extra derivation) and cheaper than serializing distinct builds. */
   private val hierIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, HierIndex]()
+    new java.util.WeakHashMap[DataFrame, HierIndex]()
 
   def hierIndex(centroids: DataFrame, probes: Int = 2): HierIndex = {
-    val key = centroids.sparkSession.sparkContext.applicationId + "#" +
-      System.identityHashCode(centroids.sparkSession) + "|" +
-      System.identityHashCode(centroids)
-    val idx = hierIdxCache.computeIfAbsent(key, _ => buildHierIndex(centroids))
+    val cached = hierIdxCache.synchronized { hierIdxCache.get(centroids) }
+    val idx =
+      if (cached != null) cached
+      else {
+        val built = buildHierIndex(centroids)
+        hierIdxCache.synchronized {
+          val raced = hierIdxCache.get(centroids)
+          if (raced != null) raced
+          else { hierIdxCache.put(centroids, built); built }
+        }
+      }
     if (idx.probes == probes) idx else idx.copy(probes = probes)
   }
 
@@ -1236,9 +1252,10 @@ object VecOps {
     topKHeap(scores, k)
   }
 
-  /** Session-shared hier-refine top-3 (fprobes = 2, shortlist = 8) —
-    * the [[refineTop3Shared]] discipline for the rung's three graded
-    * consumers. */
+  /** Session-shared hier-refine top-3 (fprobes = 2, shortlist = 16 —
+    * the graded knobs; the oracle's `r16 <= 16` cut mirrors them, so
+    * change both together) — the [[refineTop3Shared]] discipline for
+    * the rung's three graded consumers. */
   def hierRefineTop3Shared(emb: DataFrame, dir: String): DataFrame =
     graft.Shared.relation(emb.sparkSession, dir, "hier_refine_top3") {
       ivfHierRefineTopK(emb, lloyd2CentroidsShared(emb, dir),

@@ -13,6 +13,23 @@ class MultiModalSpec extends SparkSpec {
     docs.unionByName(empty)
   }
 
+  test("phash oracle ASCII contract holds on the fixture (bytes ≡ chars)") {
+    // The phash32/phash64 DuckDB oracles recompute block energies from
+    // CHARACTERS (length/ascii) while the Spark side hashes UTF-8 BYTES;
+    // the two agree iff the corpus is pure ASCII (ADVICE r14). This
+    // assertion makes the assumption loud: a regenerated fixture with
+    // multi-byte text fails HERE, not as a silent oracle divergence in
+    // the length>=64 gate or the block boundaries.
+    for (scale <- Seq("sf0.001", "sf0.01")) {
+      val nonAscii = graft.Tables(spark, sf(scale)).documents
+        .filter(octet_length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+        .count()
+      assert(nonAscii == 0L,
+        s"$scale: $nonAscii docs have multi-byte text — the char-based " +
+          "phash oracles no longer match the byte-based Spark payload")
+    }
+  }
+
   test("columnar extractFeatures equals the codec-seam implementation") {
     val a = MultiModal.extractFeatures(payloads).orderBy("doc_id").collect()
     val b = MultiModal.extractFeaturesViaCodec(payloads).orderBy("doc_id").collect()
