@@ -28,6 +28,10 @@ object Bench {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.broadcast.compress", "false")
+      // keep the typed-Aggregator partial aggs hash-based (the 128-key
+      // default silently degrades them to sort-based — see Verify.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "8388608")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (FS client, codegen compiler, shuffle infra) so the

@@ -142,6 +142,9 @@ object ScaleDemo {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // keep typed-Aggregator partial aggs hash-based (see Verify.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "8388608")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildCore(spark, base, out, 10)
@@ -330,6 +333,9 @@ object ScaleDemo100 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // keep typed-Aggregator partial aggs hash-based (see Verify.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "8388608")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ScaleDemo.buildCore(spark, base, out10, 10)
@@ -485,6 +491,13 @@ object ScaleDemo100 {
     for ((dir, tag) <- decades if !skip(s"phash64@$tag"))
       time(s"mm_phash64_neardup_pairs @ $tag")(
         SparkEntry.queries("mm_phash64_neardup_pairs")(spark, dir).count())
+    // round-15: the two-word fingerprint rung at the same decades — the
+    // multi-column banding shape (chunks at span starts, two per word).
+    // At 100× the policy resolves 4×21-bit chunks (occupancy « 1);
+    // the ≥128-byte gate keeps ~85% of docs at every decade.
+    for ((dir, tag) <- decades if !skip(s"phash128@$tag"))
+      time(s"mm_phash128_neardup_pairs @ $tag")(
+        SparkEntry.queries("mm_phash128_neardup_pairs")(spark, dir).count())
     if (!skip("phash64refusal@100x")) {
       val n = Tables(spark, out100).documents.count()
       val refused =
@@ -588,6 +601,9 @@ object ScaleDemo1000 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // keep typed-Aggregator partial aggs hash-based (see Verify.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "8388608")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val outPath = java.nio.file.Paths.get(out)

