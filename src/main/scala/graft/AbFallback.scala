@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   * the tens of thousands, so the partial agg that the heap design
   * promised ("candidate volume never hits a sort") silently degrades to
   * an external sort of the candidate rows. This main times the graded
-  * hier rows at one decade with the default vs a raised threshold.
-  * Deleted once the numbers are recorded in BASELINE.md.
+  * hier rows at one decade with the default vs a raised threshold —
+  * the BASELINE.md round-15 attribution matrix's harness (one fresh
+  * 64 GiB JVM per arm: `SPARK_DRIVER_MEM=64g sbt "runMain
+  * graft.AbFallback <fixtureDir> <threshold> <reps>"`).
   */
 object AbFallback {
   def main(args: Array[String]): Unit = {
