@@ -28,10 +28,18 @@ object Bench {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.broadcast.compress", "false")
-      // keep the typed-Aggregator partial aggs hash-based (the 128-key
-      // default silently degrades them to sort-based — see Verify.scala)
+      // ObjectHashAggregate sort-fallback threshold: DELIBERATELY left at
+      // Spark's 128-key default here. The knob's sign flips with buffer
+      // shape (measured, BASELINE.md round-15): k-bounded heap buffers at
+      // third-decade candidate volumes want keys-in-memory (ivf_hier
+      // 1000× steady 219 → 110 s at 8M), but large list buffers
+      // (collect_list neighbor/basket lists) run 1.2–2.3× SLOWER
+      // hash-resident at sf0.1 (bellman_ford_3 2.90 → 6.75 s). The sf0.1
+      // bench is list-agg-heavy, so the default wins; the third-decade
+      // tools (ScaleDemo1000, AbFallback) set 8M where the heap aggs
+      // dominate. Env-overridable for A/Bs.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "8388608")
+        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_THR", "128"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (FS client, codegen compiler, shuffle infra) so the

@@ -142,9 +142,6 @@ object ScaleDemo {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      // keep typed-Aggregator partial aggs hash-based (see Verify.scala)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "8388608")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildCore(spark, base, out, 10)
@@ -333,9 +330,6 @@ object ScaleDemo100 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      // keep typed-Aggregator partial aggs hash-based (see Verify.scala)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "8388608")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ScaleDemo.buildCore(spark, base, out10, 10)
@@ -601,7 +595,11 @@ object ScaleDemo1000 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      // keep typed-Aggregator partial aggs hash-based (see Verify.scala)
+      // third-decade protocol: the heap-agg rows (hier family,
+      // matryoshka shortlists) want keys-in-memory at 1000x candidate
+      // volumes — the measured 2x lever (BASELINE.md round-15). The
+      // sf0.1 bench keeps the 128 default: the knob's sign flips for
+      // large list buffers (same BASELINE table).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "8388608")
       .getOrCreate()

@@ -17,15 +17,6 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      // ObjectHashAggregate (every typed-Aggregator heap/sketch) falls
-      // back to SORT-BASED aggregation past this many hash-map keys per
-      // partition — the Spark default is 128, which silently turns the
-      // bounded-heap partial aggs into external sorts of the candidate
-      // volume at any real group count (round 15, VERDICT r14 #2).
-      // Buffers here are small (k-bounded heaps, fixed sketches), so
-      // keys-in-memory is the right trade at every graded scale.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "8388608")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
