@@ -39,14 +39,21 @@ object AbFallback {
       println(f"[ab] thr=$thr%-8s $tag%-36s ${mid}%8.2f s   rows=${runs.head._2}  all=${runs.map(r => f"${r._1}%.2f").mkString(",")}")
     }
     val emb = Tables(spark, dir).embeddings
-    timeN("ivf_hier_topk")(
+    // routing memo cleared per rep (round 16): the threshold under test
+    // affects the routing heap aggs too, and a memo hit would make reps
+    // 2+ time only the post-routing stages
+    timeN("ivf_hier_topk")({
+      graft.vec.VecOps.clearRoutingCache()
       graft.vec.VecOps.ivfHierTopK(emb,
         graft.vec.VecOps.lloyd2CentroidsShared(emb, dir),
-        fprobes = 2, k = 3).count())
-    timeN("ivf_hier_refine_topk")(
+        fprobes = 2, k = 3).count()
+    })
+    timeN("ivf_hier_refine_topk")({
+      graft.vec.VecOps.clearRoutingCache()
       graft.vec.VecOps.ivfHierRefineTopK(emb,
         graft.vec.VecOps.lloyd2CentroidsShared(emb, dir),
-        fprobes = 2, shortlist = 16, k = 3).count())
+        fprobes = 2, shortlist = 16, k = 3).count()
+    })
     spark.stop()
   }
 }

@@ -211,7 +211,7 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: full-artifact write to $fullOut failed: $e") }
     spark.stop()
   }

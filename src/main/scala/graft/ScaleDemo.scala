@@ -386,24 +386,55 @@ object ScaleDemo100 {
            "gopher_filter_funnel", "quality_nll_agreement")
          if !skip(s"$q@$tag"))
       time(s"$q @ $tag")(SparkEntry.queries(q)(spark, dir).count())
-    // round-13: the IVF-PQ residual rung. The graded fixed-lists=16 knob
-    // stops at 10× like mm_phash: with fixed lists the probed-cell
-    // candidate join is 2n·(n/lists) — the documented fixed-knob IVF
-    // quadratic. The production sizing is lists ∝ n (cell size held
-    // ≈ constant), timed at 10× with lists=160; at 100× lists ∝ n makes
-    // the broadcast-argmax coarse assignment itself the retired flat
-    // class (1600 × 508 k ≈ 8×10⁸ window rows ≈ 450 GB shuffled) — the
-    // refusal arithmetic is the reading, and the shipped escalation is
-    // the hierarchical coarse quantizer already graded as ivf_hier_topk
-    // (its decade rows above stand in for this rung's 100× routing).
+    // round-13 rung, round-16 re-platform (VERDICT r15 #1): the graded
+    // ann_ivfpq_topk is now the HIERARCHICAL residual search at the wide
+    // fprobes = 3 dial — decade rows below measure that production form.
+    // The retired fixed-lists=16 knob lives ONLY here as the priced
+    // contrast (its probed-cell candidate join is 2n·(n/lists) — the
+    // documented fixed-knob IVF quadratic; it stops at 10× like
+    // mm_phash). The lists=160 (∝ n) flat row keeps the middle rung of
+    // that ladder measured: scaled lists fix the candidate join but
+    // leave the O(n·k) broadcast-argmax coarse assignment, whose 100×
+    // refusal arithmetic (1600 × 508 k ≈ 8×10⁸ window rows ≈ 450 GB
+    // shuffled) is the reading that motivates the hier quantizer.
+    // (raw pipeline + routing-cache clear per rep — the refine-row
+    // discipline: the graded query reads a session-shared relation and
+    // the memoized routing table, either of which would make reps 2-3
+    // time a cache read)
+    for ((dir, tag) <- decades if !skip(s"annIvfpqHierF3@$tag"))
+      time(s"ann_ivfpq_topk hier f3 @ $tag")({
+        graft.vec.VecOps.clearRoutingCache()
+        val emb = Tables(spark, dir).embeddings
+        graft.vec.VecOps.ivfPqHierTopK(emb,
+          graft.vec.VecOps.lloyd2CentroidsShared(emb, dir),
+          fprobes = 3, k = 3).count()
+      })
     for ((dir, tag) <- Seq((base, "1x"), (out10, "10x"))
          if !skip(s"annIvfpq@$tag"))
-      time(s"ann_ivfpq_topk lists=16 @ $tag")(
-        SparkEntry.queries("ann_ivfpq_topk")(spark, dir).count())
+      time(s"CONTRAST ivfPqResidualTopK lists=16 @ $tag")(
+        graft.vec.VecOps.ivfPqResidualTopK(Tables(spark, dir).embeddings,
+          lists = 16, probes = 2, k = 3).count())
     if (!skip("annIvfpqScaled@10x"))
-      time("ivfPqResidualTopK lists=160 @ 10x")(
+      time("CONTRAST ivfPqResidualTopK lists=160 @ 10x")(
         graft.vec.VecOps.ivfPqResidualTopK(Tables(spark, out10).embeddings,
           lists = 160, probes = 2, k = 3).count())
+    // round-16: ivf_ann_topk re-platformed the same way (hier search,
+    // fprobes = 3) — production decade rows, with the retired
+    // fixed-lists=16 flat form preserved as the priced contrast here
+    // (the 79×/decade quadratic COVERAGE.md documents).
+    for ((dir, tag) <- decades if !skip(s"ivfAnnHierF3@$tag"))
+      time(s"ivf_ann_topk hier f3 @ $tag")({
+        graft.vec.VecOps.clearRoutingCache()
+        val emb = Tables(spark, dir).embeddings
+        graft.vec.VecOps.ivfHierTopK(emb,
+          graft.vec.VecOps.lloyd2CentroidsShared(emb, dir),
+          fprobes = 3, k = 3).count()
+      })
+    for ((dir, tag) <- Seq((base, "1x"), (out10, "10x"))
+         if !skip(s"ivfAnnFlat@$tag"))
+      time(s"CONTRAST ivfTopK lists=16 @ $tag")(
+        graft.vec.VecOps.ivfTopK(Tables(spark, dir).embeddings,
+          lists = 16, probes = 2, k = 3).count())
     // round-13: the refine rung with the LSH planes knob scaled ∝ log n
     // (the annLshTopK sizing rule) — the exact re-score is n·shortlist
     // id-keyed dots regardless of decade, so the rung inherits the
@@ -642,8 +673,20 @@ object ScaleDemo1000 {
     // the graded consumers (3 reps, session-shared build across reps —
     // the same methodology as the 10×/100× decades; the uncached build
     // cost is the row above)
-    for (q <- Seq("semdedup_keep", "ivf_hier_topk") if rows(q))
+    for (q <- Seq("semdedup_keep") if rows(q))
       timeN(s"$q @ 1000x", 3)(SparkEntry.queries(q)(spark, out).count())
+    // round 16: ivf_hier_topk's registry entry reads the session-shared
+    // top-3 relation now — time the RAW pipeline (the refine-row
+    // discipline), clearing the routing memo per rep so every rep pays
+    // the full search
+    if (rows("ivf_hier_topk"))
+      timeN("ivf_hier_topk @ 1000x", 3)({
+        graft.vec.VecOps.clearRoutingCache()
+        val emb = Tables(spark, out).embeddings
+        graft.vec.VecOps.ivfHierTopK(emb,
+          graft.vec.VecOps.lloyd2CentroidsShared(emb, out),
+          fprobes = 2, k = 3).count()
+      })
     // ivf_hier_refine (round 14): the rescore-bounding rung at the
     // decade where the bound matters — full-dot volume per query is 16
     // (shortlist) instead of fprobes·E[cell] ≈ 256, and only 32-dim
@@ -653,6 +696,7 @@ object ScaleDemo1000 {
     // search (the annRefineTopK-row discipline in ScaleDemo100).
     if (rows("ivf_hier_refine_topk"))
       timeN("ivf_hier_refine_topk @ 1000x", 3)({
+        graft.vec.VecOps.clearRoutingCache() // see ivf_hier_topk row
         val emb = Tables(spark, out).embeddings
         graft.vec.VecOps.ivfHierRefineTopK(emb,
           graft.vec.VecOps.lloyd2CentroidsShared(emb, out),
@@ -668,6 +712,26 @@ object ScaleDemo1000 {
       timeN("matryoshka planes=14 @ 1000x", 3)(
         graft.vec.VecOps.matryoshkaTopK(Tables(spark, out).embeddings,
           planes = 14, mDims = 16, shortlist = 8, k = 3).count())
+    // round-16 (VERDICT r15 #3): the hierarchical residual rung's
+    // third-decade row — same routing as ivf_hier_topk plus the
+    // residual-PQ encode and the asymmetric re-score; raw pipeline +
+    // routing clear per rep (the refine-row discipline)
+    if (rows("ann_ivfpq_hier_topk"))
+      timeN("ann_ivfpq_hier_topk @ 1000x", 3)({
+        graft.vec.VecOps.clearRoutingCache()
+        val emb = Tables(spark, out).embeddings
+        graft.vec.VecOps.ivfPqHierTopK(emb,
+          graft.vec.VecOps.lloyd2CentroidsShared(emb, out),
+          fprobes = 2, k = 3).count()
+      })
+    // round-16 (VERDICT r15 #3): the streaming semdedup twin at the
+    // third decade — 3 micro-batches against the shared hier index;
+    // per-batch cost ∝ batch (never batch × corpus) is the claim this
+    // row prices. Single rep: the foreachBatch store overwrite makes
+    // reps idempotent but the first rep's stream-file build dominates.
+    if (rows("streaming_semdedup_keep"))
+      timeN("streaming_semdedup_keep @ 1000x", 1)(
+        SparkEntry.queries("streaming_semdedup_keep")(spark, out).count())
     spark.stop()
   }
 }

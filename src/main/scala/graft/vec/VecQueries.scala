@@ -361,31 +361,6 @@ object VecQueries {
                 WHERE rank <= 3
                   AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
 
-  private val ndcgIvfIdxCtes: String = """
-        seeds AS (
-          SELECT vec_id AS cid, embedding AS ce
-          FROM embeddings
-          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
-          LIMIT 16),
-        ranked AS (
-          SELECT a.vec_id, a.embedding, b.cid,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                   list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN seeds b ON true),
-        cells AS (SELECT vec_id AS nid, embedding AS ne, cid FROM ranked WHERE crank = 1),
-        probed AS (SELECT vec_id AS qid, embedding AS qe, cid FROM ranked WHERE crank <= 2),
-        scored AS (
-          SELECT p.qid, c.nid,
-                 list_sum(list_transform(range(1, 65),
-                   i -> p.qe[i]::DOUBLE * c.ne[i]::DOUBLE)) AS d
-          FROM probed p JOIN cells c ON p.cid = c.cid AND p.qid <> c.nid),
-        ir AS (SELECT qid, nid,
-                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
-               FROM scored),
-        idx AS (SELECT qid, nid, rank AS pos FROM ir
-                WHERE rank <= 3
-                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
 
   private val ndcgBinIdxCtes: String = s"""
         $ndcgHpSig,
@@ -656,32 +631,9 @@ object VecQueries {
                    DESC, c.rcid) AS crank
           FROM rxs x JOIN rcb c ON x.s = c.s)"""
 
-  private val ivfpqCoreCtes: String = s"""
-        $ivfpqEncCtes,
-        rrec AS (SELECT vec_id, flatten(list(cw ORDER BY s)) AS rrec
-                 FROM rassign
-                 WHERE crank = 1
-                 GROUP BY vec_id),
-        recon AS (SELECT g.vec_id AS nid, g.cid,
-                         list_transform(range(1, 65),
-                           i -> CAST(g.ce[i] + r.rrec[i] AS FLOAT)) AS recon
-                  FROM asg g JOIN rrec r ON g.vec_id = r.vec_id),
-        probed AS (SELECT vec_id AS qid, embedding AS qe, cid
-                   FROM ranked WHERE crank <= 2),
-        scored AS (
-          SELECT p.qid, c.nid,
-                 list_sum(list_transform(range(1, 65),
-                   i -> p.qe[i]::DOUBLE * c.recon[i]::DOUBLE)) AS d
-          FROM probed p JOIN recon c ON p.cid = c.cid AND p.qid <> c.nid),
-        ipr AS (SELECT qid, nid, d,
-                       row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
-                FROM scored)"""
-
-  private val ndcgIvfpqIdxCtes: String = s"""
-        $ivfpqCoreCtes,
-        idx AS (SELECT qid, nid, rank AS pos FROM ipr
-                WHERE rank <= 3
-                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
+  // (the flat fixed-lists ivfpq search CTEs retired round 16 with the
+  // ann_ivfpq re-platform — ivfpqEncCtes stays: the reconstruction-error
+  // query still grades the flat ENCODE stage, which is linear)
 
   /** Shortlist-then-refine CTEs mirroring [[VecOps.annRefineTopK]]
     * (planes=4, shortlist=10): int8 bucket rerank → top-10 cut → exact
@@ -715,10 +667,45 @@ object VecQueries {
         ${refineCoreCtes(refineSample)},
         idx AS (SELECT qid, nid, rank AS pos FROM rr WHERE rank <= 3)"""
 
+  /** Hier search CTEs at the WIDE fine-probe dial (fprobes = 3) — the
+    * round-16 re-platform target for the ivf_ann family (VERDICT r15
+    * #1): identical stage list to ivf_hier_topk's oracle except the
+    * query-side fine cut keeps THREE cells (`fr <= 3`). Suffixed so the
+    * names can never collide with the 2-probe block. Ends
+    * `h3r(qid, nid, d, rank)`. */
+  private lazy val hierF3CoreCtes: String = s"""
+        $lloyd2Ctes,
+        $hierAssignCtes,
+        qf3 AS (
+          SELECT vec_id AS qid, embedding AS qe, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS fr
+            FROM vp v JOIN f2g f ON v.gid = f.gid)
+          WHERE fr <= 3),
+        sc3 AS (
+          SELECT q.qid, a.vec_id AS nid,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qe[i]::DOUBLE * a.embedding[i]::DOUBLE)) AS d
+          FROM qf3 q JOIN assigned a ON q.cid = a.cid AND q.qid <> a.vec_id),
+        h3r AS (SELECT qid, nid, d,
+                       row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
+                FROM sc3)"""
+
+  private lazy val ndcgHierF3IdxCtes: String = s"""
+        $hierF3CoreCtes,
+        idx AS (SELECT qid, nid, rank AS pos FROM h3r
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""
+
   /** DuckDB CTEs mirroring [[VecOps.ivfPqHierTopK]] over the shared
     * scaled-k Lloyd table, ending in `hr(qid, nid, d, rank)` — sliced by
-    * the three hierarchical-residual consumers. */
-  private val ivfpqHierCoreCtes: String = s"""
+    * the three hierarchical-residual consumers at `fprobes` = 2 and,
+    * since round 16, the re-platformed ann_ivfpq family at the wide
+    * fprobes = 3 dial (the only parameterized line is the query-side
+    * `fr <=` cut). */
+  private def ivfpqHierCtes(fprobes: Int): String = s"""
         $lloyd2Ctes,
         $hierAssignCtes,
         hres AS (
@@ -756,7 +743,7 @@ object VecQueries {
                      list_sum(list_transform(range(1, 65),
                        i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS fr
             FROM vp v JOIN f2g f ON v.gid = f.gid)
-          WHERE fr <= 2),
+          WHERE fr <= $fprobes),
         hsc AS (
           SELECT q.qid, h.nid,
                  list_sum(list_transform(range(1, 65),
@@ -971,38 +958,26 @@ object VecQueries {
         ORDER BY qid, rank
       """)),
 
-    // ---- IVF ANN: sampled centroids, nearest-cell assignment, 2-probe ---
-    // The oracle mirrors every stage (seed sampling by md5-of-id,
-    // assignment rank, probe rank), so the hash-match is independent of
-    // IVF recall, exactly like the LSH queries.
+    // ---- IVF ANN, WIDE fine probing (round 16, VERDICT r15 #1) ----------
+    // Re-platformed off the fixed-lists flat IVF (16 md5-seeded cells,
+    // 2 probes — the documented quadratic: with FIXED lists the
+    // probed-cell candidate join is n²·probes/lists, 79× measured across
+    // one ScaleDemo decade; that form survives only as the ScaleDemo
+    // contrast row) onto the scaled-k hierarchical search, grading the
+    // FINE-probe width dial: fprobes = 3 best fine cells per query vs
+    // ivf_hier_topk's 2 (ivf_lloyd2_topk grades the COARSE twin dial at
+    // probes = 3). Recall dominates ann_recall_hier's by construction —
+    // the probed cells are a superset — and the family's lenses price
+    // exactly that trade (3/2× candidate volume). Three consumers slice
+    // the session-shared top-3 relation (hier3Top3Shared).
     Reg("ivf_ann_topk",
-      (s, dir) => VecOps.ivfTopK(Tables(s, dir).embeddings, lists = 16, probes = 2, k = 3)
+      (s, dir) => VecOps.hier3Top3Shared(Tables(s, dir).embeddings, dir)
         .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
         .orderBy("qid", "rank"),
       Some(s"""
-        WITH seeds AS (
-          SELECT vec_id AS cid, embedding AS ce
-          FROM embeddings
-          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
-          LIMIT 16),
-        ranked AS (
-          SELECT a.vec_id, a.embedding, b.cid,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                   list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN seeds b ON true),
-        cells AS (SELECT vec_id AS nid, embedding AS ne, cid FROM ranked WHERE crank = 1),
-        probed AS (SELECT vec_id AS qid, embedding AS qe, cid FROM ranked WHERE crank <= 2),
-        scored AS (
-          SELECT p.qid, c.nid,
-                 list_sum(list_transform(range(1, 65),
-                   i -> p.qe[i]::DOUBLE * c.ne[i]::DOUBLE)) AS d
-          FROM probed p JOIN cells c ON p.cid = c.cid AND p.qid <> c.nid),
-        r AS (SELECT qid, nid, d,
-                     row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
-              FROM scored)
+        WITH $hierF3CoreCtes
         SELECT qid, rank, nid, round(d, 4) AS score
-        FROM r WHERE rank <= 3
+        FROM h3r WHERE rank <= 3
         ORDER BY qid, rank
       """)),
 
@@ -1162,15 +1137,12 @@ object VecQueries {
         graft.functions.DotF32.register(s)
         val emb = Tables(s, dir).embeddings
         val cent = VecOps.lloyd2CentroidsShared(emb, dir)
-        val heap2 = org.apache.spark.sql.functions.udaf(
-          new graft.functions.TopKAggregator(2),
-          org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
         // d2 == 1.0 exactly ⇒ zero denominator; Spark would cast the
         // resulting Inf/NaN while DuckDB errors on the cast — sentinel 0
         // on BOTH sides (the pearson/ccf zero-variance discipline).
         VecOps.hierCandidates(emb, VecOps.hierIndex(cent))
           .groupBy(col("vec_id"))
-          .agg(heap2(col("cd"), col("cid")).as("top"))
+          .agg(VecOps.heapCol(s, col("cd"), col("cid"), 2).as("top"))
           .filter(size(col("top")) === 2)
           .select(col("vec_id"), expr("top[0].id").as("cid"),
             expr("top[0].score").as("d1"), expr("top[1].score").as("d2"))
@@ -1273,13 +1245,11 @@ object VecQueries {
     // every stage argmax/top-m with (dot DESC, id) tiebreaks, oracle
     // mirrored stage-for-stage (hierAssignCtes shared with semdedup).
     Reg("ivf_hier_topk",
-      (s, dir) => {
-        val emb = Tables(s, dir).embeddings
-        VecOps.ivfHierTopK(emb, VecOps.lloyd2CentroidsShared(emb, dir),
-            fprobes = 2, k = 3)
-          .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
-          .orderBy("qid", "rank")
-      },
+      // round 16: the three hier consumers slice the session-shared
+      // top-3 relation (hierTop3Shared) instead of re-running the search
+      (s, dir) => VecOps.hierTop3Shared(Tables(s, dir).embeddings, dir)
+        .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank"),
       Some(s"""
         WITH $lloyd2Ctes,
         $hierAssignCtes,
@@ -1316,8 +1286,7 @@ object VecQueries {
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val h = VecOps.ivfHierTopK(emb, VecOps.lloyd2CentroidsShared(emb, dir),
-            fprobes = 2, k = 3).filter(keep)
+        val h = VecOps.hierTop3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(h, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -1553,18 +1522,18 @@ object VecQueries {
       },
       Some(ndcg3OracleSql(ndcgLshIdxCtes))),
 
-    // ---- NDCG@3 of the 2-probe IVF search (round-12) --------------------
-    // Same index pipeline as ann_recall_ivf (16 md5-seeded cells, 2
-    // probes), scored for ranking quality instead of hit count.
+    // ---- NDCG@3 of the wide-fine-probe hier search (re-platformed r16) --
+    // Same index pipeline as ann_recall_ivf (scaled-k hier routing,
+    // fprobes = 3), scored for ranking quality instead of hit count.
     Reg("ann_ndcg_ivf",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        annNdcg3(emb, dir, VecOps.ivfTopK(emb, lists = 16, probes = 2, k = 3)
+        annNdcg3(emb, dir, VecOps.hier3Top3Shared(emb, dir)
           .filter(keep)
           .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
-      Some(ndcg3OracleSql(ndcgIvfIdxCtes))),
+      Some(ndcg3OracleSql(ndcgHierF3IdxCtes))),
 
     // ---- NDCG@3 of the 1-bit Hamming index (round-12) -------------------
     // ann_recall_binary's pipeline (sign-bit fingerprints, bucketed
@@ -1655,27 +1624,27 @@ object VecQueries {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         annNdcg3(emb, dir,
-          VecOps.ivfHierTopK(emb, VecOps.lloyd2CentroidsShared(emb, dir),
-            fprobes = 2, k = 3)
+          VecOps.hierTop3Shared(emb, dir)
           .filter(keep)
           .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
       Some(ndcg3OracleSql(ndcgHierIdxCtes))),
 
-    // ---- ANN accuracy contract: recall@3 of IVF vs brute ground truth ---
-    // The ann_recall_lsh twin for the cell-partitioned index: per query,
-    // how many of the true top-3 the 2-probe IVF search returned. Same
-    // deterministic 25% query sample as ann_recall_lsh (the 100 TB shape:
-    // the quadratic ground-truth side runs on a sample, the index side is
-    // the production path). Both pipelines are replayed stage-for-stage
-    // in the oracle and intersected — exact hash-match, no tolerance.
+    // ---- ANN accuracy contract: recall@3 of the wide-fine-probe rung ----
+    // Re-platformed round 16 with its topk sibling: per query, how many
+    // of the true top-3 the fprobes = 3 hierarchical search returned.
+    // Same deterministic 25% query sample as ann_recall_lsh (the 100 TB
+    // shape: the quadratic ground-truth side runs on a sample, the index
+    // side is the production path). Must dominate ann_recall_hier
+    // per-query (probed cells are a superset — the dial's measurable
+    // value). Both pipelines replayed stage-for-stage in the oracle.
     Reg("ann_recall_ivf",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val ivf = VecOps.ivfTopK(emb, lists = 16, probes = 2, k = 3).filter(keep)
+        val ivf = VecOps.hier3Top3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(ivf, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -1683,28 +1652,8 @@ object VecQueries {
           .orderBy("qid")
       },
       Some(s"""
-        WITH seeds AS (
-          SELECT vec_id AS cid, embedding AS ce
-          FROM embeddings
-          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
-          LIMIT 16),
-        ranked AS (
-          SELECT a.vec_id, a.embedding, b.cid,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                   list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN seeds b ON true),
-        cells AS (SELECT vec_id AS nid, embedding AS ne, cid FROM ranked WHERE crank = 1),
-        probed AS (SELECT vec_id AS qid, embedding AS qe, cid FROM ranked WHERE crank <= 2),
-        scored AS (
-          SELECT p.qid, c.nid,
-                 list_sum(list_transform(range(1, 65),
-                   i -> p.qe[i]::DOUBLE * c.ne[i]::DOUBLE)) AS d
-          FROM probed p JOIN cells c ON p.cid = c.cid AND p.qid <> c.nid),
-        ir AS (SELECT qid, nid,
-                      row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
-               FROM scored),
-        ivf AS (SELECT qid, nid FROM ir
+        WITH $hierF3CoreCtes,
+        ivf AS (SELECT qid, nid FROM h3r
                 WHERE rank <= 3
                   AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
         bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
@@ -2221,7 +2170,13 @@ object VecQueries {
         val emb = Tables(s, dir).embeddings
         val lsh = VecOps.annLshTopK(emb, planes = 4, k = 5)
           .select(col("qid"), col("nid"), expr("1000000 div (60 + rank)").as("c_lsh"))
-        val ivf = VecOps.ivfTopK(emb, lists = 16, probes = 2, k = 5)
+        // round 16: the IVF arm re-platformed off the fixed-lists flat
+        // form (VERDICT r15 #1) onto the hier search at the graded
+        // fprobes = 2 dial — the k = 5 cut shares the memoized routing
+        // table with the whole hier family, so the arm costs one
+        // candidate join, not a fresh index build
+        val ivf = VecOps.ivfHierTopK(emb, VecOps.lloyd2CentroidsShared(emb, dir),
+            fprobes = 2, k = 5)
           .select(col("qid"), col("nid"), expr("1000000 div (60 + rank)").as("c_ivf"))
         val fused = lsh.join(ivf, Seq("qid", "nid"), "full_outer")
           .select(col("qid"), col("nid"),
@@ -2258,24 +2213,21 @@ object VecQueries {
                FROM lp),
         lsh AS (SELECT qid, nid, 1000000 // (60 + rank) AS c_lsh
                 FROM lr WHERE rank <= 5),
-        seeds AS (
-          SELECT vec_id AS cid, embedding AS ce
-          FROM embeddings
-          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
-          LIMIT 16),
-        ranked AS (
-          SELECT a.vec_id, a.embedding, b.cid,
-                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                   list_sum(list_transform(range(1, 65),
-                     i -> a.embedding[i]::DOUBLE * b.ce[i]::DOUBLE)) DESC, b.cid) AS crank
-          FROM embeddings a JOIN seeds b ON true),
-        cells AS (SELECT vec_id AS nid, embedding AS ne, cid FROM ranked WHERE crank = 1),
-        probed AS (SELECT vec_id AS qid, embedding AS qe, cid FROM ranked WHERE crank <= 2),
+        $lloyd2Ctes,
+        $hierAssignCtes,
+        qf AS (
+          SELECT vec_id AS qid, embedding AS qe, cid FROM (
+            SELECT v.vec_id, v.embedding, f.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> v.embedding[i]::DOUBLE * f.ce[i]::DOUBLE)) DESC, f.cid) AS fr
+            FROM vp v JOIN f2g f ON v.gid = f.gid)
+          WHERE fr <= 2),
         iscored AS (
-          SELECT p.qid, c.nid,
+          SELECT q.qid, a.vec_id AS nid,
                  list_sum(list_transform(range(1, 65),
-                   i -> p.qe[i]::DOUBLE * c.ne[i]::DOUBLE)) AS d
-          FROM probed p JOIN cells c ON p.cid = c.cid AND p.qid <> c.nid),
+                   i -> q.qe[i]::DOUBLE * a.embedding[i]::DOUBLE)) AS d
+          FROM qf q JOIN assigned a ON q.cid = a.cid AND q.qid <> a.vec_id),
         ir AS (SELECT qid, nid,
                       row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rank
                FROM iscored),
@@ -2719,34 +2671,39 @@ object VecQueries {
         ORDER BY sel_rank
       """)),
 
-    // ---- IVF-PQ with residual encoding (faiss IndexIVFPQ shape) ---------
-    // The TENTH index family of the ANN ladder: coarse IVF assignment,
-    // product quantization of the RESIDUAL v − c(v) (what faiss encodes —
-    // residuals are centered, so the codebook resolves the structure the
-    // coarse level can't), search = probe 2 coarse cells, rank by
-    // asymmetric distance against c + PQ(r). See ivfPqResidualTopK's
-    // scaladoc for the float-parity and degenerate-seed arguments.
+    // ---- IVF-PQ residual rung, WIDE fine probing (round 16) -------------
+    // Re-platformed (VERDICT r15 #1) off the fixed-lists flat coarse
+    // quantizer (lists = 16 — the same n²/lists candidate quadratic as
+    // the retired flat IVF; contrast-only in ScaleDemo now) onto the
+    // hierarchical residual machinery of ann_ivfpq_hier_topk, grading
+    // the fprobes = 3 point of the fine-probe dial (the hier sibling
+    // holds fprobes = 2): coarse→fine routing over the scaled-k Lloyd
+    // table, residual v − ce(cell) product-quantized against the salted
+    // 8-codeword book, candidates re-scored by dot(q, ce + PQ(r)) in
+    // three probed cells per query instead of two. The widened probe
+    // set recovers true neighbors whose cell ranks third — the
+    // recall/NDCG lenses price exactly that against the fprobes = 2 row.
     Reg("ann_ivfpq_topk",
-      (s, dir) => VecOps.ivfpqTop3Shared(Tables(s, dir).embeddings, dir)
+      (s, dir) => VecOps.ivfpqF3Top3Shared(Tables(s, dir).embeddings, dir)
         .select(col("qid"), col("rank"), col("nid"),
           round(col("score"), 4).as("score"))
         .orderBy("qid", "rank"),
       Some(s"""
-        WITH $ivfpqCoreCtes
+        WITH ${ivfpqHierCtes(3)}
         SELECT qid, rank, nid, round(d, 4) AS score
-        FROM ipr WHERE rank <= 3
+        FROM hr WHERE rank <= 3
         ORDER BY qid, rank
       """)),
 
-    // recall@3 lens for the residual rung — the same contract as the other
-    // nine families: hits against the shared 25% md5-sampled brute truth.
+    // recall@3 lens for the wide-probe residual rung — the same contract
+    // as the other families: hits against the shared brute truth.
     Reg("ann_recall_ivfpq",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val ipq = VecOps.ivfpqTop3Shared(emb, dir).filter(keep)
+        val ipq = VecOps.ivfpqF3Top3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(ipq, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -2754,8 +2711,8 @@ object VecQueries {
           .orderBy("qid")
       },
       Some(s"""
-        WITH $ivfpqCoreCtes,
-        ipq AS (SELECT qid, nid FROM ipr
+        WITH ${ivfpqHierCtes(3)},
+        ipq AS (SELECT qid, nid FROM hr
                 WHERE rank <= 3
                   AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
         bp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $duckDot AS d
@@ -2770,16 +2727,20 @@ object VecQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
-    // NDCG@3 lens for the residual rung — the ranking-quality twin,
-    // completing the 10×2 recall/NDCG evaluation matrix.
+    // NDCG@3 lens for the wide-probe residual rung — the ranking-quality
+    // twin, keeping the eval matrix at two lenses per family.
     Reg("ann_ndcg_ivfpq",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        annNdcg3(emb, dir, VecOps.ivfpqTop3Shared(emb, dir)
+        annNdcg3(emb, dir, VecOps.ivfpqF3Top3Shared(emb, dir)
           .filter(keep).select(col("qid"), col("nid"), col("rank").as("pos")))
       },
-      Some(ndcg3OracleSql(ndcgIvfpqIdxCtes))),
+      Some(ndcg3OracleSql(s"""
+        ${ivfpqHierCtes(3)},
+        idx AS (SELECT qid, nid, rank AS pos FROM hr
+                WHERE rank <= 3
+                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""))),
 
     // ---- hard-negative mining (contrastive training-data prep) ----------
     // The embedding-side curation op a contrastive trainer consumes: for
@@ -2947,7 +2908,7 @@ object VecQueries {
           .orderBy("qid", "rank")
       },
       Some(s"""
-        WITH $ivfpqHierCoreCtes
+        WITH ${ivfpqHierCtes(2)}
         SELECT qid, rank, nid, round(d, 4) AS score
         FROM hr WHERE rank <= 3
         ORDER BY qid, rank
@@ -2969,7 +2930,7 @@ object VecQueries {
           .orderBy("qid")
       },
       Some(s"""
-        WITH $ivfpqHierCoreCtes,
+        WITH ${ivfpqHierCtes(2)},
         hq AS (SELECT qid, nid FROM hr
                WHERE rank <= 3
                  AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
@@ -2993,7 +2954,7 @@ object VecQueries {
           .filter(keep).select(col("qid"), col("nid"), col("rank").as("pos")))
       },
       Some(ndcg3OracleSql(s"""
-        $ivfpqHierCoreCtes,
+        ${ivfpqHierCtes(2)},
         idx AS (SELECT qid, nid, rank AS pos FROM hr
                 WHERE rank <= 3
                   AND ('0x' || substr(md5(CAST(qid AS VARCHAR)), 1, 15))::BIGINT % 4 = 0)"""))),

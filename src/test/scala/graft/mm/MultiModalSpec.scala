@@ -20,7 +20,16 @@ class MultiModalSpec extends SparkSpec {
     // assertion makes the assumption loud: a regenerated fixture with
     // multi-byte text fails HERE, not as a silent oracle divergence in
     // the length>=64 gate or the block boundaries.
-    for (scale <- Seq("sf0.001", "sf0.01")) {
+    // every fixture generation available to the suite — the graded sf0.1
+    // dir included (ADVICE r15: a non-ASCII regeneration at the scales
+    // this spec didn't cover would surface only as an opaque Verify hash
+    // mismatch; ScaleDemo's replicated decade fixtures inherit ASCII-ness
+    // from these parents, so covering the parents covers them)
+    val scales = new java.io.File("/root/testdata").listFiles.toSeq
+      .filter(d => new java.io.File(d, "documents.parquet").exists)
+      .map(_.getName).sorted
+    assert(scales.nonEmpty, "no fixture dirs with documents.parquet found")
+    for (scale <- scales) {
       val nonAscii = graft.Tables(spark, sf(scale)).documents
         .filter(octet_length(encode(col("text"), "UTF-8")) =!= length(col("text")))
         .count()

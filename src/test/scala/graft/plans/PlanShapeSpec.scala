@@ -45,7 +45,12 @@ class PlanShapeSpec extends SparkSpec {
     "cosine_neardup_pairs" -> (1, 0),
     // bucket equi-join + window + sort; neighbor side broadcast
     "ann_multiprobe_topk" -> (2, 1),
-    "ivf_ann_topk" -> (6, 2),
+    // round-16 (VERDICT r15 #1): re-platformed off the fixed-lists flat
+    // IVF onto the hier search at fprobes = 3, and the three consumers
+    // slice the session-shared top-3 relation (hier3Top3Shared
+    // InMemoryScan — output sort only; the search pipeline's exchanges
+    // are paid once at materialization, the ivfpqTop3 discipline)
+    "ivf_ann_topk" -> (1, 0),
     // co-partition left + right + window + ORDER BY; ZERO broadcasts —
     // the custom exec's whole point is two key-clustered exchanges
     "asof_purchase_click_native" -> (4, 0),
@@ -363,7 +368,7 @@ class PlanShapeSpec extends SparkSpec {
     "good_turing_counts" -> (5, 1),
     // round-12: the ann_ndcg_lsh contract over the other three index
     // families (shared brute InMemoryScan + per-index pipeline + DCG agg)
-    "ann_ndcg_ivf" -> (10, 2),
+    "ann_ndcg_ivf" -> (5, 0), // r16: shared hier3 top-3 relation, see ivf_ann_topk
     "ann_ndcg_binary" -> (6, 1),
     "ann_ndcg_pq" -> (8, 7),
     // round-12: good_turing_counts' N_r pipeline + one global OLS fold
@@ -383,7 +388,11 @@ class PlanShapeSpec extends SparkSpec {
     // crossJoin broadcasts and the routing heap exchanges moved behind
     // the checkpoint — the graded tail keeps the cells equi-join, the
     // qid joins and the final heap agg only
-    "ivf_hier_topk" -> (6, 1),
+    // Round 16 (6,1) → (1,0): the three hier consumers slice the
+    // session-shared top-3 relation (hierTop3Shared) — output sort over
+    // the InMemoryScan; the routing + candidate join exchanges are paid
+    // once at materialization
+    "ivf_hier_topk" -> (1, 0),
     // round-14 (VERDICT r13 #1): re-platformed from the flat
     // crossJoin(broadcast(k ∝ n)) + n·k rank window onto the hier
     // machinery at probes = 3 — same shape class as ivf_hier_topk; the
@@ -395,13 +404,13 @@ class PlanShapeSpec extends SparkSpec {
     "ann_recall_opq" -> (7, 7),
     // round-12: hier-family accuracy contract (lloyd2+hier pipelines +
     // brute InMemoryScan + hit agg) and the multiprobe NDCG
-    "ann_recall_hier" -> (9, 1), // r15: hierRouting checkpoint, see ivf_hier_topk
+    "ann_recall_hier" -> (4, 0), // r16: shared hier top-3 relation, see ivf_hier_topk
     "ann_ndcg_multiprobe" -> (6, 1),
     // round-12: the eval-matrix completion (NDCG for the remaining rungs)
     "ann_ndcg_int8" -> (6, 1),
     "ann_ndcg_opq" -> (8, 7),
     "ann_ndcg_matryoshka" -> (6, 3),
-    "ann_ndcg_hier" -> (10, 1), // r15: hierRouting checkpoint, see ivf_hier_topk
+    "ann_ndcg_hier" -> (5, 0), // r16: shared hier top-3 relation, see ivf_hier_topk
     // round-13: SGT unigram perplexity (token agg + count-class agg +
     // OLS fold + w-keyed count join-back + r join + doc agg + sort)
     "sgt_perplexity_score" -> (9, 4),

@@ -19,7 +19,7 @@ set -e
 cd "$(dirname "$0")/.."
 BASE="${1:-/root/testdata/sf0.1}"
 OUT="${2:-/dev/shm/graft-scale1000x}"
-for row in build semdedup_keep ivf_hier_topk ivf_hier_refine_topk matryoshka; do
+for row in build semdedup_keep ivf_hier_topk ivf_hier_refine_topk matryoshka ann_ivfpq_hier_topk streaming_semdedup_keep; do
   echo "[scaledemo1000] row=$row (fresh JVM)"
   rm -rf /dev/shm/graft-spark/* 2>/dev/null || true
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" SPARK_GRAFT_CPUS=32 \
