@@ -118,6 +118,20 @@ object StreamQueries {
     spark.table(name)
   }
 
+  /** Micro-batch parallelism of the seven INCREMENTAL SCREENS (the
+    * foreachBatch store/band/read-out pipelines): 4 shuffle partitions
+    * by default — at fixture scale each micro-batch shuffles a few
+    * thousand rows and 32-way task overhead dominates — overridable via
+    * `SPARK_GRAFT_DRAIN_PARTS` for the third-decade protocol, where the
+    * pin is an 8× parallelism loss on a 32-core host (the 1000×
+    * streaming_semdedup_keep row's per-batch hierAssign + cell band
+    * pushes ~10⁸-row joins through 4 tasks; measured table in
+    * BASELINE.md round-16). On a real cluster this is sized to batch
+    * volume like any shuffle width; the graded Verify/Bench surface
+    * keeps 4 so fixture-scale plans are unchanged. */
+  private def drainParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_DRAIN_PARTS", "4")
+
   private def drainComplete(df: DataFrame, partitions: Int = 2): DataFrame =
     drain(df, "complete", partitions)
 
@@ -134,7 +148,7 @@ object StreamQueries {
     val spark = df.sparkSession
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", drainParts)
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation",
@@ -972,7 +986,7 @@ object StreamQueries {
             col("event_type"), col("open"), col("high"), col("low"), col("close"),
             round(col("volume"), 4).as("volume"), col("trades"))
         val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", drainParts)
         try {
           val q = candles.writeStream.format("parquet").outputMode("append")
             .option("path", out)
@@ -1068,7 +1082,7 @@ object StreamQueries {
             col("event_type"), col("open"), col("high"), col("low"),
             col("close"), round(col("volume"), 4).as("volume"), col("trades"))
         val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", drainParts)
         try {
           val q = candles.writeStream.outputMode("update")
             .option("checkpointLocation", ckpt)
@@ -1731,7 +1745,7 @@ object StreamQueries {
     val stream = s.readStream.schema(tokSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", drainParts)
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -1747,8 +1761,12 @@ object StreamQueries {
           // files per batch would make the read-back dominate the drain.
           // batchId-keyed OVERWRITE (round 14): this screen's read-out
           // is replay-tolerant (distinct), but the keyed sink keeps the
-          // whole incremental family uniformly idempotent
-          vars.coalesce(1).write.mode("overwrite")
+          // whole incremental family uniformly idempotent.
+          // repartition(1), not coalesce(1), family-wide (round 16):
+          // see semdedupIncrementalRun's store write for the measured
+          // narrow-collapse mechanism (coalesce ran each screen's
+          // per-batch band join single-threaded).
+          vars.repartition(1).write.mode("overwrite")
             .parquet(s"$store/batch=$bid")
           val all = sp.read.parquet(store)
           val pairs = vars
@@ -1762,7 +1780,7 @@ object StreamQueries {
               when(col("ntok") < col("otok"), col("ocnt")).otherwise(col("ncnt")).as("cnt_b"))
             .distinct()
             .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
-          pairs.coalesce(1).write.mode("overwrite")
+          pairs.repartition(1).write.mode("overwrite")
             .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
@@ -1804,7 +1822,7 @@ object StreamQueries {
     val stream = s.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", drainParts)
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -1816,7 +1834,7 @@ object StreamQueries {
           // applied family-wide): the read-out emits one row per stored
           // fingerprint with no dedup — replay of an un-keyed append
           // would duplicate output rows
-          fp.coalesce(1).write.mode("overwrite")
+          fp.repartition(1).write.mode("overwrite")
             .parquet(s"$store/batch=$bid")
           val all = sp.read.parquet(store)
           def chunked(df: DataFrame, idc: String, phc: String) =
@@ -1831,7 +1849,7 @@ object StreamQueries {
             .select(greatest(col("nid"), col("oid")).as("doc_id"),
               least(col("nid"), col("oid")).as("dup_cand"))
             .distinct()
-          pairs.coalesce(1).write.mode("overwrite")
+          pairs.repartition(1).write.mode("overwrite")
             .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
@@ -1895,7 +1913,7 @@ object StreamQueries {
     val stream = s.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", drainParts)
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -1908,14 +1926,14 @@ object StreamQueries {
           // read-out's df COUNTS and docsStore feeds n_docs — replaying
           // an un-keyed append would double both and shift idf weights;
           // keyed overwrite makes a replay replace its own attempt
-          toks.coalesce(1).write.mode("overwrite")
+          toks.repartition(1).write.mode("overwrite")
             .parquet(s"$store/batch=$bid")
           toks.groupBy(col("lang"), col("source"), col("w"))
             .agg(count(lit(1)).as("cnt"))
-            .coalesce(1).write.mode("overwrite")
+            .repartition(1).write.mode("overwrite")
             .parquet(s"$dfStore/batch=$bid")
           batch.select(col("lang"), col("source"), col("doc_id"))
-            .coalesce(1).write.mode("overwrite")
+            .repartition(1).write.mode("overwrite")
             .parquet(s"$docsStore/batch=$bid")
           val all = sp.read.parquet(store)
           // running df = summed per-batch counts (≡ counting the full
@@ -1934,7 +1952,7 @@ object StreamQueries {
             .select(least(col("nid"), col("oid")).as("a_id"),
               greatest(col("nid"), col("oid")).as("b_id"))
             .distinct()
-          pairs.coalesce(1).write.mode("overwrite")
+          pairs.repartition(1).write.mode("overwrite")
             .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
@@ -1999,12 +2017,21 @@ object StreamQueries {
     val stream = s.readStream.schema(embSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", drainParts)
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          val sp = batch.sparkSession
+        .foreachBatch { (batch0: DataFrame, bid: Long) =>
+          val sp = batch0.sparkSession
+          // repartition to the drain width BEFORE the assignment maps:
+          // one file per trigger means the batch scan yields ~(file size /
+          // maxPartitionBytes) splits — 2 at the 1000× decade — and the
+          // broadcast-join dot-product stages (hierAssign's coarse cross
+          // + fine f2g join) inherit that width, so without this the
+          // screen's dominant stages run ~2-wide however many shuffle
+          // partitions the drain sets (measured: widening the shuffle
+          // alone moved 729 → 792 s @1000×; BASELINE.md round-16)
+          val batch = batch0.repartition(drainParts.toInt)
           val assigned = graft.vec.VecOps.hierAssign(
             batch.select(col("vec_id"), col("embedding")), idx)
           // one part-file per batch: the store is re-read EVERY batch, so
@@ -2015,7 +2042,15 @@ object StreamQueries {
           // per stored vector with no dedup, so an at-least-once replay
           // of an un-keyed append would duplicate output rows; keying on
           // batchId makes a replay replace its own earlier attempt.
-          assigned.coalesce(1).write.mode("overwrite")
+          // repartition(1), NOT coalesce(1) (round 16): coalesce is a
+          // NARROW transformation — it collapses the upstream shuffle
+          // stage itself to one task, so the assignment join (and below,
+          // the whole batch×store dot-product band) was running
+          // single-threaded however wide the drain; repartition keeps
+          // one file but puts a real exchange between the parallel work
+          // and the writer (measured 516 → 180 s @1000×, BASELINE.md
+          // round-16).
+          assigned.repartition(1).write.mode("overwrite")
             .parquet(s"$store/batch=$bid")
           val all = sp.read.parquet(store)
           val pairs = assigned.select(col("cid"), col("vec_id").as("nid"),
@@ -2029,8 +2064,9 @@ object StreamQueries {
               least(col("nid"), col("oid")).as("dup_cand"))
           // pairs read-out min-aggregates (replay-duplicate-tolerant),
           // but the same batchId keying keeps the sink uniformly
-          // idempotent
-          pairs.coalesce(1).write.mode("overwrite")
+          // idempotent; repartition(1) for the same narrow-collapse
+          // reason as the store write above
+          pairs.repartition(1).write.mode("overwrite")
             .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
@@ -2073,7 +2109,7 @@ object StreamQueries {
     val stream = s.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", drainParts)
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -2094,10 +2130,10 @@ object StreamQueries {
           tok.groupBy(col("b"))
             .agg(count(lit(1)).as("cr"),
               count(when(col("source") === "src0", 1)).as("ct"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$bStore/batch=$bid")
+            .repartition(1).write.mode("overwrite").parquet(s"$bStore/batch=$bid")
           tok.groupBy(col("doc_id"), col("b"))
             .agg(count(lit(1)).as("cnt"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$dStore/batch=$bid")
+            .repartition(1).write.mode("overwrite").parquet(s"$dStore/batch=$bid")
         }
         .start()
       q.processAllAvailable()
@@ -2152,7 +2188,7 @@ object StreamQueries {
     val stream = s.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", drainParts)
     try {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -2165,7 +2201,7 @@ object StreamQueries {
           // store is replay-tolerant (distinct at read-out), but the
           // keyed sink keeps the incremental family uniformly idempotent
           evalG.join(bg, Seq("g"), "left_semi")
-            .coalesce(1).write.mode("overwrite")
+            .repartition(1).write.mode("overwrite")
             .parquet(s"$hitStore/batch=$bid")
         }
         .start()

@@ -76,10 +76,31 @@ object VecOps {
     * ScalaAggregator form as the A/B arm (BASELINE.md round-16 records
     * the measured decision). The casts to (double, bigint) are exactly
     * the coercion the udaf's ScoredId encoder always applied, so the
-    * two arms see identical values. */
+    * two arms see identical values.
+    *
+    * `routing = true` marks the two-level ROUTING heaps (one group per
+    * corpus vector, k = probes/fprobes ≤ 4, ≤ probes·√k input rows per
+    * group) as opposed to the CUT/PRESCORE heaps (one group per query,
+    * fprobes·E[cell] ≈ hundreds of candidate rows per group). The 1000×
+    * pure-arm A/B (graft.AbHeap, BASELINE.md round-16) measured the arms'
+    * sign SPLITTING on exactly this axis — native consistently faster
+    * where per-group candidate volume dominates (ann_ivfpq_hier_topk
+    * 180.5 → 155.5 s), consistently slower on the routing shape
+    * (ivf_hier_topk 112.3 → 132.4 s, where tiny heaps make the per-group
+    * BufferRow indirection of TypedImperativeAggregate the marginal cost
+    * rather than the per-row encoder) — so the default arm is chosen
+    * PER SITE. SPARK_GRAFT_HEAP=native|udaf still forces one engine
+    * everywhere (the AbHeap pure arms); the unset default is the mixed
+    * assignment validated by the third AbHeap arm. */
   private[graft] def heapCol(spark: org.apache.spark.sql.SparkSession,
-                             score: Column, id: Column, k: Int): Column =
-    if (sys.env.getOrElse("SPARK_GRAFT_HEAP", HeapDefault) == "udaf") {
+                             score: Column, id: Column, k: Int,
+                             routing: Boolean = false): Column = {
+    val arm = sys.env.getOrElse("SPARK_GRAFT_HEAP", HeapDefault) match {
+      case "native" => "native"
+      case "udaf"   => "udaf"
+      case _        => if (routing) "udaf" else "native" // mixed (default)
+    }
+    if (arm == "udaf") {
       val h = org.apache.spark.sql.functions.udaf(
         new graft.functions.TopKAggregator(k),
         org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
@@ -89,11 +110,15 @@ object VecOps {
       org.apache.spark.sql.functions.call_function("topk_heap",
         score.cast("double"), id.cast("bigint"), lit(k))
     }
+  }
 
-  /** Default heap engine — "udaf" until the 1000× A/B (graft.AbHeap)
-    * records a native win, per the measure-first discipline; flipped in
-    * the same commit that lands the measurement. */
-  private val HeapDefault = "udaf"
+  /** Default heap engine — "mixed" (per-site: udaf on routing heaps,
+    * native on cut/prescore heaps) since the round-16 three-arm 1000×
+    * A/B (graft.AbHeap; BASELINE.md round-16) measured each pure arm
+    * losing on the shape the other wins; flipped from "udaf" in the
+    * same commit that lands the mixed-arm measurement, per the
+    * measure-first discipline. */
+  private val HeapDefault = "mixed"
 
   def topKHeap(scores: DataFrame, k: Int): DataFrame = {
     scores.groupBy(col("qid"))
@@ -1113,7 +1138,8 @@ object VecOps {
     val probed = v.crossJoin(broadcast(idx.coarse))
       .withColumn("vg", expr("dot_f32(embedding, ge)"))
       .groupBy(col("vec_id"))
-      .agg(heapCol(vecs.sparkSession, col("vg"), col("gid"), idx.probes).as("top"))
+      .agg(heapCol(vecs.sparkSession, col("vg"), col("gid"), idx.probes,
+        routing = true).as("top"))
       .select(col("vec_id"), explode(col("top")).as("t"))
       .select(col("vec_id"), col("t.id").as("gid"))
     probed.join(v, "vec_id")
@@ -1159,7 +1185,8 @@ object VecOps {
     if (cached != null) return cached
     val built = hierCandidates(vecs, idx)
       .groupBy(col("vec_id"))
-      .agg(heapCol(vecs.sparkSession, col("cd"), col("cid"), fprobes).as("top"))
+      .agg(heapCol(vecs.sparkSession, col("cd"), col("cid"), fprobes,
+        routing = true).as("top"))
       .localCheckpoint()
     routingCache.synchronized {
       val inner = routingCache.get(vecs)

@@ -22,6 +22,10 @@ OUT="${2:-/dev/shm/graft-scale1000x}"
 for row in build semdedup_keep ivf_hier_topk ivf_hier_refine_topk matryoshka ann_ivfpq_hier_topk streaming_semdedup_keep; do
   echo "[scaledemo1000] row=$row (fresh JVM)"
   rm -rf /dev/shm/graft-spark/* 2>/dev/null || true
+  # DRAIN_PARTS=32: the incremental screens' 4-partition fixture pin is
+  # an 8x parallelism loss at this decade (BASELINE.md round-16) — sized
+  # to the host like the fallback threshold above, default untouched.
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_DRAIN_PARTS="${SPARK_GRAFT_DRAIN_PARTS:-32}" \
     sbt -batch "runMain graft.ScaleDemo1000 $BASE $OUT $row"
 done
