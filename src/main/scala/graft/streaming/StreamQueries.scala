@@ -163,6 +163,16 @@ object StreamQueries {
   /** Recursive delete for /dev/shm scratch that is rebuilt per invocation
     * — file-sink queries key their output on the sf dir and wipe it here
     * so repeated bench reps don't accumulate copies. */
+  /** One-file store-write width for the incremental screens (A/B knob,
+    * round 16): `repartition(1)` (default — the round-16 1000× fix:
+    * `coalesce(1)` is NARROW and collapses the upstream batch×store band
+    * join to one task) vs `coalesce(1)` via
+    * SPARK_GRAFT_STORE_ONEFILE=coalesce for the fixture-scale A/B. */
+  private def oneFileStore(df: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_STORE_ONEFILE").contains("coalesce"))
+      df.coalesce(1)
+    else df.repartition(1)
+
   private def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rmrf)
     f.delete(): Unit
@@ -1766,7 +1776,7 @@ object StreamQueries {
           // see semdedupIncrementalRun's store write for the measured
           // narrow-collapse mechanism (coalesce ran each screen's
           // per-batch band join single-threaded).
-          vars.repartition(1).write.mode("overwrite")
+          vars.transform(oneFileStore).write.mode("overwrite")
             .parquet(s"$store/batch=$bid")
           val all = sp.read.parquet(store)
           val pairs = vars
@@ -1780,7 +1790,7 @@ object StreamQueries {
               when(col("ntok") < col("otok"), col("ocnt")).otherwise(col("ncnt")).as("cnt_b"))
             .distinct()
             .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
-          pairs.repartition(1).write.mode("overwrite")
+          pairs.transform(oneFileStore).write.mode("overwrite")
             .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
@@ -1834,7 +1844,7 @@ object StreamQueries {
           // applied family-wide): the read-out emits one row per stored
           // fingerprint with no dedup — replay of an un-keyed append
           // would duplicate output rows
-          fp.repartition(1).write.mode("overwrite")
+          fp.transform(oneFileStore).write.mode("overwrite")
             .parquet(s"$store/batch=$bid")
           val all = sp.read.parquet(store)
           def chunked(df: DataFrame, idc: String, phc: String) =
@@ -1849,7 +1859,7 @@ object StreamQueries {
             .select(greatest(col("nid"), col("oid")).as("doc_id"),
               least(col("nid"), col("oid")).as("dup_cand"))
             .distinct()
-          pairs.repartition(1).write.mode("overwrite")
+          pairs.transform(oneFileStore).write.mode("overwrite")
             .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
@@ -1926,14 +1936,14 @@ object StreamQueries {
           // read-out's df COUNTS and docsStore feeds n_docs — replaying
           // an un-keyed append would double both and shift idf weights;
           // keyed overwrite makes a replay replace its own attempt
-          toks.repartition(1).write.mode("overwrite")
+          toks.transform(oneFileStore).write.mode("overwrite")
             .parquet(s"$store/batch=$bid")
           toks.groupBy(col("lang"), col("source"), col("w"))
             .agg(count(lit(1)).as("cnt"))
-            .repartition(1).write.mode("overwrite")
+            .transform(oneFileStore).write.mode("overwrite")
             .parquet(s"$dfStore/batch=$bid")
           batch.select(col("lang"), col("source"), col("doc_id"))
-            .repartition(1).write.mode("overwrite")
+            .transform(oneFileStore).write.mode("overwrite")
             .parquet(s"$docsStore/batch=$bid")
           val all = sp.read.parquet(store)
           // running df = summed per-batch counts (≡ counting the full
@@ -1952,7 +1962,7 @@ object StreamQueries {
             .select(least(col("nid"), col("oid")).as("a_id"),
               greatest(col("nid"), col("oid")).as("b_id"))
             .distinct()
-          pairs.repartition(1).write.mode("overwrite")
+          pairs.transform(oneFileStore).write.mode("overwrite")
             .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
@@ -2050,7 +2060,7 @@ object StreamQueries {
           // one file but puts a real exchange between the parallel work
           // and the writer (measured 516 → 180 s @1000×, BASELINE.md
           // round-16).
-          assigned.repartition(1).write.mode("overwrite")
+          assigned.transform(oneFileStore).write.mode("overwrite")
             .parquet(s"$store/batch=$bid")
           val all = sp.read.parquet(store)
           val pairs = assigned.select(col("cid"), col("vec_id").as("nid"),
@@ -2066,7 +2076,7 @@ object StreamQueries {
           // but the same batchId keying keeps the sink uniformly
           // idempotent; repartition(1) for the same narrow-collapse
           // reason as the store write above
-          pairs.repartition(1).write.mode("overwrite")
+          pairs.transform(oneFileStore).write.mode("overwrite")
             .parquet(s"$pairsOut/batch=$bid")
         }
         .start()
@@ -2130,10 +2140,10 @@ object StreamQueries {
           tok.groupBy(col("b"))
             .agg(count(lit(1)).as("cr"),
               count(when(col("source") === "src0", 1)).as("ct"))
-            .repartition(1).write.mode("overwrite").parquet(s"$bStore/batch=$bid")
+            .transform(oneFileStore).write.mode("overwrite").parquet(s"$bStore/batch=$bid")
           tok.groupBy(col("doc_id"), col("b"))
             .agg(count(lit(1)).as("cnt"))
-            .repartition(1).write.mode("overwrite").parquet(s"$dStore/batch=$bid")
+            .transform(oneFileStore).write.mode("overwrite").parquet(s"$dStore/batch=$bid")
         }
         .start()
       q.processAllAvailable()
@@ -2201,7 +2211,7 @@ object StreamQueries {
           // store is replay-tolerant (distinct at read-out), but the
           // keyed sink keeps the incremental family uniformly idempotent
           evalG.join(bg, Seq("g"), "left_semi")
-            .repartition(1).write.mode("overwrite")
+            .transform(oneFileStore).write.mode("overwrite")
             .parquet(s"$hitStore/batch=$bid")
         }
         .start()

@@ -142,6 +142,39 @@ object TextQueries {
     graft.Shared.relation(s, dir, "gopher-repetition-signals")(
       gopherRepetitionSignals(Tables(s, dir).documents))
 
+  /** Session-shared blocked-bigram candidate pair relation —
+    * (a_id, b_id, inter, na, nb) over df ∈ [2, JaccardDfCeiling] grams,
+    * a_id < b_id — everything `jaccard_bigram_pairs` and
+    * `containment_bigram_pairs` compute BEFORE their score/threshold
+    * (round 16; the two queries were running the identical explode +
+    * band-pass window + blocked self-join machinery back to back).
+    * Output-sized: pairs sharing ≥ 1 banded gram, fan-out ≤ C² per
+    * (block, gram) key — the same bound both consumers already rode. */
+  private def bigramCandPairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.Shared.relation(s, dir, "bigram-cand-pairs") {
+      val sh = Tables(s, dir).documents
+        .select(col("lang"), col("source"), col("doc_id"),
+          explode(TextOps.shingles(col("text"), 2)).as("shingle"))
+      val withDf = sh
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"), col("source"), col("shingle"))))
+        .filter(col("df") <= JaccardDfCeiling)
+      val sizes = withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val shj = withDf.filter(col("df") >= 2).drop("df")
+      val a = shj.select(col("lang"), col("source"), col("shingle"),
+        col("doc_id").as("a_id"))
+      val b = shj.select(col("lang"), col("source"), col("shingle"),
+        col("doc_id").as("b_id"))
+      a.join(b, Seq("lang", "source", "shingle"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+    }
+
   /** Per-doc Gopher quality-gate signals — (doc_id, n_tokens,
     * mean_word_len, n_stop), shared by `gopher_quality_filter` and the
     * funnel. The 4-dp mean is the token_stats avg_token_len expression
@@ -1346,9 +1379,6 @@ object TextQueries {
     // (neardup_minhash_lsh) is the unblocked-corpus fallback.
     Reg("jaccard_bigram_pairs",
       (s, dir) => {
-        val sh = Tables(s, dir).documents
-          .select(col("lang"), col("source"), col("doc_id"),
-            explode(TextOps.shingles(col("text"), 2)).as("shingle"))
         // docfreq band-pass on the join key (one count window over the
         // same key the join shuffles on):
         //  - FLOOR df >= 2 (round-4b, 1.7× at sf0.1): a gram in only ONE
@@ -1365,23 +1395,10 @@ object TextQueries {
         //    applies to doc sizes and is mirrored verbatim in the oracle.
         //    High-df grams aren't lost to dedup overall: MinHash-LSH
         //    (neardup_minhash_lsh) covers whole-doc similarity sketches.
-        val withDf = sh
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("lang"), col("source"), col("shingle"))))
-          .filter(col("df") <= JaccardDfCeiling)
-        val sizes = withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val shj = withDf.filter(col("df") >= 2).drop("df")
-        val a = shj.select(col("lang"), col("source"), col("shingle"),
-          col("doc_id").as("a_id"))
-        val b = shj.select(col("lang"), col("source"), col("shingle"),
-          col("doc_id").as("b_id"))
-        a.join(b, Seq("lang", "source", "shingle"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
-          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+        //    Round 16: the whole pre-score candidate relation is the
+        //    session-shared [[bigramCandPairsShared]], reused verbatim by
+        //    containment_bigram_pairs — only the score/threshold differ.
+        bigramCandPairsShared(s, dir)
           .withColumn("uni", col("na") + col("nb") - col("inter"))
           .filter(col("inter") * 10 >= col("uni") * 3)
           .select(col("a_id"), col("b_id"),
@@ -1428,26 +1445,9 @@ object TextQueries {
     // multiplication (inter·10 ≥ min(na,nb)·6), plus the micros ratio.
     Reg("containment_bigram_pairs",
       (s, dir) => {
-        val sh = Tables(s, dir).documents
-          .select(col("lang"), col("source"), col("doc_id"),
-            explode(TextOps.shingles(col("text"), 2)).as("shingle"))
-        val withDf = sh
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("lang"), col("source"), col("shingle"))))
-          .filter(col("df") <= JaccardDfCeiling)
-        val sizes = withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val shj = withDf.filter(col("df") >= 2).drop("df")
-        val a = shj.select(col("lang"), col("source"), col("shingle"),
-          col("doc_id").as("a_id"))
-        val b = shj.select(col("lang"), col("source"), col("shingle"),
-          col("doc_id").as("b_id"))
-        a.join(b, Seq("lang", "source", "shingle"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
-          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+        // round 16: reads the session-shared bigram candidate relation
+        // (see jaccard_bigram_pairs) — only the score/threshold differ
+        bigramCandPairsShared(s, dir)
           .withColumn("n_small", least(col("na"), col("nb")))
           .filter(col("inter") * 10 >= col("n_small") * 6)
           .select(col("a_id"), col("b_id"), col("inter").as("n_common"),

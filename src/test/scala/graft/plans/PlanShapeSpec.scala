@@ -79,10 +79,11 @@ class PlanShapeSpec extends SparkSpec {
     // hash-agg + ORDER BY, with both size lookups broadcast. The twin
     // window subtrees are bit-identical → ReusedExchange at runtime;
     // must never degrade to a per-pair array_intersect nested loop.
-    // Re-pinned round-9 (6,3)→(8,3): the ceiling moved the size branch
-    // behind the window (+1 window exchange + 1 doc_id re-key) — the
-    // conscious price of bounding join fan-out at C² per (block, gram)
-    "jaccard_bigram_pairs" -> (8, 3),
+    // Round 16 (8,3) → (1,0): reads the session-shared bigram candidate
+    // relation (graft.Shared InMemoryScan — score filter + output sort
+    // only); the band-pass window + blocked self-join machinery is paid
+    // once, reused verbatim by containment_bigram_pairs
+    "jaccard_bigram_pairs" -> (1, 0),
     // int8 path keeps ann_lsh_topk's shape: bucket join + window + sort
     "ann_int8_topk" -> (2, 1),
     // explode + (doc,gram) agg + doc agg + ORDER BY; no joins
@@ -324,9 +325,10 @@ class PlanShapeSpec extends SparkSpec {
     // 9-edge list and per-type totals broadcast — binning is an array
     // filter, never a range join
     "psi_value_drift" -> (7, 3),
-    // identical machinery to jaccard_bigram_pairs (df band-pass window
-    // + blocked self-join + size joins) — only the score differs
-    "containment_bigram_pairs" -> (8, 3),
+    // Round 16 (8,3) → (1,0): identical machinery to
+    // jaccard_bigram_pairs — now literally the same session-shared
+    // candidate relation; only the score/threshold differ
+    "containment_bigram_pairs" -> (1, 0),
     // round-11 multimodal: the 32-term phash is MAP-ONLY (1 = output
     // sort); the Hamming banding is chunk-group + pair-distinct + sort,
     // never a cartesian; frame dedup is one digest agg (partial/final)
