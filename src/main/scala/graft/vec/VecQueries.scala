@@ -812,7 +812,7 @@ object VecQueries {
     // Oracle mirrors the LSH exactly (md5-derived hyperplanes), so the
     // hash-match is independent of LSH recall.
     Reg("ann_lsh_topk",
-      (s, dir) => VecOps.annLshTopK(Tables(s, dir).embeddings, planes = 4, k = 3)
+      (s, dir) => VecOps.lshTop3Shared(Tables(s, dir).embeddings, dir)
         .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
         .orderBy("qid", "rank"),
       Some(s"""
@@ -929,7 +929,7 @@ object VecQueries {
     // Oracle mirrors the probe enumeration (bucket XOR each bit), so the
     // hash-match is recall-independent as with every bucketed query.
     Reg("ann_multiprobe_topk",
-      (s, dir) => VecOps.annMultiProbeTopK(Tables(s, dir).embeddings, planes = 4, k = 3)
+      (s, dir) => VecOps.multiprobeTop3Shared(Tables(s, dir).embeddings, dir)
         .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
         .orderBy("qid", "rank"),
       Some(s"""
@@ -989,7 +989,7 @@ object VecQueries {
     // engines; quantized ties are more common than float ties, so the
     // tiebreak is load-bearing here.
     Reg("ann_int8_topk",
-      (s, dir) => VecOps.annInt8TopK(Tables(s, dir).embeddings, planes = 4, k = 3)
+      (s, dir) => VecOps.int8Top3Shared(Tables(s, dir).embeddings, dir)
         .select(col("qid"), col("rank"), col("nid"), col("score"))
         .orderBy("qid", "rank"),
       Some(s"""
@@ -1026,7 +1026,7 @@ object VecQueries {
     // Integer end to end — score hash-exact by construction; the nid
     // tiebreak is load-bearing (1-bit ties are pervasive).
     Reg("ann_binary_topk",
-      (s, dir) => VecOps.annBinaryTopK(Tables(s, dir).embeddings, planes = 4, k = 3)
+      (s, dir) => VecOps.binaryTop3Shared(Tables(s, dir).embeddings, dir)
         .select(col("qid"), col("rank"), col("nid"), col("score"))
         .orderBy("qid", "rank"),
       Some("""
@@ -1069,7 +1069,7 @@ object VecQueries {
     // with BOTH dots index-ordered (identical IEEE op sequence);
     // assignment and rank ties break on id.
     Reg("ann_pq_topk",
-      (s, dir) => VecOps.pqTopK(Tables(s, dir).embeddings, planes = 4, k = 3)
+      (s, dir) => VecOps.pqTop3Shared(Tables(s, dir).embeddings, dir)
         .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
         .orderBy("qid", "rank"),
       Some(pqOracleSql(prefixCtes = "", src = "embeddings"))),
@@ -1087,8 +1087,7 @@ object VecQueries {
       // projection otherwise re-evaluates in every pipeline branch the
       // PQ plan references it from — measured 3.1 → 1.5 s at sf0.1
       // (values are bit-identical; the checkpoint only materializes)
-      (s, dir) => VecOps.pqTopK(VecOps.opqRotate(Tables(s, dir).embeddings).localCheckpoint(),
-          planes = 4, k = 3)
+      (s, dir) => VecOps.opqTop3Shared(Tables(s, dir).embeddings, dir)
         .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
         .orderBy("qid", "rank"),
       Some(pqOracleSql(prefixCtes = s"""
@@ -1464,7 +1463,7 @@ object VecQueries {
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val lsh = VecOps.annLshTopK(emb, planes = 4, k = 3).filter(keep)
+        val lsh = VecOps.lshTop3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(lsh, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -1517,7 +1516,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        annNdcg3(emb, dir, VecOps.annLshTopK(emb, planes = 4, k = 3)
+        annNdcg3(emb, dir, VecOps.lshTop3Shared(emb, dir)
           .filter(keep)
           .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
@@ -1545,7 +1544,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        annNdcg3(emb, dir, VecOps.annBinaryTopK(emb, planes = 4, k = 3)
+        annNdcg3(emb, dir, VecOps.binaryTop3Shared(emb, dir)
           .filter(keep)
           .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
@@ -1560,7 +1559,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        annNdcg3(emb, dir, VecOps.annMultiProbeTopK(emb, planes = 4, k = 3)
+        annNdcg3(emb, dir, VecOps.multiprobeTop3Shared(emb, dir)
           .filter(keep)
           .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
@@ -1575,7 +1574,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        annNdcg3(emb, dir, VecOps.pqTopK(emb, planes = 4, k = 3)
+        annNdcg3(emb, dir, VecOps.pqTop3Shared(emb, dir)
           .filter(keep)
           .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
@@ -1592,7 +1591,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        annNdcg3(emb, dir, VecOps.annInt8TopK(emb, planes = 4, k = 3)
+        annNdcg3(emb, dir, VecOps.int8Top3Shared(emb, dir)
           .filter(keep)
           .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
@@ -1603,7 +1602,7 @@ object VecQueries {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         annNdcg3(emb, dir,
-          VecOps.pqTopK(VecOps.opqRotate(emb).localCheckpoint(), planes = 4, k = 3)
+          VecOps.opqTop3Shared(emb, dir)
             .filter(keep)
             .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
@@ -1613,8 +1612,7 @@ object VecQueries {
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
-        annNdcg3(emb, dir, VecOps.matryoshkaTopK(emb, planes = 4, mDims = 16,
-            shortlist = 8, k = 3)
+        annNdcg3(emb, dir, VecOps.matryoshkaTop3Shared(emb, dir)
           .filter(keep)
           .select(col("qid"), col("nid"), col("rank").as("pos")))
       },
@@ -1715,7 +1713,7 @@ object VecQueries {
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val i8 = VecOps.annInt8TopK(emb, planes = 4, k = 3).filter(keep)
+        val i8 = VecOps.int8Top3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(i8, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -1770,7 +1768,7 @@ object VecQueries {
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val bin = VecOps.annBinaryTopK(emb, planes = 4, k = 3).filter(keep)
+        val bin = VecOps.binaryTop3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(bin, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -1829,7 +1827,7 @@ object VecQueries {
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val mp = VecOps.annMultiProbeTopK(emb, planes = 4, k = 3).filter(keep)
+        val mp = VecOps.multiprobeTop3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(mp, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -1884,7 +1882,7 @@ object VecQueries {
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val pq = VecOps.pqTopK(emb, planes = 4, k = 3).filter(keep)
+        val pq = VecOps.pqTop3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(pq, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -1963,8 +1961,7 @@ object VecQueries {
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val opq = VecOps.pqTopK(VecOps.opqRotate(emb).localCheckpoint(),
-            planes = 4, k = 3).filter(keep)
+        val opq = VecOps.opqTop3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(opq, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -2117,8 +2114,7 @@ object VecQueries {
     // shortlist rank, full-dot final rank — so the hash-match is
     // independent of Matryoshka recall, like every bucketed ANN query.
     Reg("matryoshka_topk",
-      (s, dir) => VecOps.matryoshkaTopK(Tables(s, dir).embeddings,
-          planes = 4, mDims = 16, shortlist = 8, k = 3)
+      (s, dir) => VecOps.matryoshkaTop3Shared(Tables(s, dir).embeddings, dir)
         .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
         .orderBy("qid", "rank"),
       Some("""
@@ -2480,8 +2476,7 @@ object VecQueries {
         val keep = graft.text.TextOps.hash60(col("qid").cast("string")) % 4 === 0
         val brute = VecOps.bruteTop5Shared(emb, dir).filter(col("rank") <= 3)
           .select(col("qid"), col("nid"))
-        val mat = VecOps.matryoshkaTopK(emb, planes = 4, mDims = 16,
-            shortlist = 8, k = 3).filter(keep)
+        val mat = VecOps.matryoshkaTop3Shared(emb, dir).filter(keep)
           .select(col("qid"), col("nid")).withColumn("hit", lit(1))
         brute.join(mat, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))

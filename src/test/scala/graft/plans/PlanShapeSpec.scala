@@ -43,8 +43,13 @@ class PlanShapeSpec extends SparkSpec {
     // filter + output sort over the InMemoryScan (derivation exchanges
     // paid once, reused by knn_label_purity / cosine_score_histogram)
     "cosine_neardup_pairs" -> (1, 0),
-    // bucket equi-join + window + sort; neighbor side broadcast
-    "ann_multiprobe_topk" -> (2, 1),
+    // Round 16: the seven flat/compression ANN families now slice
+    // session-shared top-3 relations (lshTop3Shared .. matryoshkaTop3Shared
+    // InMemoryScans — the refineTop3Shared discipline applied to the rest
+    // of the eval matrix): topk = output sort only (1,0); recall = brute
+    // join + hit agg (4,0); NDCG = DCG agg chain (5,0). Pipelines' own
+    // exchanges are paid once at materialization.
+    "ann_multiprobe_topk" -> (1, 0),
     // round-16 (VERDICT r15 #1): re-platformed off the fixed-lists flat
     // IVF onto the hier search at fprobes = 3, and the three consumers
     // slice the session-shared top-3 relation (hier3Top3Shared
@@ -84,8 +89,7 @@ class PlanShapeSpec extends SparkSpec {
     // only); the band-pass window + blocked self-join machinery is paid
     // once, reused verbatim by containment_bigram_pairs
     "jaccard_bigram_pairs" -> (1, 0),
-    // int8 path keeps ann_lsh_topk's shape: bucket join + window + sort
-    "ann_int8_topk" -> (2, 1),
+    "ann_int8_topk" -> (1, 0), // r16: shared int8 top-3, see ann_multiprobe note
     // explode + (doc,gram) agg + doc agg + ORDER BY; no joins
     "repetition_ngram_stats" -> (3, 0),
     // gram semi-join + per-doc counts + totals join + sort; small sides
@@ -95,7 +99,7 @@ class PlanShapeSpec extends SparkSpec {
     // window + sort = 4 shuffles; the 7 broadcasts are all tiny plan-time
     // relations (subspace-index ranges, 8-row seed slices, codebook on
     // both the encode and recon sides) — never the embeddings table
-    "ann_pq_topk" -> (4, 7),
+    "ann_pq_topk" -> (1, 0), // r16: shared pq top-3, see ann_multiprobe note
     // round-4b additions
     // bloom prune: probe filter (scalar-subquery bloom, no exchange of its
     // own) + broadcast dim join + agg partial/final + ORDER BY
@@ -155,7 +159,7 @@ class PlanShapeSpec extends SparkSpec {
     // int8 recall: bucketed int8 pipeline + intersect; the brute truth
     // arrives from the session-shared relation (round-7), dropping the
     // sampled cross-join's repartition + broadcast from this plan
-    "ann_recall_int8" -> (5, 1),
+    "ann_recall_int8" -> (4, 0), // r16: shared int8 top-3
     // recursive CTE: the returns relation is localCheckpointed BEFORE the
     // recursion (UnionLoop re-executes its step subtree every iteration —
     // without the checkpoint the weekly agg re-ran per step, measured
@@ -178,7 +182,7 @@ class PlanShapeSpec extends SparkSpec {
     // shortlist survivors via two vec_id equi-joins — +2 broadcasts of
     // the embeddings table at this SF (plain shuffle joins at scale),
     // in exchange for candidate volume never hitting a sort
-    "matryoshka_topk" -> (2, 3),
+    "matryoshka_topk" -> (1, 0), // r16: shared matryoshka top-3
     // deletion-neighborhood equi-join + pair distinct + sort; both
     // variant sides derive from one token-counts agg
     "editdist1_pairs" -> (3, 1),
@@ -365,7 +369,7 @@ class PlanShapeSpec extends SparkSpec {
     // recount agg + scalar total broadcast + output sort
     "heavy_hitters_mg_verified" -> (4, 2),
     // round-11: shared brute InMemoryScan (×2) + LSH bucket join + DCG agg
-    "ann_ndcg_lsh" -> (6, 1),
+    "ann_ndcg_lsh" -> (5, 0), // r16: shared lsh top-3
     // round-11: post-checkpoint tails (support-≥2 edge build
     // localCheckpointed once — degree agg, orientation, triangle join /
     // symmetrized stat agg only)
@@ -377,8 +381,8 @@ class PlanShapeSpec extends SparkSpec {
     // round-12: the ann_ndcg_lsh contract over the other three index
     // families (shared brute InMemoryScan + per-index pipeline + DCG agg)
     "ann_ndcg_ivf" -> (5, 0), // r16: shared hier3 top-3 relation, see ivf_ann_topk
-    "ann_ndcg_binary" -> (6, 1),
-    "ann_ndcg_pq" -> (8, 7),
+    "ann_ndcg_binary" -> (5, 0), // r16: shared binary top-3
+    "ann_ndcg_pq" -> (5, 0), // r16: shared pq top-3
     // round-12: good_turing_counts' N_r pipeline + one global OLS fold
     // broadcast back over the table
     "good_turing_sgt" -> (6, 1),
@@ -408,16 +412,16 @@ class PlanShapeSpec extends SparkSpec {
     "ivf_lloyd2_topk" -> (6, 1),
     // round-12: recall-ladder completions (shared brute InMemoryScan +
     // the sibling index pipelines + hit-count agg)
-    "ann_recall_multiprobe" -> (5, 1),
-    "ann_recall_opq" -> (7, 7),
+    "ann_recall_multiprobe" -> (4, 0), // r16: shared multiprobe top-3
+    "ann_recall_opq" -> (4, 0), // r16: shared opq top-3
     // round-12: hier-family accuracy contract (lloyd2+hier pipelines +
     // brute InMemoryScan + hit agg) and the multiprobe NDCG
     "ann_recall_hier" -> (4, 0), // r16: shared hier top-3 relation, see ivf_hier_topk
-    "ann_ndcg_multiprobe" -> (6, 1),
+    "ann_ndcg_multiprobe" -> (5, 0), // r16: shared multiprobe top-3
     // round-12: the eval-matrix completion (NDCG for the remaining rungs)
-    "ann_ndcg_int8" -> (6, 1),
-    "ann_ndcg_opq" -> (8, 7),
-    "ann_ndcg_matryoshka" -> (6, 3),
+    "ann_ndcg_int8" -> (5, 0), // r16: shared int8 top-3
+    "ann_ndcg_opq" -> (5, 0), // r16: shared opq top-3
+    "ann_ndcg_matryoshka" -> (5, 0), // r16: shared matryoshka top-3
     "ann_ndcg_hier" -> (5, 0), // r16: shared hier top-3 relation, see ivf_hier_topk
     // round-13: SGT unigram perplexity (token agg + count-class agg +
     // OLS fold + w-keyed count join-back + r join + doc agg + sort)
