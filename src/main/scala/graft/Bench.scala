@@ -138,6 +138,32 @@ object Bench {
         }
       }
     }
+    // Outlier guard (VERDICT r16 #3): the r16 run proved one host burst
+    // can poison 2 of 3 interleaved reps (boilerplate_ngram_ratio's
+    // 25.5 s median against its own 2.4 s same-JVM calibration reps) —
+    // the median discipline alone cannot survive that. If a query's
+    // median exceeds 3× its fastest rep, run ONE extra rep and report
+    // the LOWER median of the 4 readings (host noise is strictly
+    // additive, so the lower-middle reading is the better plan-cost
+    // estimator; a genuine slowdown has all reps agreeing and is
+    // untouched). Guard reps respect the wall budget like rep 3; a
+    // guard-rep failure is counted, never promoted to errs (the query
+    // already succeeded 3×, and -1 is reserved for unmeasured queries).
+    val guarded = scala.collection.mutable.ArrayBuffer[String]()
+    var nGuardErr = 0
+    for ((name, fn) <- named) {
+      val runs = times(name).sorted
+      val overBudget = (System.nanoTime() - benchT0) / 1e9 > budgetS
+      if (!overBudget && !errs.contains(name) && runs.length >= 3 &&
+          runs(runs.length / 2) > 3 * runs.head) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times(name) += (System.nanoTime() - t0) / 1e9
+          guarded += name
+        } catch { case scala.util.control.NonFatal(_) => nGuardErr += 1 }
+      }
+    }
     // wall of the rep loop itself, captured BEFORE the post-loop
     // calibration reruns (ADVICE r10: over_budget previously included
     // ~6 calibration runs the budget never governed)
@@ -150,10 +176,13 @@ object Bench {
       val runs = times(name).sorted
       // 2-sample readings (fast-capped or budget-degraded) report the
       // LOWER of the two: host noise is strictly additive, so min is the
-      // better plan-cost estimator than the upward-biased runs(1)
+      // better plan-cost estimator than the upward-biased runs(1).
+      // (runs.length - 1) / 2 is the LOWER median: index 1 of 3 (the
+      // plain median, unchanged) and index 1 of 4 (the outlier guard's
+      // re-take — the additive-noise argument again).
       name -> (if (runs.isEmpty) -1.0
                else if (runs.length == 2) runs(0)
-               else runs(runs.length / 2))
+               else runs((runs.length - 1) / 2))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -191,8 +220,14 @@ object Bench {
     val errQs =
       if (errs.isEmpty) ""
       else ",\"err_qs\":" + errs.keys.take(5).map(jstr).mkString("[", ",", "]")
+    // outlier-guard transparency: which queries got a 4th rep (first 5
+    // names — same tail-size discipline as err_qs) and guard failures
+    val guardJson =
+      (if (guarded.isEmpty) ""
+       else ",\"guard_qs\":" + guarded.take(5).map(jstr).mkString("[", ",", "]")) +
+        (if (nGuardErr == 0) "" else s""","n_guard_err":$nGuardErr""")
     val tailJson =
-      f""","n_errs":${errs.size}$errQs,"n_reps1":${singleRep.size},"n_fast2":$nFast2,"budget_s":$budgetS%.0f,"wall_s":$wallS%.1f,"over_budget":${wallS > budgetS},"slowest":$slow5"""
+      f""","n_errs":${errs.size}$errQs,"n_reps1":${singleRep.size},"n_fast2":$nFast2,"n_guard":${guarded.size}$guardJson,"budget_s":$budgetS%.0f,"wall_s":$wallS%.1f,"over_budget":${wallS > budgetS},"slowest":$slow5"""
     // Field order is deliberate: the driver archives only the LAST ~2 KB
     // of stdout (BENCH_r05.json's "tail"), so the headline "value" goes at
     // the END of the line — anything before the per-query map is what gets

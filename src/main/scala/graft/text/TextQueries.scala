@@ -1197,12 +1197,30 @@ object TextQueries {
       """)),
 
     // ---- rolling-hash document fingerprint (winnowing-style min/max) ----
+    // Round 17 (guide §2.4 — remove shuffles outright): the fingerprint
+    // is per-doc min/max/count over the doc's OWN distinct-shingle set,
+    // so the explode → hash-aggregate shuffle was pure overhead — the
+    // same numbers fall out of array HOFs over the un-exploded shingle
+    // array, entirely map-side (2 Exchange → 1: only the output sort
+    // remains). The hash array is materialized in its own projection so
+    // CollapseProject's non-cheap-expression guard keeps the md5 pass at
+    // one evaluation per shingle (min/max/size all reference `hv`).
+    // Row parity: explode() dropped empty-shingle docs; the token-count
+    // filter drops exactly the same docs (shingles() yields [] iff the
+    // doc has < 3 tokens; with ≥ 3 tokens the distinct set is nonempty).
+    // The filter tests the CHEAP tokenize, not size(hv) — a filter on hv
+    // would re-evaluate the whole md5 transform chain per row (the
+    // Filter node doesn't share the downstream Project's expression).
     Reg("doc_fingerprint",
-      (s, dir) => TextOps.explodedShingles(Tables(s, dir).documents, 3)
-        .withColumn("hv", TextOps.hash60(col("shingle")))
-        .groupBy(col("doc_id"))
-        .agg(min(col("hv")).as("min_hash"), max(col("hv")).as("max_hash"),
-          count(lit(1)).as("n_shingles"))
+      (s, dir) => Tables(s, dir).documents
+        .filter(size(TextOps.tokens(col("text"))) >= 3)
+        .select(col("doc_id"),
+          transform(TextOps.shingles(col("text"), 3),
+            sh => TextOps.hash60(sh)).as("hv"))
+        .select(col("doc_id"),
+          array_min(col("hv")).as("min_hash"),
+          array_max(col("hv")).as("max_hash"),
+          size(col("hv")).cast("long").as("n_shingles"))
         .orderBy("doc_id"),
       Some("""
         WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
@@ -2594,11 +2612,21 @@ object TextQueries {
         // row (some row passes iff the max passes), so the filter sits
         // BELOW the pair aggregation — ~75% of joined rows drop before
         // the dedup shuffle instead of after it.
+        // Round 17: LENGTH filter added beside the positional one (the
+        // other standard PPJoin prune, same lossless algebra): jac ≥ 0.7
+        // forces inter ≤ min(l_a, l_b) and union ≥ max(l_a, l_b), so any
+        // pair with 10·min < 7·max is a provable non-match — it could
+        // never survive the exact verify below, so the OUTPUT (and the
+        // oracle) are untouched; the pruned rows just skip the dedup
+        // shuffle. On the degenerate 31-word corpus this is the only
+        // per-pair signal the prefix itself doesn't carry.
         val cand = pre
           .select(col("sh"), col("doc_id").as("a_id"), col("rn").as("rn_a"), col("l").as("n_a"))
           .join(pre.select(col("sh"), col("doc_id").as("b_id"),
             col("rn").as("rn_b"), col("l").as("n_b")), "sh")
           .filter(col("a_id") < col("b_id") &&
+            least(col("n_a"), col("n_b")) * 10 >=
+              greatest(col("n_a"), col("n_b")) * 7 &&
             (least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1) * 17 >=
               (col("n_a") + col("n_b")) * 7)
           .groupBy(col("a_id"), col("b_id"), col("n_a"), col("n_b"))

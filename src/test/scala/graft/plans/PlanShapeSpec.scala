@@ -63,7 +63,10 @@ class PlanShapeSpec extends SparkSpec {
     // bounded-heap typed aggregator: partial/final + ORDER BY only
     "topk_heap_parts_by_brand" -> (2, 0),
     "sessionize_30m" -> (2, 0),
-    "doc_fingerprint" -> (2, 0),
+    // round 17: explode + hash-agg replaced by per-doc array HOFs (the
+    // fingerprint aggregates each doc's OWN shingle set) — the agg
+    // exchange is gone, only the output sort remains
+    "doc_fingerprint" -> (1, 0),
     "tfidf_top_terms" -> (5, 1),
     // bucketed as-of: more exchanges by design, all on compacted or
     // bucket-keyed relations — the price of hot-key parallelism
