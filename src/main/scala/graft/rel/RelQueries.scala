@@ -61,16 +61,7 @@ object RelQueries {
         FROM l7 GROUP BY 1 ORDER BY 1"""
   }
 
-  /** Undirected high-volume trade graph (cust↔supp edges from
-    * lineitem⋈orders with l_quantity ≥ 45) + out-degrees, both
-    * localCheckpointed: they are loop-invariant across PageRank
-    * iterations, and lazy evaluation would otherwise replay the edge
-    * build inside every iteration's plan (~7 scans for 3 iterations) —
-    * the connectedComponents/compound_index iterative discipline.
-    * Shared by `pagerank_3iter` and `pagerank_personalized` (each
-    * invocation derives its own copy; the relations are per-query
-    * scratch, not session state). */
-  /** Session memo for the two bounded graph artifacts below (round 16,
+  /** Session memo for the bounded graph artifacts below (round 16,
     * guide §2.4 — remove shuffles outright): the five tradeGraph
     * consumers (pagerank ×2, label_prop, bfs, recursive_cte) and the four
     * co-purchase consumers (lcc, assortativity, adamic_adar, cosine) each
@@ -100,6 +91,11 @@ object RelQueries {
     }
   }
 
+  /** Undirected high-volume trade graph (cust↔supp edges from
+    * lineitem⋈orders with l_quantity ≥ 45) + out-degrees, both
+    * localCheckpointed (loop-invariant across the PageRank-family
+    * iterations) and session-memoized via [[graphMemo]] — five
+    * consumers share one build per (session, dir). */
   private def tradeGraph(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     graphMemo(s, dir, "tradeGraph") {

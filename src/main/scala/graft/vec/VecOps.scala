@@ -621,7 +621,14 @@ object VecOps {
     * (ann_refine_topk + the recall/NDCG lenses) slice the same
     * OUTPUT-sized ranked relation — the [[ivfpqTop3Shared]] discipline
     * (ADVICE r13: each consumer previously re-derived the whole refine
-    * pipeline, paying the bucket join three times per session). */
+    * pipeline, paying the bucket join three times per session).
+    *
+    * CONTRACT for this and every *Top3Shared helper below (ADVICE r16):
+    * the registry key is (session, dir, tag) and deliberately ignores
+    * which DataFrame `emb` is — callers MUST pass
+    * `Tables(s, dir).embeddings` (as every query-layer caller does); a
+    * filtered/derived frame would silently resolve to the canonical
+    * relation built from the full table. */
   def refineTop3Shared(emb: DataFrame, dir: String): DataFrame =
     graft.Shared.relation(emb.sparkSession, dir, "refine_top3") {
       annRefineTopK(emb, planes = 4, shortlist = 10, k = 3)
